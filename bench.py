@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once warm-up-free but after a shared session spin-up;
+timing covers plan + execution to a driver-side count/collect of the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from boltzmannclean_spark.plans.registry import all_queries
+from boltzmannclean_spark.session import get_spark
+
+# Headline queries: the flagship plus the heaviest representatives of each
+# operator family (kept in sync as families land).
+HEADLINE = [
+    "pricing_summary",
+    "project_filter",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("boltzmannclean_spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM/parquet-footer caches with a trivial action so per-query
+    # timings measure the plan, not first-touch session costs.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = registry[name]
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

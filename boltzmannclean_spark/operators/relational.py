@@ -1,0 +1,155 @@
+"""Core relational operators: scan, project, filter, flagship aggregate.
+
+SURVEY.md §2.B "Scans / Projection / filter / predicates" and §2.C
+flagship. Everything here is pure Catalyst-planned DataFrame API: filters
+and projections push down into the parquet scan, the flagship aggregate
+runs partial+final hash aggregation with whole-stage codegen, and the
+final sort is a tiny post-agg exchange — the canonical
+scan→filter→agg→sort shape that scales linearly with input size.
+
+Cross-engine float determinism follows functions/exact.py: per-row double
+arithmetic untouched (IEEE-deterministic), aggregates via exact decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (SURVEY.md §2.C).
+# Scan → pushed filter → partial/final hash agg (8 aggregates) → sort.
+# At 100 TB: the filter prunes at the parquet row-group level, partial
+# aggregation reduces each partition to ≤ (#flag × #status) rows before the
+# shuffle, so the exchange moves KBs regardless of input size.
+# --------------------------------------------------------------------------
+PRICING_SUMMARY_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    oracle=PRICING_SUMMARY_ORACLE,
+    tags=("aggregate", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H Q1: scan → filter → multi-agg groupBy → sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity")
+    price = dec("l_extendedprice")
+    disc = dec("l_discount", 4, 2)
+    tax = dec("l_tax", 4, 2)
+    disc_price = price * (1 - disc)
+    charge = disc_price * (1 + tax)
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "project_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 10
+  AND l_returnflag IN ('A', 'R')
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("scan", "filter", "project"),
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + compound predicate (BETWEEN / IN / comparison).
+
+    Both the projection and all three predicates reach the parquet scan
+    (PushedFilters + pruned ReadSchema). Per-row double arithmetic is
+    IEEE-deterministic, so net_price needs no rounding to match DuckDB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_discount").between(0.02, 0.08)
+            & (F.col("l_quantity") < 10)
+            & F.col("l_returnflag").isin("A", "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "conditional_expr",
+    oracle="""
+SELECT
+  o_orderkey,
+  CASE WHEN o_totalprice >= 100000 THEN 'big'
+       WHEN o_totalprice >= 10000 THEN 'mid'
+       ELSE 'small' END                         AS price_band,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')  AS status_label,
+  GREATEST(o_totalprice, 50000.0)               AS floored_price
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+ORDER BY o_orderkey
+""",
+    tags=("project", "conditional"),
+)
+def conditional_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF / GREATEST — conditional scalar exprs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 100000, "big")
+            .when(F.col("o_totalprice") >= 10000, "mid")
+            .otherwise("small")
+            .alias("price_band"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "status_label"
+            ),
+            F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,44 @@
+"""SparkSession builder tuned for this engine.
+
+Local mode here is a correctness/bench harness; configs are chosen so the
+same plans scale to a real cluster: AQE handles runtime re-planning
+(partition coalescing, skew-join splitting, broadcast demotion), shuffle
+partitions sized to cores locally (on a cluster this would be ~2-3x total
+cores), Arrow enabled for the Pandas-UDF paths, UTC session timezone so
+timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "boltzmannclean_spark") -> SparkSession:
+    cpus = cpu_count()
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join handling, dynamic
+        # broadcast — the main lever that makes one declarative plan work
+        # from sf0.001 local up to a 1000-executor cluster.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ~cores locally; a cluster deployment overrides via spark-submit.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,41 @@
+"""Table catalog over the driver's parquet testdata.
+
+``spark.read.parquet`` gives vectorized columnar scans with predicate
+pushdown and column pruning — at 100 TB these tables would be
+partitioned (e.g. orders/lineitem by date) and the same loader would
+pick up partition pruning for free; nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-size; supplier/part/customer grow with SF but
+# stay orders of magnitude below the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the spark.sql entry path)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

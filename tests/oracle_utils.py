@@ -1,0 +1,64 @@
+"""Local replica of the driver's oracle comparison.
+
+Runs a registered Spark query and its DuckDB oracle SQL on the same
+parquet tables, then compares row count, column names, and values
+order-insensitively. Floats are compared with a tight tolerance after
+canonical rounding (queries are expected to round computed floats
+themselves so the driver's exact value-hash can match).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from boltzmannclean_spark.sources.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _canon_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        # Exact bit comparison — queries are responsible for producing
+        # deterministic doubles (see functions/exact.py); the driver's
+        # value-hash is assumed at least this strict.
+        return ("f", v.hex())
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_canon_cell(x) for x in v))
+    return (type(v).__name__[:1], str(v))
+
+
+def canonical_rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = []
+    for _, row in df_pandas[cols].iterrows():
+        rows.append(tuple(_canon_cell(row[c]) for c in cols))
+    return sorted(rows)
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
+    sp = spark_df.toPandas()
+    du = run_oracle(oracle_sql, sf_dir)
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"[{name}] column mismatch: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"[{name}] row count: spark={len(sp)} duckdb={len(du)}"
+    sp_rows, du_rows = canonical_rows(sp), canonical_rows(du)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(sp_rows, du_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"[{name}] {len(mismatches)} value mismatches; first: {mismatches[0]}"
+    )
