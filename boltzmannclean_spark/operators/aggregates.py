@@ -1,0 +1,315 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+All hash aggregations get Catalyst's partial+final split automatically —
+each exchange moves one row per (partition × group), so these plans'
+shuffle volume is bounded by group cardinality, not input size.
+
+Cross-engine float discipline (functions/exact.py): money sums in exact
+decimal; statistical moments computed from exact decimal power sums with
+the SAME double expression on both engines (builtin stddev/corr stream
+in engine-specific merge orders and cannot hash-match, so the builtins
+are exercised in the rows-only query + pytest bounds instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT (Catalyst expands to a two-level aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_dedup_exact_rows",
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+""",
+    tags=("aggregate", "distinct"),
+)
+def agg_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / dropDuplicates as an operator."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT
+  n_name,
+  c_mktsegment,
+  GROUPING(n_name, c_mktsegment) AS gid,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY gid, n_name, c_mktsegment
+""",
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id over a broadcast dim join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("gid", "n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS gid,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_orders,
+  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("aggregate", "conditional"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (SUM(CASE WHEN ...))."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+                "n_urgent"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") == "F", dec("o_totalprice")).otherwise(zero))
+            .cast("double")
+            .alias("finished_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+WITH s AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  sx / n AS mean_qty,
+  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+  SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+  (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation from exact decimal power sums.
+
+    One pass, partial+final aggregation; the closed-form moment algebra
+    runs on bit-identical doubles in both engines (builtin streaming
+    stddev/corr cannot hash-match across engines — see agg_stats_builtin).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_stats_builtin",
+    oracle=None,  # engine-specific streaming moments / sketches: rows-only
+    tags=("aggregate", "stats", "approx"),
+)
+def agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtin statistical + approximate aggregates (stddev, variance,
+    corr, covar, skewness, kurtosis, approx_count_distinct HLL++,
+    percentile_approx). Value parity vs DuckDB is impossible by design
+    (different streaming merge orders / sketch algorithms); bounds are
+    asserted in tests/test_aggregates.py instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.stddev("l_quantity").alias("stddev_qty"),
+            F.variance("l_quantity").alias("var_qty"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+            F.skewness("l_quantity").alias("skew_qty"),
+            F.kurtosis("l_quantity").alias("kurt_qty"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+SELECT
+  l_returnflag,
+  median(l_quantity) AS median_qty,
+  quantile_cont(l_quantity, 0.25) AS p25_qty,
+  quantile_cont(l_quantity, 0.90) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated percentiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear interpolation semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("median_qty"),
+            F.percentile("l_quantity", 0.25).alias("p25_qty"),
+            F.percentile("l_quantity", 0.90).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT
+  n_name,
+  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+  MAX_BY(c_custkey, c_acctbal * 10000000 + c_custkey) AS top_customer,
+  MIN_BY(c_custkey, c_acctbal * 10000000 + c_custkey) AS bottom_customer
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("aggregate", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-set (sorted, joined to a string for deterministic hashing)
+    + max_by/min_by with an arithmetic tiebreak (2-decimal balances ×1e7
+    + unique key stays exact in doubles, so ties are deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rank_key = F.col("c_acctbal") * 10000000 + F.col("c_custkey")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.max_by("c_custkey", rank_key).alias("top_customer"),
+            F.min_by("c_custkey", rank_key).alias("bottom_customer"),
+        )
+        .orderBy("n_name")
+    )

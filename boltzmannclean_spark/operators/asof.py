@@ -1,0 +1,120 @@
+"""As-of join — Spark has no built-in; composed from union + window.
+
+Semantics match DuckDB's ``ASOF JOIN`` (the oracle): for each left row,
+pick the single right row with the largest ``right_on <= left_on``
+within the same ``by`` keys ("backward" direction); left rows with no
+such right row survive with NULLs (ASOF LEFT JOIN).
+
+Scale design: the naive formulation (range join + max_by) is a near
+cross-product per key. This implementation instead unions both sides
+tagged, sorts once per key on (ts, tag), and forward-fills the right
+payload with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+row frame — ONE shuffle + sort over n_left + n_right rows, the same cost
+as a sort-merge join, no quadratic blowup on hot keys. Equal timestamps:
+right rows sort before left rows (tag 0 < 1) so a tie matches, exactly
+like DuckDB's ``>=``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join; returns left columns + ``payload`` columns
+    from the latest right row with right_on <= left_on per ``by`` group.
+
+    ``payload`` column names must not clash with left's columns (rename
+    on the right side first).
+    """
+    by = list(by)
+    payload = list(payload)
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns clash with left columns: {sorted(clash)}")
+
+    l2 = left.withColumn(_TAG, F.lit(1)).withColumn(_TS, F.col(left_on))
+    for c in payload:
+        l2 = l2.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+
+    r2 = right.select(
+        *by, F.col(right_on).alias(_TS), F.lit(0).alias(_TAG), *payload
+    )
+    for c in left.columns:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    cols = left.columns + [_TAG, _TS] + payload
+    unioned = l2.select(*cols).unionByName(r2.select(*cols))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(_TS, _TAG)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left.columns,
+        F.col(_TAG),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.where(F.col(_TAG) == 1).drop(_TAG)
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle="""
+SELECT
+  p.event_id        AS purchase_id,
+  p.user_id         AS user_id,
+  epoch_us(p.ts)    AS purchase_us,
+  c.event_id        AS click_id,
+  c.value           AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+""",
+    tags=("join", "asof"),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's most recent click at-or-before it."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="p_ts",
+        right_on="c_ts",
+        payload=["click_id", "click_value"],
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_us", "click_id", "click_value"
+    ).orderBy("purchase_id")

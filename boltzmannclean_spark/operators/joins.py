@@ -1,0 +1,295 @@
+"""Join operators over the star schema (SURVEY.md §2.B "Joins").
+
+Design-for-scale notes, per join kind:
+
+- Equi joins on fact tables shuffle both sides on the key; Catalyst
+  picks sort-merge vs shuffled-hash, and AQE converts to broadcast at
+  runtime when a side turns out small.
+- Dimension joins (region/nation/supplier, and customer at moderate SF)
+  are explicitly ``F.broadcast`` — at 100 TB the fact side never
+  shuffles for these, which is the difference between an hour and a
+  minute.
+- Semi/anti joins ship only the join key of the right side.
+- Theta/range joins have no hash strategy; they are kept
+  broadcast-nested-loop with a deliberately small build side (or a
+  pre-aggregated one) — the scalable form of a non-equi join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("join", "broadcast", "aggregate"),
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: fact⋈fact shuffle + broadcast dims.
+
+    lineitem⋈orders is the only big shuffle; customer/nation/region are
+    broadcast so the probe side streams through map-side hash joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+""",
+    tags=("join", "left", "aggregate"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with an extra join predicate,
+    double aggregation. COUNT(col) counting only matched rows is the
+    NULL-semantics check for outer joins."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+""",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): only the key column of orders is shuffled."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers that never ordered."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH cust_n AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), supp_n AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  COALESCE(cust_n.nationkey, supp_n.nationkey) AS nationkey,
+  COALESCE(n_customers, 0) AS n_customers,
+  COALESCE(n_suppliers, 0) AS n_suppliers
+FROM cust_n FULL OUTER JOIN supp_n ON cust_n.nationkey = supp_n.nationkey
+ORDER BY nationkey
+""",
+    tags=("join", "full"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (aggregate-before-join:
+    the scalable form — joins row counts, not fact rows)."""
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cust_n.join(supp_n, on="nationkey", how="full")
+    return joined.select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    ).orderBy("nationkey")
+
+
+@register(
+    "join_theta_self",
+    oracle="""
+SELECT o1.o_custkey AS custkey, COUNT(*) AS n_escalations
+FROM orders o1
+JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey
+ AND o1.o_orderdate < o2.o_orderdate
+ AND o1.o_totalprice * 2 < o2.o_totalprice
+GROUP BY o1.o_custkey
+ORDER BY n_escalations DESC, custkey
+""",
+    tags=("join", "theta", "self"),
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join: later order more than doubling an earlier one.
+
+    The equi part (same customer) hash-partitions both sides, so the
+    non-equi predicates evaluate only within a customer's own orders —
+    this stays a shuffle-hash/sort-merge join, NOT a nested-loop over
+    the cross product, and scales with sum(per-key group size²)."""
+    o1 = load_table(spark, sf_dir, "orders").alias("o1")
+    o2 = load_table(spark, sf_dir, "orders").alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o1.o_orderdate") < F.col("o2.o_orderdate"))
+            & (F.col("o1.o_totalprice") * 2 < F.col("o2.o_totalprice")),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_escalations"))
+        .orderBy(F.desc("n_escalations"), "custkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r1.r_name AS from_region, r2.r_name AS to_region
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_regionkey <> r2.r_regionkey
+ORDER BY from_region, to_region
+""",
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny×tiny only — anything else is a design bug)."""
+    r1 = load_table(spark, sf_dir, "region").alias("r1")
+    r2 = load_table(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .where(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
+        .select(
+            F.col("r1.r_name").alias("from_region"),
+            F.col("r2.r_name").alias("to_region"),
+        )
+        .orderBy("from_region", "to_region")
+    )
+
+
+@register(
+    "join_range_bucket",
+    oracle="""
+SELECT p_size, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM part
+JOIN region ON p_size BETWEEN r_regionkey * 10 AND r_regionkey * 10 + 9
+GROUP BY p_size
+ORDER BY p_size
+""",
+    tags=("join", "range"),
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: part.p_size falls in a region-derived bucket.
+
+    Non-equi → broadcast-nested-loop with the 5-row side broadcast; the
+    big side streams. At scale the derivable-bucket form should instead
+    compute the bucket key and equi-join — shown here as the BNL variant
+    to exercise the operator."""
+    part = load_table(spark, sf_dir, "part")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        part.join(
+            F.broadcast(region),
+            F.col("p_size").between(
+                F.col("r_regionkey") * 10, F.col("r_regionkey") * 10 + 9
+            ),
+        )
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(dec("p_retailprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("p_size")
+    )

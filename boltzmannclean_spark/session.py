@@ -35,6 +35,10 @@ def get_spark(app_name: str = "boltzmannclean_spark") -> SparkSession:
         # ~cores locally; a cluster deployment overrides via spark-submit.
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long (ns since epoch) and let the catalog derive
+        # a microsecond timestamp (sources/catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

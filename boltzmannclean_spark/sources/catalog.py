@@ -9,6 +9,7 @@ pick up partition pruning for free; nothing downstream changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,7 +33,15 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as long ns-since-epoch (see session.py nanosAsLong).
+        # Integer division keeps full precision (double would lose it at
+        # 1e18); DuckDB's TIMESTAMP_NS -> µs truncates identically.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
