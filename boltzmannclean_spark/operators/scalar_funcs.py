@@ -1,0 +1,307 @@
+"""Scalar function families (SURVEY.md §2.B "Scalar function families").
+
+One oracle-checked query per family: string, date/time, math, array,
+map, JSON, hash. All expressions are JVM-side Catalyst builtins inside
+whole-stage codegen — zero Python in the row path.
+
+Cross-dialect notes baked into the oracles:
+- day-of-week: Spark ``weekday()+1`` == DuckDB ``isodow`` (Mon=1).
+- dates are emitted as formatted strings (pandas date dtypes differ).
+- transcendental funcs (exp/ln/sin) are NOT correctly-rounded and may
+  differ in the last ulp between libm and the JVM → rows-only query.
+- xxhash64/crc32 are engine-specific → exercised in pytest, not oracles;
+  md5/sha2 are standardized and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+
+@register(
+    "func_string",
+    oracle="""
+SELECT
+  p_partkey,
+  UPPER(p_name)                                   AS name_upper,
+  LOWER(p_brand)                                  AS brand_lower,
+  LENGTH(p_name)                                  AS name_len,
+  SUBSTRING(p_name, 1, 4)                         AS name_prefix,
+  CONCAT(p_brand, ':', p_type)                    AS brand_type,
+  LPAD(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+  TRIM('  ' || p_type || ' ')                     AS type_trimmed,
+  REPLACE(p_name, ' ', '_')                       AS name_snake,
+  STRPOS(p_name, 'red')                           AS red_pos,
+  TRANSLATE(p_brand, '#', '-')                    AS brand_dashed,
+  REGEXP_EXTRACT(p_brand, '[0-9]+', 0)            AS brand_num,
+  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g')      AS name_novowel,
+  SPLIT_PART(p_name, ' ', 1)                      AS first_word,
+  LEVENSHTEIN(p_type, 'STANDARD')                 AS type_dist
+FROM part
+WHERE p_partkey < 500
+ORDER BY p_partkey
+""",
+    tags=("functions", "string"),
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part names/brands/types."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trimmed"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.instr("p_name", "red").alias("red_pos"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dashed"),
+        F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowel"),
+        F.element_at(F.split(F.col("p_name"), " "), 1).alias("first_word"),
+        F.levenshtein(F.col("p_type"), F.lit("STANDARD")).alias("type_dist"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "func_datetime",
+    oracle="""
+SELECT
+  o_orderkey,
+  YEAR(o_orderdate)                                        AS order_year,
+  MONTH(o_orderdate)                                       AS order_month,
+  DAY(o_orderdate)                                         AS order_day,
+  ISODOW(o_orderdate)                                      AS order_isodow,
+  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d')   AS month_start,
+  STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')     AS days_to_98,
+  CAST(EPOCH(o_orderdate) AS BIGINT)                       AS epoch_sec,
+  STRFTIME(o_orderdate, '%Y-%m-%d')                        AS order_date_str
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+    tags=("functions", "datetime"),
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extraction, truncation, arithmetic, formatting."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        (F.weekday(d) + 1).alias("order_isodow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_98"
+        ),
+        F.unix_timestamp(d).alias("epoch_sec"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date_str"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "func_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  FLOOR(l_extendedprice / 1000)        AS price_k_floor,
+  CEIL(l_discount * 100)               AS disc_pct_ceil,
+  ABS(l_quantity - 25)                 AS qty_dev,
+  SIGN(l_quantity - 25)                AS qty_side,
+  SQRT(l_quantity)                     AS qty_sqrt,
+  POWER(l_quantity, 2)                 AS qty_sq,
+  MOD(CAST(l_quantity AS BIGINT), 7)   AS qty_mod7,
+  GREATEST(l_tax, l_discount)          AS max_rate,
+  LEAST(l_tax, l_discount)             AS min_rate
+FROM lineitem
+WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("functions", "math"),
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family on IEEE-deterministic operations (sqrt is correctly
+    rounded; pow on small integers is exact; exp/ln live in the
+    rows-only func_math_transcendental)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(q - 25).alias("qty_dev"),
+        F.signum(q - 25).alias("qty_side"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.pow(q, 2).alias("qty_sq"),
+        (q.cast("bigint") % 7).alias("qty_mod7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "func_math_transcendental",
+    oracle=None,  # exp/ln/sin differ in the last ulp across libm implementations
+    tags=("functions", "math"),
+)
+def func_math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental functions + seeded rand (rows-only: last-ulp and
+    partitioning nondeterminism make cross-engine hashing meaningless)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.exp(q / 10).alias("qty_exp"),
+        F.log(q + 1).alias("qty_ln"),
+        F.sin(q).alias("qty_sin"),
+        F.rand(seed=42).alias("noise"),
+    )
+
+
+@register(
+    "func_array",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens FROM documents
+)
+SELECT
+  doc_id,
+  LEN(tokens)                                            AS n_tokens,
+  tokens[1]                                              AS first_token,
+  LIST_CONTAINS(tokens, 'spark')                         AS has_spark,
+  ARRAY_TO_STRING(tokens[1:5], ' ')                      AS head5,
+  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(tokens)), ',') AS vocab,
+  LEN(LIST_DISTINCT(tokens))                             AS n_unique
+FROM toks
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+    tags=("functions", "array"),
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized document text (split/size/element_at/
+    contains/slice/distinct/sort; arrays emitted as joined strings so the
+    value-hash is representation-independent)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias("vocab"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "func_higher_order",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+)
+SELECT
+  vec_id,
+  LEN(LIST_FILTER(embedding, x -> x > 0))                         AS n_positive,
+  LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (s, x) -> s + x)                                    AS sq_norm,
+  LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+              (s, x) -> CASE WHEN x > s THEN x ELSE s END)        AS max_val
+FROM v
+ORDER BY vec_id
+""",
+    tags=("functions", "array", "higher_order"),
+)
+def func_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) — the
+    primitives behind vector math (similarity.py). Sequential left folds
+    on both engines → deterministic double results."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    e = F.col("embedding")
+    as_double = F.transform(e, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("sq_norm"),
+        F.aggregate(
+            F.slice(as_double, 2, 63),
+            F.element_at(as_double, 1),
+            lambda s, x: F.when(x > s, x).otherwise(s),
+        ).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "func_map_json",
+    oracle="""
+SELECT
+  event_id,
+  CAST(props ->> '$.k' AS INT)       AS k_value,
+  JSON_EXTRACT_STRING(props, '$.k')  AS k_string,
+  event_type                         AS map_key,
+  value                              AS map_value
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    tags=("functions", "json", "map"),
+)
+def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props (from_json struct + string extract),
+    with a map constructed and read back (map_keys/map_values → scalars,
+    so the map round-trip is oracle-checkable)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    parsed = F.from_json(F.col("props"), "k INT")
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_value"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_string"),
+        F.element_at(F.map_keys(m), 1).alias("map_key"),
+        F.element_at(F.map_values(m), 1).alias("map_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "func_hash",
+    oracle="""
+SELECT
+  doc_id,
+  MD5(text)         AS text_md5,
+  SHA256(text)      AS text_sha256,
+  LENGTH(text)      AS text_len
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+    tags=("functions", "hash"),
+)
+def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized hash functions (md5/sha2-256) — the exact-dedup
+    primitive; engine-specific hashes (xxhash64, hash, crc32) are tested
+    for self-consistency in pytest instead."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.length("text").alias("text_len"),
+    ).orderBy("doc_id")

@@ -1,0 +1,142 @@
+"""Set operations (SURVEY.md §2.B "Set operations").
+
+UNION ALL is a zero-shuffle concatenation; the distinct variants add one
+hash-aggregate exchange on the full row; INTERSECT/EXCEPT [ALL] plan as
+aggregations + joins on the row value. All scale as hash-aggs on the
+deduplicated key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+SELECT nationkey, kind, COUNT(*) AS n
+FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+) t
+GROUP BY nationkey, kind
+ORDER BY nationkey, kind
+""",
+    tags=("setop", "union"),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) + aggregation for a deterministic result."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey", "kind")
+    )
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+    tags=("setop", "union"),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set union): Spark union() is bag semantics, so + distinct()."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+    tags=("setop", "intersect"),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations with rich customers AND suppliers."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+""",
+    tags=("setop", "except"),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers without any finished order."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o).orderBy("custkey")
+
+
+@register(
+    "setop_intersect_except_all",
+    oracle="""
+SELECT priority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority AS priority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+  INTERSECT ALL
+  SELECT o_orderpriority AS priority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+) t
+GROUP BY priority
+ORDER BY priority
+""",
+    tags=("setop", "intersect", "multiset"),
+)
+def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset min-count semantics), aggregated."""
+    o = load_table(spark, sf_dir, "orders")
+    jan95 = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+    ).select(F.col("o_orderpriority").alias("priority"))
+    jan96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+    ).select(F.col("o_orderpriority").alias("priority"))
+    return (
+        jan95.intersectAll(jan96)
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("priority")
+    )

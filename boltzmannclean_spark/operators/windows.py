@@ -1,0 +1,204 @@
+"""Window functions (SURVEY.md §2.B "Window functions").
+
+Window evaluation shuffles once on the partition key then sorts within
+partitions — the same cost shape as a groupBy, and AQE handles skewed
+partition keys. Determinism rules used throughout (required for the
+driver's value-hash):
+
+- row_number / ntile / lag / lead only over a TOTAL order (unique
+  tiebreak columns appended) — over ties they are engine-dependent.
+- rank / dense_rank / percent_rank / cume_dist are value-determined, so
+  they may legitimately order by a column with ties.
+- windowed sums over doubles use the exact-decimal recipe
+  (functions/exact.py): engines disagree on frame summation order
+  (running accumulation vs segment trees), decimal makes that moot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+MICROS_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "window_ranking",
+    oracle="""
+SELECT
+  l_orderkey, l_linenumber, l_returnflag, l_quantity,
+  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+  RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+  DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk,
+  NTILE(4)     OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS quartile,
+  PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pct_rank,
+  CUME_DIST()    OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cdist
+FROM lineitem
+WHERE l_quantity >= 45
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("window", "ranking"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions; unique total order for positional ones."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    w_unique = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    w_value = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_value).alias("rnk"),
+        F.dense_rank().over(w_value).alias("drnk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.percent_rank().over(w_value).alias("pct_rank"),
+        F.cume_dist().over(w_value).alias("cdist"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_analytic",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  value,
+  LAG(value)  OVER w AS prev_value,
+  LEAD(value) OVER w AS next_value,
+  FIRST_VALUE(event_type) OVER w AS first_type,
+  NTH_VALUE(value, 2)     OVER w AS second_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+    tags=("window", "analytic"),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / nth_value per user event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "window_frames",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg_5,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hourly_value
+FROM events
+ORDER BY event_id
+""",
+    tags=("window", "frames"),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row frames (running sum, moving avg) + time-range frame (1 hour).
+
+    The range frame orders by epoch micros — numeric range frames are
+    portable across engines, calendar-interval ones are not."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rows = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last5 = w_rows.rowsBetween(-4, Window.currentRow)
+    hourly = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-MICROS_PER_HOUR, Window.currentRow)
+    )
+    v = dec("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(v).over(running).cast("double").alias("running_value"),
+        (F.sum(v).over(last5).cast("double") / F.count(F.lit(1)).over(last5)).alias(
+            "moving_avg_5"
+        ),
+        F.sum(v).over(hourly).cast("double").alias("hourly_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn AS rank_in_priority
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_orderpriority, rank_in_priority
+""",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank inside partitions, filter — partial top-k is
+    computed per shuffle partition before the final filter, so output per
+    group is k rows regardless of group size."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank_in_priority"),
+        )
+        .where(F.col("rank_in_priority") <= 3)
+        .orderBy("o_orderpriority", "rank_in_priority")
+    )
+
+
+@register(
+    "sort_global_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("sort", "limit", "topk"),
+)
+def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps, no global sort — O(n) scan + k·log k, the only sane plan at
+    100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
