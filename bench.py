@@ -24,6 +24,13 @@ from boltzmannclean_spark.session import get_spark
 HEADLINE = [
     "pricing_summary",
     "project_filter",
+    "join_revenue_by_nation",
+    "join_theta_self",
+    "window_frames",
+    "asof_purchase_last_click",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_tfidf_top_term",
 ]
 
 

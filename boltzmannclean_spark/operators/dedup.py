@@ -1,0 +1,419 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.B "LLM-data-pipeline": exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup).
+
+Scale design:
+- Exact dedup is a hash-groupBy — one shuffle on the 16-byte digest, not
+  the document text.
+- MinHash/LSH and n-gram Jaccard never form the doc×doc cross product:
+  candidates come from equi-joins on band keys / shared shingles, so cost
+  tracks the number of actually-similar pairs. This is the property that
+  survives 100 TB; the brute-force quadratic alternative does not.
+- Cross-engine determinism: MinHash uses the lexicographic MIN over
+  md5(seed || shingle) hex strings — md5 is standardized, string min is
+  total-ordered, so DuckDB reproduces signatures bit-for-bit (the usual
+  integer xxhash minhash is engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+N_SEEDS = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+MINHASH_JACCARD_THRESHOLD = 0.9
+NGRAM_JACCARD_THRESHOLD = 0.2
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct tokens (the unigram shingle set)."""
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("sh"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents
+)
+SELECT text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM hashed
+GROUP BY text_hash
+ORDER BY keep_doc_id
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-groupBy keeping the lowest doc_id per digest.
+
+    Shuffles 16-byte digests, not documents; dropDuplicates on the hash
+    is the equivalent retained-rows form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+MINHASH_ORACLE = f"""
+WITH vocab AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, UNNEST(toks) AS sh FROM vocab),
+seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed),
+minh AS (
+  SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || sh)) AS mh
+  FROM toks CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_ROWS} AS band,
+         STRING_AGG(mh, '' ORDER BY seed) AS band_key
+  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
+),
+edges AS (
+  SELECT DISTINCT b.doc_id,
+         MIN(b.doc_id) OVER (PARTITION BY b.band, b.band_key) AS rep
+  FROM bands b
+),
+verified AS (
+  SELECT e.doc_id, e.rep,
+         CAST(LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+           / CAST(LEN(va.toks) + LEN(vb.toks)
+                  - LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE) AS jaccard
+  FROM edges e
+  JOIN vocab va ON va.doc_id = e.doc_id
+  JOIN vocab vb ON vb.doc_id = e.rep
+  WHERE e.doc_id > e.rep
+)
+SELECT doc_id, rep AS dup_of, jaccard
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rep) AS rn
+  FROM verified
+  WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+) t
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup, representative-based: shingle → 8
+    md5-string minhashes → 4 banded bucket keys → each doc verified
+    against its bucket's MIN-doc_id representative (exact vocab-set
+    Jaccard) → (doc_id, dup_of, jaccard) drop decisions.
+
+    The oracle replicates the identical algorithm (deterministic string
+    minhash), so this is full-pipeline parity, not just answer parity.
+
+    Scale rationale: all-pairs LSH output is Θ(similar pairs) — quadratic
+    on a high-similarity corpus (measured 965k pairs / 38s at sf0.1).
+    Representative-based dedup bounds verification at docs × bands and
+    output at docs, which is what a 100 TB pipeline actually emits
+    (keep/drop per doc); transitive chains collapse to the bucket rep
+    exactly like production LSH dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("toks"),
+    )
+    toks = vocab.select("doc_id", F.explode("toks").alias("sh"))
+    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    minh = (
+        toks.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        minh.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s.getField("mh"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    w_bucket = Window.partitionBy("band", "band_key")
+    edges = (
+        bands.withColumn("rep", F.min("doc_id").over(w_bucket))
+        .select("doc_id", "rep")
+        .distinct()
+        .where(F.col("doc_id") > F.col("rep"))
+    )
+    va = vocab.alias("va")
+    vb = vocab.alias("vb")
+    n_int = F.size(F.array_intersect(F.col("va.toks"), F.col("vb.toks")))
+    n_sum = F.size(F.col("va.toks")) + F.size(F.col("vb.toks"))
+    jac = (n_int.cast("double") / (n_sum - n_int).cast("double")).alias("jaccard")
+    e = edges.alias("e")
+    verified = (
+        e.join(va, F.col("va.doc_id") == F.col("e.doc_id"))
+        .join(vb, F.col("vb.doc_id") == F.col("e.rep"))
+        .select(F.col("e.doc_id").alias("doc_id"), F.col("e.rep").alias("dup_of"), jac)
+        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("dup_of")
+    return (
+        verified.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang,
+         tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks
+  QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_int
+  FROM grams ga
+  JOIN grams gb ON ga.sh = gb.sh AND ga.lang = gb.lang AND ga.doc_id < gb.doc_id
+  GROUP BY ga.doc_id, gb.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_int AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_int AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_ORACLE, tags=("dedup", "ngram"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup, language-blocked.
+
+    Pairs materialize ONLY via the shared-shingle equi-join (a pair with
+    zero common shingles has Jaccard 0 and never exists in the plan) —
+    the scalable exact-verification pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.sh") == F.col("gb.sh"))
+            & (F.col("ga.lang") == F.col("gb.lang"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.col("n_int").cast("double")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_int")).cast("double")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# 32-dim SimHash from md5 hex digits: bit j of a token's sketch is the
+# high bit of hex digit j; the doc bit is the majority vote. Pure string
+# ops → portable across engines. One aggregation with 32 conditional
+# counts (no 32-way row blowup): partial aggregation keeps the shuffle at
+# one row × 33 ints per doc.
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+SIMHASH_ORACLE = (
+    """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+counts AS (
+  SELECT doc_id, COUNT(*) AS n,
+"""
+    + ",\n".join(
+        f"         COUNT(CASE WHEN substring(h, {j}, 1) IN {_HEX_HIGH} THEN 1 END) AS c{j}"
+        for j in range(1, 33)
+    )
+    + """
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, """
+    + " || ".join(f"(CASE WHEN 2 * c{j} > n THEN '1' ELSE '0' END)" for j in range(1, 33))
+    + """ AS simhash
+  FROM counts
+)
+SELECT substring(simhash, 1, 8) AS band, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc
+FROM sigs
+GROUP BY substring(simhash, 1, 8)
+ORDER BY band
+"""
+)
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 32-bit majority-vote signature per doc (md5-derived token
+    sketches), banded on the leading byte for near-dup candidate
+    blocking. Output = band occupancy (the blocking structure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs).withColumnRenamed("sh", "tok")
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    hexhigh = ("8", "9", "a", "b", "c", "d", "e", "f")
+    counts = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.substring("h", j, 1).isin(*hexhigh), 1)).alias(f"c{j}")
+            for j in range(1, 33)
+        ],
+    )
+    sig = F.concat(
+        *[
+            F.when(2 * F.col(f"c{j}") > F.col("n"), "1").otherwise("0")
+            for j in range(1, 33)
+        ]
+    )
+    sigs = counts.select("doc_id", sig.alias("simhash"))
+    return (
+        sigs.groupBy(F.substring("simhash", 1, 8).alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("band")
+    )
+
+
+COSINE_DUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_reduce(list_transform(range(1, len(a.e) + 1),
+                                  i -> a.e[i] * b.e[i]),
+                   (s, x) -> s + x) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(range(1, len(a.e) + 1),
+                                 i -> a.e[i] * b.e[i]),
+                  (s, x) -> s + x) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=COSINE_DUP_ORACLE,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35), exact all-pairs.
+
+    Physical strategy: the corpus matrix is broadcast; a mapInPandas
+    kernel scores each partition's vectors against it with numpy,
+    accumulating the dot product SEQUENTIALLY OVER DIMENSIONS but
+    vectorized over pairs — bit-identical to the sequential left fold
+    the DuckDB oracle runs (IEEE addition order preserved), ~100× faster
+    than per-element Catalyst lambda evaluation (26s → <1s at sf0.1).
+    At larger corpora the broadcast side becomes corpus tiles; the LSH
+    variant in similarity.py is the subquadratic candidate pruner."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    c_ids = corpus["vec_id"].to_numpy()
+    C = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((c_ids, C))
+    threshold = COSINE_DUP_THRESHOLD
+
+    def _seq_sq_norm(M: np.ndarray) -> np.ndarray:
+        acc = np.zeros(M.shape[0])
+        for i in range(M.shape[1]):  # sequential over dims == left fold
+            acc = acc + M[:, i] * M[:, i]
+        return acc
+
+    def score(batches):
+        ids_c, Cm = bc.value
+        nrm_c = np.sqrt(_seq_sq_norm(Cm))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids_a = pdf["vec_id"].to_numpy()
+            nrm_a = np.sqrt(_seq_sq_norm(A))
+            acc = np.zeros((A.shape[0], Cm.shape[0]))
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i : i + 1] * Cm[None, :, i]
+            cos = acc / (nrm_a[:, None] * nrm_c[None, :])
+            ai, ci = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_c[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids_a[ai],
+                    "vec_b": ids_c[ci],
+                    "cosine": cos[ai, ci],
+                }
+            )
+
+    # The testdata is a single parquet file → one input partition; spread
+    # the probe side across cores (cheap: the shuffle moves only vectors).
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts)
+        .mapInPandas(score, schema="vec_a bigint, vec_b bigint, cosine double")
+        .orderBy("vec_a", "vec_b")
+    )

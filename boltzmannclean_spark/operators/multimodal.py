@@ -1,0 +1,145 @@
+"""Multimodal columns (SURVEY.md §2.B "multimodal"): image/audio/video
+payloads as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image`` raises ``NotImplementedError`` unless the deterministic
+fake decoder is selected (``fake=True``), which synthesizes a stable
+"pixel" tensor from the payload bytes. Everything around the stub — the
+binary column construction, the metadata struct schema, the mapInPandas
+batch iteration, the output schema, and partition-parallelism — is real
+Spark plumbing and is tested.
+
+Scale: mapInPandas streams Arrow batches per partition; no shuffle, no
+driver collection — feature extraction is linear and embarrassingly
+parallel, exactly how a 100 TB media crawl is processed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, "
+    "mean_intensity double, feature array<double>"
+)
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an (h, w) uint8 array.
+
+    STUB: real decoding needs an image codec (Pillow/libjpeg), which is
+    not in this environment. With ``fake=True`` a deterministic 4×4
+    tensor is synthesized from the payload bytes so the downstream
+    plumbing is exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub decoder"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-16 // max(len(arr), 1))  # ceil-div, payload may be short
+    return np.tile(arr, reps)[:16].reshape(4, 4)
+
+
+def extract_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode (stub) + featurize each payload."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload), fake=True)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "mean_intensity": float(img.mean()),
+                    "feature": img.astype(np.float64).ravel()[:4].tolist(),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Attach a synthetic binary payload + typed metadata struct to each
+    document (stands in for a real image/audio blob column; md5-derived
+    so it is deterministic and 16 bytes)."""
+    payload = F.unhex(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.col("lang").alias("source_lang"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # Pandas-UDF decode path; schema/invariants in pytest
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas (Arrow) stub-decode + feature
+    extraction → typed feature rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    feats = media.select("doc_id", "payload").mapInPandas(
+        extract_image_features, schema=FEATURE_SCHEMA
+    )
+    return feats.orderBy("doc_id")
+
+
+@register(
+    "multimodal_doc_embedding",
+    oracle="""
+SELECT
+  d.doc_id,
+  d.lang,
+  d.n_chars,
+  e.label,
+  list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (s, x) -> s + x) AS sq_norm,
+  CAST(LENGTH(md5(d.text)) // 2 AS BIGINT) AS payload_bytes
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+""",
+    tags=("multimodal", "join"),
+)
+def multimodal_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text metadata ⋈ embedding vector ⋈
+    binary payload size — the one-row-per-sample shape a multimodal
+    training pipeline feeds to a loader."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            sq_norm.alias("sq_norm"),
+            (F.length(F.unhex(F.md5("text")))).cast("long").alias("payload_bytes"),
+        )
+        .orderBy("doc_id")
+    )

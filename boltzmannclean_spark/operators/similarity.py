@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (SURVEY.md §2.B
+"similarity search"): brute-force cosine top-k as the exact baseline,
+plus a random-hyperplane LSH-bucketed variant as the scale path.
+
+Scale design: brute force is queries × corpus — fine for a broadcast
+query set, linear in corpus size, and embarrassingly parallel (no
+shuffle: queries broadcast, corpus streams). The LSH variant prunes the
+corpus per query to matching sign-buckets first, trading recall for a
+candidate set ~bucket_fraction of the corpus; recall is asserted in
+tests/test_similarity.py. At 100 TB the same two plans hold — the
+broadcast side is the query set either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.vectors import as_double, cosine, dot, norm
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+TOP_K = 10
+N_QUERY = 5
+N_PLANES = 4  # 16 sign buckets
+
+
+SIM_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+                     (s, x) -> s + x) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY}
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=SIM_TOPK_ORACLE,
+    tags=("similarity", "topk"),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query vectors against the
+    corpus, window top-k per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    q = v.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+# Deterministic pseudo-random hyperplanes: coefficient for (plane p, dim i)
+# is +1 if hex digit (i mod 32) of md5('p|i') is >= '8' else -1. Both
+# engines derive identical planes from md5, so bucket assignment is
+# portable and the whole ANN pipeline is oracle-checkable.
+ANN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+),
+planes AS (
+  SELECT p, list_transform(range(1, 65),
+           i -> CASE WHEN substring(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                     THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT UNNEST(range(0, {N_PLANES})) AS p)
+),
+bucketed AS (
+  SELECT n.vec_id, n.label, n.e, n.nrm,
+         STRING_AGG(CASE WHEN list_reduce(
+             list_transform(range(1, 65), i -> n.e[i] * planes.w[i]),
+             (s, x) -> s + x) >= 0 THEN '1' ELSE '0' END, '' ORDER BY planes.p)
+           AS bucket
+  FROM n CROSS JOIN planes
+  GROUP BY n.vec_id, n.label, n.e, n.nrm
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+                     (s, x) -> s + x) / (q.nrm * c.nrm) AS cosine
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY}
+)
+SELECT query_id, neighbor_id, cosine, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("similarity_ann_lsh", oracle=ANN_ORACLE, tags=("similarity", "lsh", "ann"))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: md5-derived ±1 planes → sign-bit
+    bucket key → candidates restricted to the query's bucket → exact
+    cosine + top-k. The bucket equi-join replaces the corpus scan with
+    ~1/2^planes of it; planes are deterministic so the oracle replicates
+    the identical pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
+        "nrm", norm(F.col("e"))
+    )
+    planes = spark.range(N_PLANES).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("|"), i.cast("string"))),
+                    1,
+                    1,
+                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1.0,
+            ).otherwise(-1.0),
+        ).alias("w"),
+    )
+    bucketed = (
+        n.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            "nrm",
+            "p",
+            F.when(dot(F.col("e"), F.col("w")) >= 0, "1").otherwise("0").alias("bit"),
+        )
+        .groupBy("vec_id", "label", "e", "nrm")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "bit"))),
+                    lambda s: s.getField("bit"),
+                ),
+            ).alias("bucket")
+        )
+    )
+    q = bucketed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

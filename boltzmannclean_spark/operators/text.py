@@ -1,0 +1,273 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.B:
+language-ID, quality scoring, token counting, document fingerprinting,
+word statistics, tf-idf).
+
+Everything is JVM-side string/array builtins — per-document work is
+embarrassingly parallel (no shuffle except the final aggregations), so
+these scale linearly with corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+# Tiny built-in stopword/marker lists (the corpus vocabulary is synthetic;
+# the operator structure is what matters).
+STOPWORDS = ("the", "a", "of", "and")
+LANG_MARKERS = {
+    "en": ("the", "a"),
+    "generic": (),
+}
+
+
+@register(
+    "text_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars,
+         LEN(toks) AS n_tokens,
+         LEN(list_distinct(toks)) AS n_unique,
+         LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+  FROM t
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_unique,
+       CAST(n_unique AS DOUBLE) / n_tokens AS type_token_ratio,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CASE WHEN n_tokens >= 40 AND CAST(n_unique AS DOUBLE) / n_tokens > 0.4
+            THEN 'good'
+            WHEN n_tokens >= 15 THEN 'fair'
+            ELSE 'poor' END AS quality_band
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, type/token ratio,
+    stopword ratio, average token length, quality band."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    ttr = F.col("n_unique").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        "n_unique",
+        ttr.alias("type_token_ratio"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        F.when((F.col("n_tokens") >= 40) & (ttr > 0.4), "good")
+        .when(F.col("n_tokens") >= 15, "fair")
+        .otherwise("poor")
+        .alias("quality_band"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_wordcount",
+    oracle="""
+SELECT lang, tok, COUNT(*) AS n
+FROM (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+) t
+GROUP BY lang, tok
+ORDER BY lang, n DESC, tok
+""",
+    tags=("text", "wordcount"),
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic explode → count word frequency per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", F.desc("n"), "tok")
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+           / LEN(toks) AS en_marker_ratio
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, en_marker_ratio,
+       CASE WHEN en_marker_ratio >= 0.05 THEN 'en' ELSE 'und' END AS guessed_lang,
+       (lang = CASE WHEN en_marker_ratio >= 0.05 THEN 'en' ELSE 'und' END)
+         AS guess_matches_label
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram-frequency classifier
+    degenerates to marker ratios on this synthetic shared-vocabulary
+    corpus; the operator shape — per-doc featurize → classify → compare
+    to label — is the real pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+        / F.size(toks)
+    )
+    m = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ratio.alias("en_marker_ratio"),
+    )
+    guess = F.when(F.col("en_marker_ratio") >= 0.05, "en").otherwise("und")
+    return m.select(
+        "doc_id",
+        "labeled_lang",
+        "en_marker_ratio",
+        guess.alias("guessed_lang"),
+        (F.col("labeled_lang") == guess).alias("guess_matches_label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS vocab_fp
+  FROM documents
+)
+SELECT vocab_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM fp
+GROUP BY vocab_fp
+HAVING COUNT(*) > 1
+ORDER BY keep_doc_id
+""",
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted vocabulary set
+    (order/multiplicity-invariant content fingerprint); clusters with
+    >1 doc are vocabulary-identical near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return (
+        docs.select("doc_id", fp.alias("vocab_fp"))
+        .groupBy("vocab_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT
+  doc_id,
+  LEN(string_split(text, ' ')) AS ws_tokens,
+  LEN(regexp_split_to_array(text, '[a-z]+')) - 1 AS nonword_runs,
+  CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS approx_bpe_tokens,
+  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word-run splits, and the
+    chars/4 BPE-token heuristic used for budget estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        (F.size(F.split("text", "[a-z]+")) - 1).alias("nonword_runs"),
+        F.ceil(F.col("n_chars").cast("double") / 4).alias("approx_bpe_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        ).alias("n_spaces"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) x
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok AS top_term, score AS top_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok DESC) AS rn
+  FROM scored
+) t
+WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-style most-distinctive term per document (ratio-scored:
+    tf × N/df — monotone in tf-idf without the cross-engine log).
+    Two aggregations + one broadcast join on the term dictionary."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max_by("tok", F.struct("score", "tok")).alias("top_term"),
+            F.max("score").alias("top_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,81 @@
+"""Invariant tests for the LLM-pipeline operators that the DuckDB oracle
+cannot fully check (stubs, recall properties, engine-specific hashes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.operators.multimodal import decode_image
+from boltzmannclean_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_decode_image_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 16)
+
+
+def test_decode_image_fake_deterministic():
+    a = decode_image(b"0123456789abcdef", fake=True)
+    b = decode_image(b"0123456789abcdef", fake=True)
+    assert a.shape == (4, 4)
+    assert (a == b).all()
+
+
+def test_multimodal_features_schema_and_rows(spark, oracle_sf_dir):
+    df = QUERIES["multimodal_features"].spark_fn(spark, oracle_sf_dir)
+    rows = df.collect()
+    assert len(rows) == 500
+    r = rows[0]
+    assert r.width == 4 and r.height == 4
+    assert r.n_bytes == 16
+    assert len(r.feature) == 4
+    assert 0.0 <= r.mean_intensity <= 255.0
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, oracle_sf_dir):
+    """LSH ANN must find a reasonable fraction of the true top-10 within
+    its bucket (4 planes → 1/16 of corpus per bucket; random vectors
+    give modest recall — assert it's materially above random)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_cosine_topk"].spark_fn(spark, oracle_sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_ann_lsh"].spark_fn(spark, oracle_sf_dir).collect()
+    }
+    assert len(brute) == 50
+    recall = len(brute & ann) / len(brute)
+    # random chance of a corpus vector landing in the query bucket ~ 6%;
+    # hyperplane LSH correlates buckets with cosine, so demand better.
+    assert recall >= 0.15, f"ANN recall {recall:.2f} suspiciously low"
+
+
+def test_minhash_drop_decisions_verified(spark, oracle_sf_dir):
+    """Every drop decision the LSH pipeline reports must be genuinely
+    above the Jaccard threshold (precision 1.0 — the verification step),
+    point at a smaller-id representative, and be unique per doc."""
+    rows = QUERIES["dedup_minhash_lsh"].spark_fn(spark, oracle_sf_dir).collect()
+    assert rows, "expected some near-duplicate docs in this corpus"
+    seen = set()
+    for r in rows:
+        assert 0.9 <= r.jaccard <= 1.0
+        assert r.dup_of < r.doc_id
+        assert r.doc_id not in seen
+        seen.add(r.doc_id)
+
+
+def test_xxhash64_stability(spark):
+    """Engine-specific hash functions: stable across runs/partitions."""
+    df = spark.range(1000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h1"),
+        F.hash(F.col("id").cast("string")).alias("h2"),
+        F.crc32(F.col("id").cast("string").cast("binary")).alias("h3"),
+    )
+    a = df.collect()
+    b = df.repartition(7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
