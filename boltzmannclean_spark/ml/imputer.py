@@ -1,0 +1,325 @@
+"""RBMImputer — the reference's ``clean()`` re-architected as an
+MLlib-style Estimator/Transformer pair over Spark DataFrames
+(SURVEY.md §2.A operator table and §3.2 Entry 3).
+
+Pipeline (reference operators A1-A13 → Spark):
+
+- encode stats (A3/A4): ONE aggregation job computes per-numerical
+  min/max and per-categorical sorted distinct vocabularies; the
+  resulting dicts are tiny and broadcast. Sorted vocabs make one-hot
+  layout deterministic across runs/partitions.
+- fit (A8): v1 trains the numpy CD-1 RBM driver-side on a seeded sample
+  (``sample_fraction``) — model quality needs a sample, not the corpus;
+  v2 (``distributed_fit=True``) runs per-epoch distributed gradient
+  averaging: broadcast params → mapInPandas partial CD-1 gradients →
+  driver averages and updates (the classic data-parallel loop; per-epoch
+  traffic is one (d×h) matrix per partition, independent of row count).
+- transform (A9-A12): one mapInPandas pass with broadcast params —
+  encode batch → Gibbs reconstruct → decode (inverse-scale numericals,
+  argmax categoricals) → fill ONLY originally-null cells. No shuffle;
+  scales linearly and runs identically on 6k or 100 TB of rows.
+
+Contract (matches upstream ``clean``): output has the input's schema;
+observed cells pass through unchanged; numerical fills are un-scaled
+reconstructions; categorical fills always come from the observed
+vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.ml.rbm import RestrictedBoltzmannMachine
+
+
+@dataclass
+class _EncodeState:
+    numerical_columns: list[str]
+    categorical_columns: list[str]
+    stats: dict[str, tuple[float, float]]  # col -> (min, max)
+    vocabs: dict[str, list[str]]  # col -> sorted observed categories
+
+    @property
+    def n_visible(self) -> int:
+        return len(self.numerical_columns) + sum(
+            len(v) for v in self.vocabs.values()
+        )
+
+
+def _encode(pdf: pd.DataFrame, enc: _EncodeState) -> np.ndarray:
+    """pandas batch -> [0,1] visible matrix with NaN for missing (A3-A6)."""
+    blocks: list[np.ndarray] = []
+    for c in enc.numerical_columns:
+        lo, hi = enc.stats[c]
+        x = pd.to_numeric(pdf[c], errors="coerce").to_numpy(dtype=np.float64)
+        span = hi - lo
+        scaled = (x - lo) / span if span > 0 else np.where(np.isnan(x), np.nan, 0.5)
+        blocks.append(np.clip(scaled, 0.0, 1.0)[:, None])
+    for c in enc.categorical_columns:
+        vocab = enc.vocabs[c]
+        vals = pdf[c]
+        onehot = np.zeros((len(pdf), len(vocab)))
+        missing = vals.isna().to_numpy()
+        onehot[missing, :] = np.nan  # NaN across the whole dummy group (A4)
+        index = {v: i for i, v in enumerate(vocab)}
+        for row, v in enumerate(vals):
+            if not missing[row] and v in index:
+                onehot[row, index[v]] = 1.0
+        blocks.append(onehot)
+    return np.hstack(blocks) if blocks else np.zeros((len(pdf), 0))
+
+
+def _decode_fill(
+    pdf: pd.DataFrame, recon: np.ndarray, enc: _EncodeState
+) -> pd.DataFrame:
+    """Fill only originally-missing cells from the reconstruction
+    (A10-A12); observed values pass through untouched."""
+    out = pdf.copy()
+    offset = 0
+    for c in enc.numerical_columns:
+        lo, hi = enc.stats[c]
+        col = pd.to_numeric(out[c], errors="coerce")
+        missing = col.isna()
+        if missing.any():
+            filled = recon[:, offset] * (hi - lo) + lo
+            col = col.to_numpy(dtype=np.float64)
+            col[missing.to_numpy()] = filled[missing.to_numpy()]
+            out[c] = col
+        offset += 1
+    for c in enc.categorical_columns:
+        vocab = enc.vocabs[c]
+        k = len(vocab)
+        missing = out[c].isna().to_numpy()
+        if missing.any() and k:
+            scores = recon[:, offset : offset + k]
+            picks = np.asarray(vocab, dtype=object)[scores.argmax(axis=1)]
+            vals = out[c].to_numpy(dtype=object)
+            vals[missing] = picks[missing]
+            out[c] = vals
+        offset += k
+    return out
+
+
+class RBMImputerModel:
+    def __init__(
+        self, enc: _EncodeState, rbm: RestrictedBoltzmannMachine
+    ) -> None:
+        self.enc = enc
+        self.rbm = rbm
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Distributed impute: one mapInPandas pass, broadcast weights."""
+        enc = self.enc
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            {
+                "params": self.rbm.params(),
+                "conf": {
+                    "n_hidden": self.rbm.n_hidden,
+                    "dropout_fraction": self.rbm.dropout_fraction,
+                    "seed": self.rbm.seed,
+                },
+            }
+        )
+
+        def impute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state = bc.value
+            rbm = RestrictedBoltzmannMachine(**state["conf"]).set_params(
+                state["params"]
+            )
+            for pdf in batches:
+                if not len(pdf):
+                    yield pdf
+                    continue
+                V = _encode(pdf, enc)
+                if np.isnan(V).any():
+                    recon = rbm.reconstruct(V)
+                    yield _decode_fill(pdf, recon, enc)
+                else:
+                    yield pdf  # nothing missing in this batch
+
+        return df.mapInPandas(impute, schema=df.schema)
+
+
+class RBMImputer:
+    """Estimator: learns encode state + RBM weights from a DataFrame."""
+
+    def __init__(
+        self,
+        numerical_columns: Sequence[str],
+        categorical_columns: Sequence[str] = (),
+        n_hidden: int = 16,
+        learn_rate: float = 0.1,
+        batch_size: int = 32,
+        dropout_fraction: float = 0.5,
+        max_epochs: int = 30,
+        adagrad: bool = True,
+        seed: int = 42,
+        sample_fraction: float = 1.0,
+        max_fit_rows: int = 100_000,
+        distributed_fit: bool = False,
+    ) -> None:
+        self.numerical_columns = list(numerical_columns)
+        self.categorical_columns = list(categorical_columns)
+        self.rbm_kwargs = dict(
+            n_hidden=n_hidden,
+            learn_rate=learn_rate,
+            batch_size=batch_size,
+            dropout_fraction=dropout_fraction,
+            max_epochs=max_epochs,
+            adagrad=adagrad,
+            seed=seed,
+        )
+        self.seed = seed
+        self.sample_fraction = sample_fraction
+        self.max_fit_rows = max_fit_rows
+        self.distributed_fit = distributed_fit
+
+    # -- encode-state job (A3/A4): one aggregation over the data ----------
+    def _fit_encode_state(self, df: DataFrame) -> _EncodeState:
+        aggs = []
+        for c in self.numerical_columns:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        for c in self.categorical_columns:
+            aggs.append(F.sort_array(F.collect_set(c)).alias(f"__vocab_{c}"))
+        row = df.agg(*aggs).collect()[0].asDict() if aggs else {}
+        stats = {
+            c: (
+                float(row[f"__min_{c}"]) if row[f"__min_{c}"] is not None else 0.0,
+                float(row[f"__max_{c}"]) if row[f"__max_{c}"] is not None else 1.0,
+            )
+            for c in self.numerical_columns
+        }
+        vocabs = {
+            c: [str(v) for v in row[f"__vocab_{c}"]] for c in self.categorical_columns
+        }
+        return _EncodeState(
+            self.numerical_columns, self.categorical_columns, stats, vocabs
+        )
+
+    def fit(self, df: DataFrame) -> RBMImputerModel:
+        enc = self._fit_encode_state(df)
+        rbm = RestrictedBoltzmannMachine(**self.rbm_kwargs)
+        if self.distributed_fit:
+            self._fit_distributed(df, enc, rbm)
+        else:
+            sample = df.select(*enc.numerical_columns, *enc.categorical_columns)
+            if self.sample_fraction < 1.0:
+                sample = sample.sample(
+                    fraction=self.sample_fraction, seed=self.seed
+                )
+            pdf = sample.limit(self.max_fit_rows).toPandas()
+            rbm.fit(_encode(pdf, enc))
+        return RBMImputerModel(enc, rbm)
+
+    # -- v2: distributed gradient epochs (A8 at scale) ---------------------
+    def _fit_distributed(
+        self, df: DataFrame, enc: _EncodeState, rbm: RestrictedBoltzmannMachine
+    ) -> None:
+        """Per epoch: broadcast params → per-partition CD-1 gradient means
+        (mapInPandas) → driver weighted-averages → Adagrad update. Traffic
+        per epoch = one (d×h) gradient per partition."""
+        spark = df.sparkSession
+        rng = np.random.default_rng(self.seed)
+        rbm.init_params(enc.n_visible, rng)
+        data = df.select(*enc.numerical_columns, *enc.categorical_columns)
+        for epoch in range(rbm.max_epochs):
+            bc = spark.sparkContext.broadcast(
+                {"params": rbm.params(), "epoch": epoch}
+            )
+            kwargs = self.rbm_kwargs
+
+            def grads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                state = bc.value
+                worker = RestrictedBoltzmannMachine(**kwargs).set_params(
+                    state["params"]
+                )
+                dW = np.zeros_like(worker.W)
+                dbv = np.zeros_like(worker.b_vis)
+                dbh = np.zeros_like(worker.b_hid)
+                n = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = _encode(pdf, enc)
+                    prng = np.random.default_rng(
+                        (worker.seed, state["epoch"], hash(tuple(pdf.index[:1])) & 0x7FFFFFFF)
+                    )
+                    mask = np.isnan(V)
+                    V[mask] = prng.random(int(mask.sum()))
+                    gW, gv, gh = worker.cd1_gradients(V, prng)
+                    w = len(V)
+                    dW += gW * w
+                    dbv += gv * w
+                    dbh += gh * w
+                    n += w
+                yield pd.DataFrame(
+                    {
+                        "dW": [dW.ravel().tolist()],
+                        "dbv": [dbv.tolist()],
+                        "dbh": [dbh.tolist()],
+                        "n": [n],
+                    }
+                )
+
+            parts = data.mapInPandas(
+                grads,
+                schema="dW array<double>, dbv array<double>, dbh array<double>, n bigint",
+            ).collect()
+            total = sum(p.n for p in parts) or 1
+            dW = sum(np.array(p.dW).reshape(rbm.W.shape) for p in parts) / total
+            dbv = sum(np.array(p.dbv) for p in parts) / total
+            dbh = sum(np.array(p.dbh) for p in parts) / total
+            rbm.apply_gradients(dW, dbv, dbh)
+            bc.destroy()
+
+    # -- A13: hyperparameter tuning ---------------------------------------
+    def tune(
+        self,
+        df: DataFrame,
+        param_grid: Sequence[dict] | None = None,
+        validation_fraction: float = 0.1,
+    ) -> "RBMImputer":
+        """Hide a fraction of observed cells, score candidate configs by
+        masked-cell reconstruction RMSE on a driver-side sample, keep the
+        best (reference A13). Returns self reconfigured."""
+        enc = self._fit_encode_state(df)
+        pdf = (
+            df.select(*enc.numerical_columns, *enc.categorical_columns)
+            .limit(self.max_fit_rows)
+            .toPandas()
+        )
+        V = _encode(pdf, enc)
+        rng = np.random.default_rng(self.seed)
+        observed = ~np.isnan(V)
+        holdout = observed & (rng.random(V.shape) < validation_fraction)
+        V_train = V.copy()
+        V_train[holdout] = np.nan
+        grid = list(
+            param_grid
+            or [
+                {"n_hidden": 8},
+                {"n_hidden": 16},
+                {"n_hidden": 16, "learn_rate": 0.05},
+                {"n_hidden": 32, "dropout_fraction": 0.3},
+            ]
+        )
+        best, best_rmse = None, np.inf
+        for cand in grid:
+            kwargs = {**self.rbm_kwargs, **cand}
+            recon = RestrictedBoltzmannMachine(**kwargs).fit(V_train).reconstruct(
+                V_train
+            )
+            rmse = float(np.sqrt(np.mean((recon[holdout] - V[holdout]) ** 2)))
+            if rmse < best_rmse:
+                best, best_rmse = kwargs, rmse
+        self.rbm_kwargs = best
+        self.best_rmse_ = best_rmse
+        return self

@@ -72,8 +72,8 @@ def agg_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
 SELECT
-  n_name,
-  c_mktsegment,
+  COALESCE(n_name, '(all)')       AS n_name,
+  COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
   GROUPING(n_name, c_mktsegment) AS gid,
   COUNT(*) AS n_customers,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
@@ -84,7 +84,9 @@ ORDER BY gid, n_name, c_mktsegment
     tags=("aggregate", "rollup"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with grouping_id over a broadcast dim join."""
+    """ROLLUP with grouping_id over a broadcast dim join. Rolled-up keys
+    are coalesced to a sentinel: NULL group keys break row-sort
+    comparators (None<str) and pandas dtype coercion downstream."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -95,6 +97,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(dec("c_acctbal")).cast("double").alias("sum_acctbal"),
         )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("c_mktsegment"),
+            "gid",
+            "n_customers",
+            "sum_acctbal",
+        )
         .orderBy("gid", "n_name", "c_mktsegment")
     )
 
@@ -103,8 +112,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
 SELECT
-  l_returnflag,
-  l_linestatus,
+  COALESCE(l_returnflag, '(all)') AS l_returnflag,
+  COALESCE(l_linestatus, '(all)') AS l_linestatus,
   GROUPING(l_returnflag, l_linestatus) AS gid,
   COUNT(*) AS n_items,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -123,6 +132,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_items"),
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )

@@ -83,8 +83,8 @@ SELECT
   p.event_id        AS purchase_id,
   p.user_id         AS user_id,
   epoch_us(p.ts)    AS purchase_us,
-  c.event_id        AS click_id,
-  c.value           AS click_value
+  COALESCE(c.event_id, -1)     AS click_id,
+  COALESCE(c.value, -1.0)      AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -116,5 +116,9 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["click_id", "click_value"],
     )
     return out.select(
-        "purchase_id", "user_id", "purchase_us", "click_id", "click_value"
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
     ).orderBy("purchase_id")

@@ -115,10 +115,10 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_orderkey,
   l_linenumber,
-  FLOOR(l_extendedprice / 1000)        AS price_k_floor,
-  CEIL(l_discount * 100)               AS disc_pct_ceil,
+  CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+  CAST(CEIL(l_discount * 100) AS BIGINT)        AS disc_pct_ceil,
   ABS(l_quantity - 25)                 AS qty_dev,
-  SIGN(l_quantity - 25)                AS qty_side,
+  CAST(SIGN(l_quantity - 25) AS BIGINT)         AS qty_side,
   SQRT(l_quantity)                     AS qty_sqrt,
   POWER(l_quantity, 2)                 AS qty_sq,
   MOD(CAST(l_quantity AS BIGINT), 7)   AS qty_mod7,
@@ -142,7 +142,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
         F.abs(q - 25).alias("qty_dev"),
-        F.signum(q - 25).alias("qty_side"),
+        F.signum(q - 25).cast("bigint").alias("qty_side"),
         F.sqrt(q).alias("qty_sqrt"),
         F.pow(q, 2).alias("qty_sq"),
         (q.cast("bigint") % 7).alias("qty_mod7"),

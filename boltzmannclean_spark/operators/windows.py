@@ -73,10 +73,10 @@ SELECT
   event_id,
   user_id,
   value,
-  LAG(value)  OVER w AS prev_value,
-  LEAD(value) OVER w AS next_value,
+  COALESCE(LAG(value)  OVER w, -1.0) AS prev_value,
+  COALESCE(LEAD(value) OVER w, -1.0) AS next_value,
   FIRST_VALUE(event_type) OVER w AS first_type,
-  NTH_VALUE(value, 2)     OVER w AS second_value
+  COALESCE(NTH_VALUE(value, 2) OVER w, -1.0) AS second_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
@@ -91,10 +91,12 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
+        F.coalesce(F.lag("value").over(w), F.lit(-1.0)).alias("prev_value"),
+        F.coalesce(F.lead("value").over(w), F.lit(-1.0)).alias("next_value"),
         F.first("event_type").over(w).alias("first_type"),
-        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.coalesce(F.nth_value("value", 2).over(w), F.lit(-1.0)).alias(
+            "second_value"
+        ),
     ).orderBy("event_id")
 
 

@@ -1,0 +1,146 @@
+"""Imputation invariant tests — the reference's own test strategy
+(SURVEY.md §5.1) ported: assert invariants, not exact stochastic values.
+
+- no missing values remain after transform
+- observed cells pass through bit-identical
+- categorical fills come from the observed vocabulary
+- schema is preserved
+- RBM core: fit_transform keeps shape, output in [0,1], only-NaN filled
+- masked-cell RMSE beats a null model (mean imputation would give ~std)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.ml.imputer import RBMImputer
+from boltzmannclean_spark.ml.rbm import RestrictedBoltzmannMachine
+from boltzmannclean_spark.operators.imputation import with_injected_nulls
+from boltzmannclean_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def holed(spark, sf_dir):
+    return with_injected_nulls(load_table(spark, sf_dir, "customer")).cache()
+
+
+@pytest.fixture(scope="module")
+def imputed(spark, holed):
+    model = RBMImputer(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=8,
+        max_epochs=10,
+        seed=42,
+    ).fit(holed)
+    return model.transform(holed).cache()
+
+
+def test_no_missing_after_transform(imputed):
+    assert imputed.where(F.col("c_acctbal").isNull()).count() == 0
+    assert imputed.where(F.col("c_mktsegment").isNull()).count() == 0
+
+
+def test_observed_cells_unchanged(spark, sf_dir, holed, imputed):
+    orig = load_table(spark, sf_dir, "customer")
+    joined = (
+        holed.alias("h")
+        .join(imputed.alias("i"), "c_custkey")
+        .join(orig.alias("o"), "c_custkey")
+    )
+    # where the holed input was observed, output must equal it exactly
+    bad_num = joined.where(
+        F.col("h.c_acctbal").isNotNull()
+        & (F.col("i.c_acctbal") != F.col("h.c_acctbal"))
+    ).count()
+    bad_cat = joined.where(
+        F.col("h.c_mktsegment").isNotNull()
+        & (F.col("i.c_mktsegment") != F.col("h.c_mktsegment"))
+    ).count()
+    assert bad_num == 0 and bad_cat == 0
+
+
+def test_categorical_fills_from_vocab(holed, imputed):
+    vocab = {
+        r.c_mktsegment
+        for r in holed.select("c_mktsegment").distinct().collect()
+        if r.c_mktsegment is not None
+    }
+    filled = {
+        r.c_mktsegment
+        for r in imputed.join(
+            holed.where(F.col("c_mktsegment").isNull()).select("c_custkey"),
+            "c_custkey",
+        ).collect()
+    }
+    assert filled <= vocab
+
+
+def test_numerical_fills_within_observed_range(holed, imputed):
+    lo, hi = holed.agg(F.min("c_acctbal"), F.max("c_acctbal")).collect()[0]
+    out_of_range = imputed.join(
+        holed.where(F.col("c_acctbal").isNull()).select("c_custkey"), "c_custkey"
+    ).where((F.col("c_acctbal") < lo) | (F.col("c_acctbal") > hi))
+    assert out_of_range.count() == 0
+
+
+def test_schema_preserved(holed, imputed):
+    assert imputed.schema == holed.schema
+
+
+def test_rbm_fit_transform_invariants():
+    rng = np.random.default_rng(0)
+    X = rng.random((200, 12))
+    mask = rng.random(X.shape) < 0.15
+    Xm = X.copy()
+    Xm[mask] = np.nan
+    rbm = RestrictedBoltzmannMachine(n_hidden=6, max_epochs=20, seed=1)
+    out = rbm.fit_transform(Xm)
+    assert out.shape == X.shape
+    assert not np.isnan(out).any()
+    assert ((out >= 0) & (out <= 1)).all()
+    # observed entries untouched
+    np.testing.assert_array_equal(out[~mask], Xm[~mask])
+
+
+def test_rbm_beats_null_model_on_structured_data():
+    """On correlated columns the RBM's masked-cell RMSE must beat the
+    trivial 0.5-fill null model."""
+    rng = np.random.default_rng(7)
+    z = rng.random((400, 1))
+    X = np.clip(np.hstack([z, z, z, z]) + rng.normal(0, 0.05, (400, 4)), 0, 1)
+    mask = rng.random(X.shape) < 0.2
+    Xm = X.copy()
+    Xm[mask] = np.nan
+    rbm = RestrictedBoltzmannMachine(n_hidden=8, max_epochs=40, seed=3)
+    recon = rbm.fit(Xm).reconstruct(Xm)
+    rmse = np.sqrt(np.mean((recon[mask] - X[mask]) ** 2))
+    null_rmse = np.sqrt(np.mean((0.5 - X[mask]) ** 2))
+    assert rmse < null_rmse, f"rbm rmse {rmse:.3f} vs null {null_rmse:.3f}"
+
+
+def test_distributed_fit_matches_invariants(spark, holed):
+    model = RBMImputer(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=8,
+        max_epochs=2,
+        seed=42,
+        distributed_fit=True,
+    ).fit(holed)
+    out = model.transform(holed)
+    assert out.where(F.col("c_acctbal").isNull()).count() == 0
+    assert out.schema == holed.schema
+
+
+def test_tune_selects_config(spark, holed):
+    imp = RBMImputer(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        max_epochs=5,
+        seed=42,
+    ).tune(holed, param_grid=[{"n_hidden": 4}, {"n_hidden": 12}])
+    assert imp.rbm_kwargs["n_hidden"] in (4, 12)
+    assert np.isfinite(imp.best_rmse_)
