@@ -1,0 +1,271 @@
+"""Registered streaming operators over the ``events`` stream
+(SURVEY.md §2.B streaming table). Each runs a real Structured Streaming
+query (see streaming/core.py) and returns the drained memory sink, so
+the DuckDB oracle is the batch SQL over the same data — stream-batch
+parity IS the correctness check.
+
+Window starts are emitted as epoch-µs integers (unix_micros /
+epoch_us), never raw timestamps, because events.ts is parquet
+TIMESTAMP(NANOS): Spark truncates to µs while DuckDB keeps ns.
+Money-style double sums go through the exact-decimal recipe
+(functions/exact.py) so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+from boltzmannclean_spark.streaming.core import events_stream, run_to_memory
+
+_US_30MIN = 30 * 60 * 1_000_000
+_US_HOUR = 60 * 60 * 1_000_000
+
+
+@register(
+    "stream_window_tumbling",
+    oracle=f"""
+SELECT
+  epoch_us(ts) - epoch_us(ts) % {_US_HOUR} AS window_start_us,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("streaming", "window", "watermark"),
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour window aggregation per event_type.
+
+    Complete output mode so the finite replay emits every window (in
+    production this would be append mode with the watermark finalizing
+    windows as event time advances)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg).orderBy("window_start_us", "event_type")
+
+
+@register(
+    "stream_window_sliding",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS tus, event_type,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), w AS (
+  SELECT tus - tus % {_US_30MIN} AS ws, event_type, v FROM e
+  UNION ALL
+  SELECT tus - tus % {_US_30MIN} - {_US_30MIN} AS ws, event_type, v FROM e
+)
+SELECT ws AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("streaming", "window", "sliding"),
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): each event lands in two
+    windows. Oracle materializes the same two epoch-aligned window
+    starts per event with integer-µs arithmetic."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg).orderBy("window_start_us", "event_type")
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), flagged AS (
+  SELECT user_id, tus, v,
+         CASE WHEN tus - LAG(tus) OVER w >= {_US_30MIN}
+              OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+), sessions AS (
+  SELECT user_id, tus, v,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(tus) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+""",
+    tags=("streaming", "session_window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute gap) per user. Oracle is the
+    classic gaps-and-islands rewrite: a session breaks when the gap to
+    the previous event is >= the gap duration (Spark sessions are
+    half-open [start, last+gap))."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg).orderBy("user_id", "session_start_us")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+""",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark emits the
+    first row per (user_id, event_type) and expires state once the
+    watermark passes — bounded state at any scale. Projecting just the
+    key makes the emitted set deterministic (= DISTINCT)."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append").orderBy(
+        "user_id", "event_type"
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (broadcast)
+    customer dimension, then aggregate per market segment. On a cluster
+    the static side is broadcast once per micro-batch — no stream-side
+    shuffle for the join itself."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg).orderBy("c_mktsegment")
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState: a
+    per-user running (n_events, cents, purchases) accumulator updated
+    each micro-batch. Sums are accumulated in integer cents so the
+    result is order-independent and bit-exact against the oracle's
+    decimal sum."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, cents, purchases = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-row cents: exact for 2-decimal data, order-independent
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            purchases += int((pdf["event_type"] == "purchase").sum())
+        state.update((n, cents, purchases))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_purchases": [purchases],
+            }
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType=(
+                "user_id bigint, n_events bigint, "
+                "total_value double, n_purchases bigint"
+            ),
+            stateStructType="n bigint, cents bigint, purchases bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, output_mode="update").orderBy("user_id")
