@@ -47,6 +47,8 @@ _OPERATOR_MODULES = (
     "boltzmannclean_spark.operators.text",
     "boltzmannclean_spark.operators.multimodal",
     "boltzmannclean_spark.operators.imputation",
+    "boltzmannclean_spark.operators.sources_sinks",
+    "boltzmannclean_spark.operators.python_udfs",
     "boltzmannclean_spark.streaming.queries",
 )
 
