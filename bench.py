@@ -41,9 +41,13 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM/parquet-footer caches with a trivial action so per-query
+    # Warm the JVM/parquet-footer caches and the whole-stage-codegen and
+    # vectorized-reader paths with one trivial aggregate so per-query
     # timings measure the plan, not first-touch session costs.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "sum(l_quantity)"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -129,31 +129,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_distinct(F.split("text", " "))).alias("toks"),
     )
     toks = vocab.select("doc_id", F.explode("toks").alias("sh"))
-    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    minh = (
-        toks.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    # All N_SEEDS minhashes in ONE aggregation: each seed is an agg
+    # column (min over md5('seed|' || token)), so there is no token×seed
+    # row blowup and a single doc_id shuffle carries 8 partial mins per
+    # doc instead of 8× the exploded token stream.
+    minh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))
+            ).alias(f"mh{s}")
+            for s in range(N_SEEDS)
+        ]
     )
-    bands = (
-        minh.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.getField("mh"),
-                ),
-            ).alias("band_key")
-        )
+    # Band keys derive from the minhash row directly — no second shuffle;
+    # posexplode fans each doc into its 4 (band, band_key) rows.
+    band_cols = [
+        F.concat(*[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        for b in range(N_SEEDS // BAND_ROWS)
+    ]
+    bands = minh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
     )
     w_bucket = Window.partitionBy("band", "band_key")
     edges = (
@@ -168,8 +163,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sum = F.size(F.col("va.toks")) + F.size(F.col("vb.toks"))
     jac = (n_int.cast("double") / (n_sum - n_int).cast("double")).alias("jaccard")
     e = edges.alias("e")
+    # edges ≪ vocab (one row per near-dup doc): broadcast the edge side
+    # through both verification joins so vocab never shuffles.
     verified = (
-        e.join(va, F.col("va.doc_id") == F.col("e.doc_id"))
+        F.broadcast(e)
+        .join(va, F.col("va.doc_id") == F.col("e.doc_id"))
         .join(vb, F.col("vb.doc_id") == F.col("e.rep"))
         .select(F.col("e.doc_id").alias("doc_id"), F.col("e.rep").alias("dup_of"), jac)
         .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
