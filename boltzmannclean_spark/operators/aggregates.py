@@ -329,3 +329,38 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT
+  COALESCE(o_orderstatus, '(all)')   AS o_orderstatus,
+  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+    tags=("aggregate", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand-total groups in one pass — Catalyst expands
+    to a single Expand + hash aggregate, not three scans."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bcs_orders")
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(o_orderstatus, '(all)')   AS o_orderstatus,
+          COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+          GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        FROM bcs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )

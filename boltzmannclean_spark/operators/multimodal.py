@@ -143,3 +143,72 @@ def multimodal_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset_bytes int, "
+    "frame_hash string, n_frames_total int"
+)
+
+
+def sample_frames(
+    payload: bytes, *, every_nth: int = 4, frame_bytes: int = 2, fake: bool = False
+) -> list[tuple[int, int, bytes]]:
+    """Sample every Nth "frame" from a video payload.
+
+    STUB: real frame extraction needs a video codec (ffmpeg/pyav), not in
+    this environment. With ``fake=True`` the payload is treated as a
+    stream of fixed-size fake frames so the sampling arithmetic, batch
+    shapes, and output schema are exercised for real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub sampler"
+        )
+    frames = [
+        (i, off, payload[off : off + frame_bytes])
+        for i, off in enumerate(range(0, len(payload), frame_bytes))
+    ]
+    return frames[::every_nth]
+
+
+def extract_sampled_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one row per sampled frame (row expansion
+    happens executor-side — the driver never sees per-frame data)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            n_total = -(-len(payload) // 2)
+            for idx, off, frame in sample_frames(payload, fake=True):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": idx,
+                        "frame_offset_bytes": off,
+                        "frame_hash": hashlib.md5(frame).hexdigest(),
+                        "n_frames_total": n_total,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # stubbed codec path; schema/invariants in pytest
+    tags=("multimodal", "video", "pandas_udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-as-binary → mapInPandas frame sampling (every 4th fake
+    frame) → one typed row per sampled frame. The row-expansion shape
+    (1 blob in, k frames out) is the real pattern for frame-level
+    training-data extraction at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    frames = media.select("doc_id", "payload").mapInPandas(
+        extract_sampled_frames, schema=FRAME_SCHEMA
+    )
+    return frames.orderBy("doc_id", "frame_idx")

@@ -305,3 +305,51 @@ def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.length("text").alias("text_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "func_conversion_null",
+    oracle="""
+SELECT
+  p_partkey,
+  CAST(p_size AS VARCHAR)                          AS size_str,
+  CAST(FLOOR(p_retailprice) AS BIGINT)             AS price_floor_int,
+  COALESCE(TRY_CAST(p_type AS INT), -1)            AS type_as_int,
+  COALESCE(TRY_CAST(SPLIT_PART(p_brand, '#', 2) AS INT), -1) AS brand_num,
+  isnan(CASE WHEN p_size % 2 = 0 THEN 'NaN'::DOUBLE
+             ELSE p_retailprice END)               AS even_is_nan,
+  CASE WHEN isnan(CASE WHEN p_size % 2 = 0 THEN 'NaN'::DOUBLE
+                       ELSE p_retailprice END)
+       THEN 0.0
+       ELSE CASE WHEN p_size % 2 = 0 THEN 'NaN'::DOUBLE
+                 ELSE p_retailprice END END        AS nan_patched,
+  COALESCE(TRY_CAST(NULL AS INT), p_size)          AS ifnull_size
+FROM part
+WHERE p_partkey < 500
+ORDER BY p_partkey
+""",
+    tags=("functions", "conversion", "null"),
+)
+def func_conversion_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion/NULL family: cast, try_cast (failed parse → NULL,
+    surfaced via a -1 sentinel so the comparator never sees NULL),
+    isnan/nanvl on a synthesized NaN column, ifnull. NaN is synthesized
+    via a 'NaN' string cast, which both engines parse identically."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    maybe_nan = F.when(F.col("p_size") % 2 == 0, F.lit("NaN").cast("double")).otherwise(
+        F.col("p_retailprice")
+    )
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("string").alias("size_str"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor_int"),
+        F.coalesce(F.expr("try_cast(p_type AS INT)"), F.lit(-1)).alias("type_as_int"),
+        F.coalesce(
+            F.expr("try_cast(split_part(p_brand, '#', 2) AS INT)"), F.lit(-1)
+        ).alias("brand_num"),
+        F.isnan(maybe_nan).alias("even_is_nan"),
+        F.nanvl(maybe_nan, F.lit(0.0)).alias("nan_patched"),
+        F.ifnull(F.expr("try_cast(NULL AS INT)"), F.col("p_size")).alias(
+            "ifnull_size"
+        ),
+    ).orderBy("p_partkey")

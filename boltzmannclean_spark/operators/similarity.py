@@ -209,3 +209,111 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# IVF-style ANN: coarse centroids are the vectors with vec_id % CENT_MOD
+# == 0 (deterministic, no training step to replicate cross-engine);
+# every vector is assigned to its nearest centroid (cosine, ties by min
+# centroid id); a query scans ONLY its own cell (nprobe=1).
+CENT_MOD = 100
+
+IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+),
+cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM n
+  WHERE vec_id % {CENT_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, label, e, nrm, centroid_id
+  FROM (
+    SELECT n.vec_id, n.label, n.e, n.nrm, cent.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_reduce(list_transform(range(1, len(n.e) + 1),
+                                                 i -> n.e[i] * cent.ce[i]),
+                                  (s, x) -> s + x) / (n.nrm * cent.cnrm) DESC,
+                      cent.centroid_id) AS crk
+    FROM n CROSS JOIN cent
+  ) t WHERE crk = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+                     (s, x) -> s + x) / (q.nrm * c.nrm) AS cosine
+  FROM assigned q JOIN assigned c
+    ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY}
+)
+SELECT query_id, neighbor_id, cosine, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("similarity_ann_ivf", oracle=IVF_ORACLE, tags=("similarity", "ivf", "ann"))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (broadcast centroid table — the IVF "coarse quantizer"), then search
+    only the query's cell (nprobe=1) with exact cosine + top-k.
+
+    Scale path: the cell assignment is one broadcast pass (corpus × k
+    centroids, no shuffle); the candidate join is an equi-join on
+    centroid_id, so a query touches ~corpus/k vectors. Raising recall =
+    raising nprobe (join to the q's top-p centroids instead of 1) —
+    same plan shape, and the cell equi-join co-partitions at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
+        "nrm", norm(F.col("e"))
+    )
+    cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), "centroid_id"
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crk", F.row_number().over(w_assign))
+        .where(F.col("crk") == 1)
+        .select("vec_id", "label", "e", "nrm", "centroid_id")
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("centroid_id").alias("qcent"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qcent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

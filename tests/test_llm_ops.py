@@ -79,3 +79,40 @@ def test_xxhash64_stability(spark):
     a = df.collect()
     b = df.repartition(7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_frame_sample_invariants(spark, sf_dir):
+    """Frame sampling: every 4th frame of the 16-byte fake payload →
+    exactly 2 frames per doc (idx 0 and 4), offsets = idx*2 bytes,
+    deterministic across runs."""
+    df = QUERIES["multimodal_frame_sample"].spark_fn(spark, sf_dir)
+    rows = df.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in per_doc.items():
+        assert [f.frame_idx for f in frames] == [0, 4]
+        assert all(f.frame_offset_bytes == f.frame_idx * 2 for f in frames)
+        assert all(f.n_frames_total == 8 for f in frames)
+    again = df.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_recall_vs_bruteforce(spark, oracle_sf_dir):
+    """IVF (nprobe=1) keeps meaningful recall vs exact top-k and never
+    reports a neighbor outside the query's cell."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_cosine_topk"]
+        .spark_fn(spark, oracle_sf_dir)
+        .collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_ann_ivf"]
+        .spark_fn(spark, oracle_sf_dir)
+        .collect()
+    }
+    assert ivf, "IVF returned nothing"
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.15, f"IVF recall {recall:.2f} suspiciously low"
