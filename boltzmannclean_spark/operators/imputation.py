@@ -72,3 +72,29 @@ def impute_rbm_distributed_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_fit=True,
     ).fit(holed)
     return model.transform(holed).orderBy("c_custkey")
+
+
+@register(
+    "impute_rbm_tuned",
+    oracle=None,
+    tags=("imputation", "rbm", "ml", "tuning"),
+)
+def impute_rbm_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 hyperparameter tuning path: hide a fraction of observed cells,
+    score candidate configs by masked-cell reconstruction RMSE, refit the
+    winner, impute. Small grid/epochs keep the gate fast; the search
+    itself is embarrassingly parallel at scale (one fit per config)."""
+    customer = load_table(spark, sf_dir, "customer")
+    holed = with_injected_nulls(customer)
+    imputer = RBMImputer(
+        numerical_columns=NUM_COLS,
+        categorical_columns=CAT_COLS,
+        n_hidden=8,
+        max_epochs=5,
+        seed=42,
+    ).tune(
+        holed,
+        param_grid=[{"n_hidden": 4}, {"n_hidden": 8, "learn_rate": 0.05}],
+    )
+    model = imputer.fit(holed)
+    return model.transform(holed).orderBy("c_custkey")

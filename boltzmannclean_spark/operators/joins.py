@@ -293,3 +293,108 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size")
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "skew", "salting"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting for skewed shuffle joins, result-identical to
+    the plain join (the oracle IS the plain join).
+
+    Pattern: the (potentially hot-keyed) fact side gets a deterministic
+    salt in [0, S); the other side is replicated S times; the join key
+    becomes (key, salt), splitting each hot key's rows across S
+    partitions. AQE's skew-join split covers most cases at runtime —
+    salting is the explicit fallback when a single key exceeds what one
+    task can hold, and this query keeps the technique oracle-verified."""
+    S = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.xxhash64("l_orderkey", "l_linenumber") % S + S) % S
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+    )
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_shipping_priority_topk",
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_shippriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_shippriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "aggregate", "topk"),
+)
+def join_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → broadcast → one fact
+    shuffle → hash agg → TakeOrderedAndProject top-10 (Catalyst turns
+    orderBy+limit into a per-partition top-k + driver merge; no global
+    sort materializes)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    return (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_shippriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

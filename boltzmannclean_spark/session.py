@@ -42,6 +42,12 @@ def get_spark(app_name: str = "boltzmannclean_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Managed-table support (bucketed-join tests): keep the warehouse
+        # and the derby metastore out of the repo tree.
+        .config("spark.sql.warehouse.dir", "/tmp/bcs_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/bcs_derby"
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
