@@ -61,7 +61,10 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer grows with SF (unlike region/nation) — no forced
+        # broadcast hint; AQE broadcasts it at runtime while it's small
+        # and falls back to shuffle when it isn't.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -352,14 +355,14 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-  o_shippriority
+  o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
   AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_shippriority
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
@@ -380,20 +383,22 @@ def join_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    # Broadcast ONLY the filtered customer dim; orders⋈lineitem are both
+    # fact-sized and must shuffle on the join key (AQE demotes to
+    # broadcast at runtime if the filtered orders side turns out tiny —
+    # never force a fact-side broadcast, it's a driver OOM at scale).
     return (
         li.join(
-            F.broadcast(
-                o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-            ),
+            o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_shippriority",
+            "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)

@@ -33,6 +33,13 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark refuses the read
+        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on. Our own
+        # get_spark() sets it, but callers (e.g. an external harness) may
+        # hand us a bare session — set it defensively; it is a runtime-
+        # settable SQL conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as long ns-since-epoch (see session.py nanosAsLong).

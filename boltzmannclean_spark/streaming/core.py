@@ -46,6 +46,10 @@ def events_stream(
     # The file source wants a directory; pathGlobFilter narrows the scan
     # to the events file (in production this is a Kafka topic / a
     # date-partitioned landing directory).
+    # Same defensive conf as sources/catalog.load_table: the LongType ts
+    # in EVENTS_SCHEMA only materializes from TIMESTAMP(NANOS) parquet
+    # when nanosAsLong is on, and the caller's session may not set it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA).option(
         "pathGlobFilter", "events.parquet"
     )
