@@ -245,12 +245,22 @@ class RBMImputer:
                 dbv = np.zeros_like(worker.b_vis)
                 dbh = np.zeros_like(worker.b_hid)
                 n = 0
-                for pdf in batches:
+                # mapInPandas batches arrive with a fresh RangeIndex, so
+                # the pandas index cannot distinguish partitions — seed
+                # from the Spark partition id + a batch counter so every
+                # partition/batch draws independent noise-fill and
+                # dropout (independence is what makes the averaged
+                # gradients unbiased).
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                part_id = tc.partitionId() if tc is not None else 0
+                for batch_no, pdf in enumerate(batches):
                     if not len(pdf):
                         continue
                     V = _encode(pdf, enc)
                     prng = np.random.default_rng(
-                        (worker.seed, state["epoch"], hash(tuple(pdf.index[:1])) & 0x7FFFFFFF)
+                        (worker.seed, state["epoch"], part_id, batch_no)
                     )
                     mask = np.isnan(V)
                     V[mask] = prng.random(int(mask.sum()))

@@ -241,25 +241,100 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_builtin",
-    oracle=None,  # engine-specific streaming moments / sketches: rows-only
-    tags=("aggregate", "stats", "approx"),
+    # Spark's streaming-moment aggregates differ from a closed-form
+    # computation only in low-order bits (merge-order noise); casting both
+    # engines' results to FLOAT (24-bit mantissa) absorbs that while still
+    # checking ~7 significant digits. The oracle computes Spark's exact
+    # DEFINITIONS (population skewness m3/m2^1.5, population excess
+    # kurtosis m4/m2^2-3, sample stddev/var/covar) from exact decimal
+    # power sums — DuckDB's own skewness/kurtosis use different
+    # bias-corrected sample definitions and would never match.
+    oracle="""
+WITH s AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s4,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+m AS (
+  SELECT *,
+    s1 / n AS mean,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * (s3 / n)
+      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT
+  l_returnflag,
+  CAST(SQRT((s2 - s1 * s1 / n) / (n - 1)) AS FLOAT) AS stddev_qty,
+  CAST((s2 - s1 * s1 / n) / (n - 1) AS FLOAT) AS var_qty,
+  CAST((n * sxy - s1 * sy)
+       / (SQRT(n * s2 - s1 * s1) * SQRT(n * syy - sy * sy)) AS FLOAT)
+    AS corr_qty_price,
+  CAST((sxy - s1 * sy / n) / (n - 1) AS FLOAT) AS covar_qty_price,
+  CAST(m3 / POW(m2, 1.5) AS FLOAT) AS skew_qty,
+  CAST(m4 / (m2 * m2) - 3 AS FLOAT) AS kurt_qty
+FROM m
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "stats"),
 )
 def agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Builtin statistical + approximate aggregates (stddev, variance,
-    corr, covar, skewness, kurtosis, approx_count_distinct HLL++,
-    percentile_approx). Value parity vs DuckDB is impossible by design
-    (different streaming merge orders / sketch algorithms); bounds are
-    asserted in tests/test_aggregates.py instead."""
+    """Builtin streaming statistical aggregates (stddev, variance, corr,
+    covar_samp, skewness, kurtosis), float-cast for cross-engine parity
+    against a closed-form moment oracle. The approximate sketches
+    (HLL++, percentile_approx) live in agg_approx_sketches (rows-only —
+    sketch internals are engine-specific by design)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.stddev("l_quantity").alias("stddev_qty"),
-            F.variance("l_quantity").alias("var_qty"),
-            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
-            F.skewness("l_quantity").alias("skew_qty"),
-            F.kurtosis("l_quantity").alias("kurt_qty"),
+            F.stddev("l_quantity").cast("float").alias("stddev_qty"),
+            F.variance("l_quantity").cast("float").alias("var_qty"),
+            F.corr("l_quantity", "l_extendedprice").cast("float").alias("corr_qty_price"),
+            F.covar_samp("l_quantity", "l_extendedprice")
+            .cast("float")
+            .alias("covar_qty_price"),
+            F.skewness("l_quantity").cast("float").alias("skew_qty"),
+            F.kurtosis("l_quantity").cast("float").alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # HLL++ / KLL sketch values are engine-specific by design
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates over sketches: approx_count_distinct
+    (HyperLogLog++) and percentile_approx. Cross-engine value parity is
+    impossible by construction (different sketch algorithms), so the
+    driver row is rows-only; error bounds vs exact answers are asserted
+    in tests/test_approx.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         )

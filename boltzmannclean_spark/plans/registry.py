@@ -113,6 +113,7 @@ _VERIFY_FIRST = (
     "dedup_embedding_cosine",
     # -- new this round --
     "join_right_supplier_counts",
+    "agg_approx_sketches",
     "stream_transform_with_state",
 )
 

