@@ -317,3 +317,113 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+NPROBE = 2
+
+IVF_NPROBE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+),
+cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM n
+  WHERE vec_id % {CENT_MOD} = 0
+),
+ranked AS (
+  SELECT n.vec_id, n.label, n.e, n.nrm, cent.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_reduce(list_transform(range(1, len(n.e) + 1),
+                                               i -> n.e[i] * cent.ce[i]),
+                                (s, x) -> s + x) / (n.nrm * cent.cnrm) DESC,
+                    cent.centroid_id) AS crk
+  FROM n CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, label, e, nrm, centroid_id FROM ranked WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id, e, nrm, centroid_id FROM ranked
+  WHERE crk <= {NPROBE} AND vec_id < {N_QUERY}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+                     (s, x) -> s + x) / (q.nrm * c.nrm) AS cosine
+  FROM probes q JOIN assigned c
+    ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "similarity_ann_ivf_nprobe",
+    oracle=IVF_NPROBE_ORACLE,
+    tags=("similarity", "ivf", "ann", "nprobe"),
+)
+def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-cell probing (nprobe=2): queries search their 2
+    nearest coarse cells instead of 1, trading ~2× candidates for higher
+    recall — the standard IVF recall knob. Corpus assignment (crk=1) is
+    unchanged; only the query side fans out, so the plan is the same
+    cell equi-join with a 2-rows-per-query probe table. Probed cells are
+    distinct per query, so candidate pairs are already unique — no
+    dedup stage needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
+        "nrm", norm(F.col("e"))
+    )
+    cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
+    ranked = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crk", F.row_number().over(w_assign))
+    )
+    assigned = ranked.where(F.col("crk") == 1).select(
+        "vec_id", "label", "e", "nrm", "centroid_id"
+    )
+    probes = ranked.where(
+        (F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERY)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("centroid_id").alias("qcent"),
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("centroid_id") == F.col("qcent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

@@ -143,3 +143,68 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="bcs_sink_") + "/order_priority_summary"
     agg.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).orderBy("o_orderpriority")
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("source", "sink", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar format roundtrip: write the part table as ORC,
+    re-scan, aggregate. ORC gets the same vectorized reader, predicate
+    pushdown, and column pruning as parquet in Spark — the choice is an
+    interop/ecosystem question, not a capability one."""
+    part = load_table(spark, sf_dir, "part")
+    path = tempfile.mkdtemp(prefix="bcs_orc_") + "/part_orc"
+    part.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "sink_partitioned_pruning",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("sink", "parquet", "partitioned", "pruning"),
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned re-scan:
+    write orders partitioned by o_orderstatus, read back filtering on the
+    partition column. The filter resolves against directory names — the
+    physical plan's PartitionFilters prune non-matching directories
+    without opening a single file (asserted in tests/test_plans.py).
+    This is THE 100 TB pattern: a date/status-partitioned fact table
+    turns a full scan into a touched-partitions scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="bcs_part_") + "/orders_by_status"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14)).cast("double").alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -271,3 +271,138 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         LEN(toks) AS n_tokens,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'of', 'and')))
+              AS DOUBLE) / LEN(toks) AS stop_frac,
+         CAST(n_chars - LEN(toks) + 1 AS DOUBLE) / LEN(toks) AS mean_word_len
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, stop_frac,
+       (n_tokens BETWEEN 30 AND 100000)      AS ok_length,
+       (mean_word_len BETWEEN 2 AND 12)      AS ok_word_len,
+       (stop_frac >= 0.01)                   AS ok_stopwords,
+       ((n_tokens BETWEEN 30 AND 100000)
+        AND (mean_word_len BETWEEN 2 AND 12)
+        AND (stop_frac >= 0.01))             AS keep
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "filter"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter (Gopher-style heuristics: token-count
+    bounds, mean word length bounds, minimum stopword fraction), emitting
+    per-rule flags plus the final keep decision — the auditable form a
+    production pipeline logs. Pure JVM builtins; linear in corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.col("n_chars") - F.size(toks) + 1).cast("double") / F.size(toks)
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / F.size(toks)
+        ).alias("stop_frac"),
+    )
+    ok_length = F.col("n_tokens").between(30, 100000)
+    ok_word_len = F.col("mean_word_len").between(2, 12)
+    ok_stop = F.col("stop_frac") >= 0.01
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "stop_frac",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+total AS (SELECT SUM(n) AS n_total FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(log10(CAST(f.n AS DOUBLE) / total.n_total)) AS sum_lp
+  FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_lp / n_tokens AS FLOAT) AS avg_logprob
+FROM scored
+ORDER BY doc_id
+""",
+    tags=("text", "langmodel", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: corpus token frequencies → per-doc
+    mean log10 probability (the perplexity-proxy quality signal used to
+    filter crawl data against a reference corpus). Two aggregations plus
+    one broadcast dictionary join; float-cast because log10 is libm.
+
+    Scale: the dictionary is Zipf-bounded (vocabulary ≪ corpus) so the
+    frequency table broadcasts; the token stream never shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_total = freq.agg(F.sum("n")).collect()[0][0]
+    scored = toks.join(F.broadcast(freq), "tok").select(
+        "doc_id", F.log10(F.col("n").cast("double") / F.lit(float(n_total))).alias("lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp") / F.count(F.lit(1))).cast("float").alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+SELECT
+  event_id,
+  LEN(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+  LEN(regexp_extract_all(props, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,
+  md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS redacted_hash
+FROM events
+WHERE event_id < 3000
+ORDER BY event_id
+""",
+    tags=("text", "pii", "redact"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing over the raw event payload: count digit runs
+    and email-shaped spans, emit the md5 of the digit-redacted payload
+    (hash, not text, so the oracle compare is representation-stable).
+    Spark's regexp_replace is global by default; DuckDB needs the 'g'
+    flag — same automaton either way, per-row, embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        F.regexp_count("props", F.lit("[0-9]+")).alias("n_digit_runs"),
+        F.regexp_count("props", F.lit("[a-z0-9._]+@[a-z0-9.-]+")).alias("n_emails"),
+        F.md5(F.regexp_replace("props", "[0-9]+", "#")).alias("redacted_hash"),
+    ).orderBy("event_id")

@@ -115,6 +115,13 @@ _VERIFY_FIRST = (
     "join_right_supplier_counts",
     "agg_approx_sketches",
     "stream_transform_with_state",
+    "text_quality_filter",
+    "text_unigram_logprob",
+    "text_pii_redact",
+    "source_orc_roundtrip",
+    "sink_partitioned_pruning",
+    "stream_stream_join",
+    "similarity_ann_ivf_nprobe",
 )
 
 

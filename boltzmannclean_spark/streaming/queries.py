@@ -371,3 +371,66 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, output_mode="update").orderBy("user_id")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+""",
+    tags=("streaming", "join", "interval"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases attributed to any click by the same user in the preceding
+    10 minutes. Watermarks on BOTH sides bound the join state — each
+    side buffers only rows younger than watermark + interval, so state
+    is O(rate × window), not O(stream). The time comparison runs at µs
+    precision on both engines (Spark truncates the ns parquet timestamps
+    to µs; the oracle's epoch_us does the same), keeping the boundary
+    rows identical."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    return run_to_memory(joined, output_mode="append").orderBy(
+        "click_id", "purchase_id"
+    )
