@@ -439,3 +439,79 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderstatus, o_orderpriority
         """
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT
+  n_name,
+  COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+  COUNT(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS building,
+  COUNT(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS furniture,
+  COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS household,
+  COUNT(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS machinery
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): customer counts per nation × market segment.
+    With the pivot values listed explicitly Spark skips the extra
+    distinct-values job and plans ONE aggregation pass — pivot compiles
+    to exactly the conditional-aggregation plan the oracle spells out,
+    so there is no shuffle beyond the groupBy."""
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wide = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segments)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segments],
+    ).orderBy("n_name")
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT o_orderpriority, metric, value FROM (
+  SELECT o_orderpriority, 'n_orders' AS metric,
+         CAST(COUNT(*) AS DOUBLE) AS value
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT o_orderpriority, 'total_value' AS metric,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS value
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT o_orderpriority, 'max_value' AS metric,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS value
+  FROM orders GROUP BY o_orderpriority
+) t
+ORDER BY o_orderpriority, metric
+""",
+    tags=("aggregate", "unpivot", "melt"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): per-priority order stats melted into
+    (key, metric, value) rows via DataFrame.unpivot — the Spark-native
+    melt. Executes as a generate (explode) over the aggregated rows: no
+    extra shuffle after the aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(dec("o_totalprice", 14)).cast("double").alias("total_value"),
+        F.max(dec("o_totalprice", 14)).cast("double").alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("o_orderpriority", "metric")

@@ -485,3 +485,123 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+CC_ORACLE = """
+WITH RECURSIVE
+h1 AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+),
+h2 AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' '))) AS rep
+  FROM documents
+),
+directed AS (
+  SELECT doc_id AS a, rep AS b FROM h1 WHERE doc_id <> rep
+  UNION
+  SELECT doc_id AS a, rep AS b FROM h2 WHERE doc_id <> rep
+),
+edges AS (
+  SELECT a, b FROM directed UNION SELECT b, a FROM directed
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=CC_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup-cluster consolidation: connected components over
+    the union of two near-dup edge sets (exact text hash + vocabulary
+    fingerprint), computed by iterative min-label propagation — the
+    iterative-algorithm pattern on DataFrames. A doc equal to one group
+    by text and to another by vocabulary bridges both into one cluster,
+    which per-edge-type dedup cannot see.
+
+    Each iteration is one equi-join (labels to neighbors) + one min-agg;
+    ``localCheckpoint`` truncates the growing lineage so plan size stays
+    constant across iterations. Convergence = graph diameter rounds
+    (driver checks a 1-row count per round — coordination, not data).
+    At 100 TB you'd switch the inner step to the large-star/small-star
+    contraction, which is the same join+min building block. The oracle
+    replicates the fixpoint with a recursive CTE — min-label fixpoints
+    are engine-order-independent, so results match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_text = Window.partitionBy(F.md5("text"))
+    w_vocab = Window.partitionBy(
+        F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
+    )
+    h1 = docs.select("doc_id", F.min("doc_id").over(w_text).alias("rep"))
+    h2 = docs.select("doc_id", F.min("doc_id").over(w_vocab).alias("rep"))
+    directed = (
+        h1.where(F.col("doc_id") != F.col("rep"))
+        .unionByName(h2.where(F.col("doc_id") != F.col("rep")))
+        .select(F.col("doc_id").alias("a"), F.col("rep").alias("b"))
+        .distinct()
+    )
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nb_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w_comp = Window.partitionBy("component_id")
+    return (
+        labels.select("node", F.col("label").alias("component_id"))
+        .select(
+            F.col("node").alias("doc_id"),
+            "component_id",
+            F.count(F.lit(1)).over(w_comp).alias("component_size"),
+        )
+        .orderBy("doc_id")
+    )

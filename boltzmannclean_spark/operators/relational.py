@@ -153,3 +153,67 @@ def conditional_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+SUBQ_SQL = """
+SELECT p_partkey, p_brand,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2))
+            - (SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DECIMAL(16,6))
+               FROM part p2 WHERE p2.p_brand = part.p_brand) AS DOUBLE)
+         AS price_vs_brand_avg
+FROM part
+WHERE p_retailprice > (SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DECIMAL(16,6))
+                       FROM part p2 WHERE p2.p_brand = part.p_brand)
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "subquery_correlated",
+    oracle=SUBQ_SQL,
+    tags=("subquery", "correlated", "sql"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, submitted through the SQL API: parts
+    priced above their brand's average. Catalyst de-correlates the
+    subquery into an aggregate + equi-join on p_brand — same plan the
+    hand-written join would make, so correlated SQL costs nothing extra.
+    The average stays in exact decimal (DECIMAL(16,6), exact for 2-dp
+    money / brand counts here) so both engines difference identical
+    values. Exercises spark.sql over registered views — the surface a
+    SQL-first user drives the engine through."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(SUBQ_SQL)
+
+
+@register(
+    "sample_hash_reproducible",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sampled_value
+FROM orders
+WHERE substring(md5(o_orderkey::VARCHAR), 1, 1) IN ('0')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("sample", "reproducible"),
+)
+def sample_hash_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/16 sampling by key hash (first md5 hex digit):
+    the engine-portable alternative to TABLESAMPLE/df.sample, whose RNG
+    streams are engine- and partitioning-specific. Hash sampling is also
+    the 100 TB idiom — stable under reruns, repartitioning, and engine
+    migrations, and it samples WHOLE keys (an orderkey is in or out with
+    all its rows), which row-Bernoulli sampling cannot guarantee."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(dec("o_totalprice", 14)).cast("double").alias("sampled_value"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,104 @@
+"""Time-series operators over the events stream: regular-grid
+resampling with gap filling (zero-fill for additive measures,
+forward-fill for state-like measures) — the preprocessing step for any
+downstream windowed model over irregular event data.
+
+Scale design: the hour grid is built per user by exploding a
+``sequence`` between the corpus time bounds — the bounds are a 1-row
+broadcast (no driver collect), the explode is executor-side, and the
+grid⋈observations join is an equi-join on (user_id, hour), so the whole
+plan is one shuffle on the same key the output is grouped by. Grid size
+is users × hours, which at 100 TB argues for bucketing the output table
+by user_id — the join key is already the partitioning key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+N_USERS = 50  # grid bound for the fixture (production: all users)
+
+
+@register(
+    "ts_gapfill_hourly",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value
+  FROM events WHERE user_id < {N_USERS}
+),
+b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+users AS (SELECT DISTINCT user_id FROM e),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM users CROSS JOIN b
+),
+agg AS (
+  SELECT user_id, h, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM e GROUP BY user_id, h
+),
+joined AS (
+  SELECT g.user_id, epoch_us(g.h) AS hour_us,
+         COALESCE(agg.n, 0) AS n_events,
+         COALESCE(agg.v, 0.0) AS sum_value,
+         agg.v AS v_raw
+  FROM grid g LEFT JOIN agg ON g.user_id = agg.user_id AND g.h = agg.h
+)
+SELECT user_id, hour_us, n_events, sum_value,
+       COALESCE(last_value(v_raw IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS ffill_value
+FROM joined
+ORDER BY user_id, hour_us
+""",
+    tags=("timeseries", "gapfill", "resample"),
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a per-user hourly grid: missing hours appear
+    with n_events=0 (zero-fill) and the last observed hourly sum carried
+    forward (forward-fill via last(ignorenulls) over an unbounded-
+    preceding frame). Decimal-exact hourly sums keep both engines
+    bit-identical; hours emitted as epoch-µs."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < N_USERS)
+    e = ev.select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    agg = e.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("v"),
+    )
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    users = e.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(agg, ["user_id", "h"], "left").select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("v", F.lit(0.0)).alias("sum_value"),
+        F.col("v").alias("v_raw"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_us",
+        "n_events",
+        "sum_value",
+        F.coalesce(F.last("v_raw", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "ffill_value"
+        ),
+    ).orderBy("user_id", "hour_us")

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "boltzmannclean_spark.operators.setops",
     "boltzmannclean_spark.operators.scalar_funcs",
     "boltzmannclean_spark.operators.asof",
+    "boltzmannclean_spark.operators.timeseries",
     "boltzmannclean_spark.operators.dedup",
     "boltzmannclean_spark.operators.similarity",
     "boltzmannclean_spark.operators.text",
@@ -122,6 +123,12 @@ _VERIFY_FIRST = (
     "sink_partitioned_pruning",
     "stream_stream_join",
     "similarity_ann_ivf_nprobe",
+    "agg_pivot",
+    "agg_unpivot",
+    "subquery_correlated",
+    "sample_hash_reproducible",
+    "ts_gapfill_hourly",
+    "dedup_connected_components",
 )
 
 
