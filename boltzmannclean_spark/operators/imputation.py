@@ -98,3 +98,72 @@ def impute_rbm_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = imputer.fit(holed)
     return model.transform(holed).orderBy("c_custkey")
+
+
+@register(
+    "impute_mean_mode",
+    oracle="""
+WITH holed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_acctbal END AS acctbal,
+         CASE WHEN c_custkey % 11 = 5 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+),
+stats AS (
+  SELECT CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(acctbal)
+           AS mean_bal
+  FROM holed
+),
+mode_seg AS (
+  SELECT seg AS top_seg FROM holed WHERE seg IS NOT NULL
+  GROUP BY seg ORDER BY COUNT(*) DESC, seg LIMIT 1
+)
+SELECT c_custkey,
+       COALESCE(acctbal, mean_bal) AS c_acctbal_filled,
+       COALESCE(seg, top_seg)      AS c_mktsegment_filled,
+       (acctbal IS NULL) AS was_null_num,
+       (seg IS NULL)     AS was_null_cat
+FROM holed CROSS JOIN stats CROSS JOIN mode_seg
+ORDER BY c_custkey
+""",
+    tags=("imputation", "baseline"),
+)
+def impute_mean_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic baseline imputer: numeric nulls ← column mean
+    (exact-decimal sum / non-null count), categorical nulls ← mode
+    (ties to the lexicographically smallest value). The classical
+    baseline the RBM imputer is judged against — and unlike the RBM,
+    fully oracle-checkable. Both fill values are 1-row broadcasts
+    crossed onto the table: two tiny aggregates + one pass, no driver
+    collect."""
+    holed = with_injected_nulls(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    stats = holed.agg(
+        (
+            F.sum(F.col("acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("acctbal")
+        ).alias("mean_bal")
+    )
+    mode_seg = (
+        holed.where(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "seg")
+        .limit(1)
+        .select(F.col("seg").alias("top_seg"))
+    )
+    return (
+        holed.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(mode_seg))
+        .select(
+            "c_custkey",
+            F.coalesce("acctbal", "mean_bal").alias("c_acctbal_filled"),
+            F.coalesce("seg", "top_seg").alias("c_mktsegment_filled"),
+            F.col("acctbal").isNull().alias("was_null_num"),
+            F.col("seg").isNull().alias("was_null_cat"),
+        )
+        .orderBy("c_custkey")
+    )

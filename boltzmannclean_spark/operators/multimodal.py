@@ -212,3 +212,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_sampled_frames, schema=FRAME_SCHEMA
     )
     return frames.orderBy("doc_id", "frame_idx")
+
+
+CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx int, n_samples int, "
+    "rms_energy double, peak_amplitude int"
+)
+
+
+def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to a 1-D int8 sample array.
+
+    STUB: real decoding needs an audio codec (soundfile/ffmpeg), not in
+    this environment. With ``fake=True`` the raw payload bytes are
+    reinterpreted as signed 8-bit PCM so chunking/feature arithmetic,
+    batch shapes, and the output schema are exercised for real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub decoder"
+        )
+    return np.frombuffer(payload, dtype=np.int8)
+
+
+def extract_audio_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-size chunking + per-chunk energy
+    features (RMS, peak) — the waveform-to-training-segments shape.
+    Expansion is executor-side; the driver never sees samples."""
+    chunk = 4
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = decode_audio(bytes(payload), fake=True)
+            for idx in range(0, len(samples), chunk):
+                seg = samples[idx : idx + chunk].astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "chunk_idx": idx // chunk,
+                        "n_samples": len(seg),
+                        "rms_energy": float(np.sqrt((seg * seg).mean())),
+                        "peak_amplitude": int(np.abs(seg).max()),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=None,  # stubbed codec path; schema/invariants in pytest
+    tags=("multimodal", "audio", "pandas_udf"),
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-as-binary → mapInPandas chunking (4-sample fake PCM
+    segments) → one typed feature row per chunk (RMS energy, peak).
+    Completes the image/audio/video modality set; same no-shuffle
+    streaming plan as the other media extractors."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    chunks = media.select("doc_id", "payload").mapInPandas(
+        extract_audio_chunks, schema=CHUNK_SCHEMA
+    )
+    return chunks.orderBy("doc_id", "chunk_idx")
