@@ -204,3 +204,37 @@ def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "window_time_range",
+    oracle="""
+SELECT user_id, epoch_us(ts) AS tus,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, tus
+""",
+    tags=("window", "range", "timeseries"),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, the rolling count/sum over the
+    trailing hour of events — the moving-window feature a fraud/abuse
+    model reads. The frame is expressed on integer epoch-µs (3.6e9 µs
+    preceding), which both engines evaluate identically; RANGE (not
+    ROWS) so ties at the same timestamp share one frame. One shuffle on
+    user_id; the frame scan is a sliding aggregate within partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_last_hour"),
+    ).orderBy("user_id", "tus")

@@ -129,6 +129,7 @@ _VERIFY_FIRST = (
     "sample_hash_reproducible",
     "ts_gapfill_hourly",
     "dedup_connected_components",
+    "window_time_range",
 )
 
 
