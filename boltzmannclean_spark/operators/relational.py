@@ -217,3 +217,92 @@ def sample_hash_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  COUNT(t_view) AS n_viewed,
+  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+  COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+    AS n_full_funnel
+FROM stage
+""",
+    tags=("analytics", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: per user, the first time each stage
+    (view → click → purchase) occurred, then ordered-sequence counts.
+    One aggregation pass over events (conditional MIN per stage) + a
+    1-row final rollup — the plan shape that makes funnels cheap at any
+    scale (no self-joins, no per-stage scans). NULL propagation does the
+    gating: a missing stage makes the > comparison NULL, so the user
+    drops out of downstream counts, identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "agg_histogram_fixed",
+    oracle="""
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       bucket * 25000.0 AS bucket_low,
+       COUNT(*) AS n_orders
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25k buckets over order value): floor-bin +
+    count — the portable form of width_bucket, one hash aggregation on
+    a derived key. At 100 TB this is the same single shuffle; for
+    high-cardinality histograms the partial aggregation already collapses
+    per-partition counts before the exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("bucket_low"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )

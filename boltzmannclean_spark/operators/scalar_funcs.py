@@ -378,3 +378,36 @@ def func_conversion_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ifnull_size"
         ),
     ).orderBy("p_partkey")
+
+
+@register(
+    "func_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255         AS low_byte,
+       o_orderkey | 4096        AS set_bit,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2          AS shl2,
+       o_orderkey >> 3          AS shr3,
+       ~o_orderkey              AS inverted
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+    tags=("functions", "bitwise"),
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (&, |, xor, shifts, complement) — two's-complement
+    integer ops are bit-identical across engines by definition. Powers
+    bitmask feature flags and the SimHash/LSH bit tricks elsewhere."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("set_bit"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bitwise_not(k).alias("inverted"),
+    ).orderBy("o_orderkey")

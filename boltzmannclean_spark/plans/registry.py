@@ -130,6 +130,9 @@ _VERIFY_FIRST = (
     "ts_gapfill_hourly",
     "dedup_connected_components",
     "window_time_range",
+    "events_funnel",
+    "agg_histogram_fixed",
+    "func_bitwise",
 )
 
 
