@@ -122,3 +122,63 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "asof_tolerance",
+    oracle="""
+SELECT
+  p.event_id     AS purchase_id,
+  p.user_id      AS user_id,
+  epoch_us(p.ts) AS purchase_us,
+  CASE WHEN c.ts IS NOT NULL
+        AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+       THEN c.event_id ELSE -1 END AS click_id,
+  CASE WHEN c.ts IS NOT NULL
+        AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+       THEN epoch_us(p.ts) - epoch_us(c.ts) ELSE -1 END AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+""",
+    tags=("join", "asof", "tolerance"),
+)
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window (pandas merge_asof semantics):
+    the most recent click counts only if it is within 30 minutes of the
+    purchase. The backward as-of already yields the CLOSEST candidate,
+    so tolerance is a post-filter on the matched timestamp — no plan
+    change, same single shuffle as the plain as-of."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("matched_click"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="p_ts",
+        right_on="c_ts",
+        payload=["matched_click", "click_us"],
+    )
+    within = (F.col("purchase_us") - F.col("click_us")) <= 1_800_000_000
+    ok = F.col("click_us").isNotNull() & within
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.when(ok, F.col("matched_click")).otherwise(-1).alias("click_id"),
+        F.when(ok, F.col("purchase_us") - F.col("click_us"))
+        .otherwise(-1)
+        .alias("lag_us"),
+    ).orderBy("purchase_id")

@@ -306,3 +306,34 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+LATERAL_SQL = """
+SELECT n_name, t.c_custkey AS top_custkey, t.c_acctbal AS top_acctbal, t.rk
+FROM nation,
+LATERAL (
+  SELECT c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+ORDER BY n_name, t.rk
+"""
+
+
+@register(
+    "subquery_lateral",
+    oracle=LATERAL_SQL,
+    tags=("subquery", "lateral", "sql"),
+)
+def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery (SQL API): top-2 customers by
+    balance per nation. Catalyst plans the lateral as a de-correlated
+    ranked join — the same physical plan as the window top-k idiom, so
+    the SQL-surface convenience costs nothing. Identical SQL runs on
+    DuckDB as the oracle."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(LATERAL_SQL)

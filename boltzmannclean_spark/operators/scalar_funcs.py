@@ -411,3 +411,34 @@ def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bitwise_not(k).alias("inverted"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "func_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT)  AS k_int,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+       (json_extract(props, '$.missing') IS NULL
+        OR json_extract(props, '$.missing') = 'null') AS missing_is_null
+FROM events
+WHERE event_id < 3000
+ORDER BY event_id
+""",
+    tags=("functions", "variant", "json"),
+)
+def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.x VARIANT type: parse_json once into a binary
+    semi-structured value, then typed variant_get path extraction —
+    the scan-once/shred-many pattern that replaces repeated
+    get_json_object string re-parsing (at 100 TB, parsing the JSON text
+    once per row instead of once per extracted field is the difference).
+    Oracle extracts the same paths with DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        F.variant_get("v", "$.missing", "string").isNull().alias("missing_is_null"),
+    ).orderBy("event_id")

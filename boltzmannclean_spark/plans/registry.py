@@ -133,6 +133,9 @@ _VERIFY_FIRST = (
     "events_funnel",
     "agg_histogram_fixed",
     "func_bitwise",
+    "func_variant",
+    "subquery_lateral",
+    "asof_tolerance",
 )
 
 
