@@ -442,3 +442,42 @@ def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.k", "string").alias("k_str"),
         F.variant_get("v", "$.missing", "string").isNull().alias("missing_is_null"),
     ).orderBy("event_id")
+
+
+@register(
+    "func_try_safe",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS BIGINT)            AS prio_as_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+       CAST(o_totalprice AS DOUBLE)
+         / NULLIF(o_orderkey % 5, 0)                  AS risky_div,
+       COALESCE(CAST(o_totalprice AS DOUBLE)
+         / NULLIF(o_orderkey % 5, 0), -1.0)           AS safe_div
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+    tags=("functions", "try", "null-safe"),
+)
+def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_cast turns malformed casts into
+    NULL instead of failing the job, try_divide NULLs division by zero —
+    the difference between one bad row and a dead 100 TB job. DuckDB's
+    TRY_CAST / NULLIF twins reproduce the same NULL semantics."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("bigint").alias("prio_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias(
+            "prio_digit"
+        ),
+        F.try_divide(F.col("o_totalprice").cast("double"), F.col("o_orderkey") % 5)
+        .alias("risky_div"),
+        F.coalesce(
+            F.try_divide(
+                F.col("o_totalprice").cast("double"), F.col("o_orderkey") % 5
+            ),
+            F.lit(-1.0),
+        ).alias("safe_div"),
+    ).orderBy("o_orderkey")

@@ -208,3 +208,67 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "sink_upsert_merge",
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+updates AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2)) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+merged AS (
+  SELECT COALESCE(u.c_custkey, t.c_custkey)       AS c_custkey,
+         COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+         COALESCE(u.bal, t.bal)                   AS bal
+  FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("sink", "merge", "upsert"),
+)
+def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a lakehouse format: updates win over target
+    rows on key match (WHEN MATCHED UPDATE), unmatched updates insert
+    (WHEN NOT MATCHED INSERT), via one full outer join + COALESCE —
+    then the merged snapshot is written to parquet and re-scanned, which
+    is exactly how a plain-parquet pipeline rewrites a dimension. At
+    100 TB the join shuffles on the merge key; partitioning the snapshot
+    by a stable bucket of the key turns the rewrite into touched-
+    partitions-only."""
+    customer = load_table(spark, sf_dir, "customer")
+    target = customer.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_mktsegment", dec("c_acctbal").alias("bal")
+    )
+    updates = customer.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (dec("c_acctbal") + 100).cast("decimal(12,2)").alias("bal"),
+    )
+    t = target.alias("t")
+    u = updates.alias("u")
+    merged = t.join(u, F.col("t.c_custkey") == F.col("u.c_custkey"), "full").select(
+        F.coalesce("u.c_custkey", "t.c_custkey").alias("c_custkey"),
+        F.coalesce("u.c_mktsegment", "t.c_mktsegment").alias("c_mktsegment"),
+        F.coalesce("u.bal", "t.bal").alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="bcs_merge_") + "/customer_snapshot"
+    merged.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -136,6 +136,8 @@ _VERIFY_FIRST = (
     "func_variant",
     "subquery_lateral",
     "asof_tolerance",
+    "func_try_safe",
+    "sink_upsert_merge",
 )
 
 
