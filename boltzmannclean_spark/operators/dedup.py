@@ -615,3 +615,97 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CLEAN_CORPUS_ORACLE = f"""
+WITH vocab AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+quality AS (
+  SELECT d.doc_id
+  FROM documents d JOIN vocab v ON v.doc_id = d.doc_id
+  WHERE LEN(string_split(d.text, ' ')) BETWEEN 30 AND 100000
+    AND CAST(LEN(LIST_FILTER(string_split(d.text, ' '),
+                             x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+          / LEN(string_split(d.text, ' ')) >= 0.01
+),
+exact_rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+    FROM documents
+  ) t WHERE doc_id = rep
+),
+toks AS (SELECT doc_id, UNNEST(toks) AS sh FROM vocab),
+seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed),
+minh AS (
+  SELECT doc_id, seed,
+         MIN(substring(md5((seed // 4)::VARCHAR || '|' || sh),
+                       1 + 8 * (seed % 4), 8)) AS mh
+  FROM toks CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_ROWS} AS band,
+         STRING_AGG(mh, '' ORDER BY seed) AS band_key
+  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
+),
+edges AS (
+  SELECT DISTINCT b.doc_id,
+         MIN(b.doc_id) OVER (PARTITION BY b.band, b.band_key) AS rep
+  FROM bands b
+),
+near_dups AS (
+  SELECT DISTINCT e.doc_id
+  FROM edges e
+  JOIN vocab va ON va.doc_id = e.doc_id
+  JOIN vocab vb ON vb.doc_id = e.rep
+  WHERE e.doc_id > e.rep
+    AND CAST(LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+          / CAST(LEN(va.toks) + LEN(vb.toks)
+                 - LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+        >= {MINHASH_JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN quality  q ON q.doc_id = d.doc_id
+JOIN exact_rep r ON r.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_dups)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=CLEAN_CORPUS_ORACLE,
+    tags=("dedup", "pipeline", "quality", "composition"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning product: quality filter (Gopher
+    rules) ∧ exact-dup representative ∧ not-an-LSH-near-dup → the kept
+    document set a training run would actually read. Composes the
+    registered building blocks in one plan: quality predicates are
+    scan-time filters, exact-rep is one window over md5(text), and the
+    near-dup drop list comes from the minhash query reused verbatim —
+    subtracted with a left-anti join (ships only doc_ids). Exact dups
+    are also LSH dups (identical text ⇒ identical signatures), so the
+    exact-rep window is belt-and-braces; it costs one cheap shuffle and
+    keeps the keep-rule auditable. The oracle replays the identical
+    pipeline end-to-end."""
+    from boltzmannclean_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = (F.size(toks).between(30, 100000)) & (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+        >= 0.01
+    )
+    w_text = Window.partitionBy(F.md5("text"))
+    kept = (
+        docs.withColumn("__rep", F.min("doc_id").over(w_text))
+        .where(quality & (F.col("doc_id") == F.col("__rep")))
+        .select("doc_id", "lang", "n_chars")
+    )
+    near_dups = dedup_minhash_lsh(spark, sf_dir).select("doc_id")
+    return kept.join(near_dups, "doc_id", "left_anti").orderBy("doc_id")

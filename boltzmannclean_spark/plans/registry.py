@@ -138,6 +138,7 @@ _VERIFY_FIRST = (
     "asof_tolerance",
     "func_try_safe",
     "sink_upsert_merge",
+    "pipeline_clean_corpus",
 )
 
 
