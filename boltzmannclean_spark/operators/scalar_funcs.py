@@ -481,3 +481,72 @@ def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0),
         ).alias("safe_div"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "func_map_higher_order",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events
+  GROUP BY user_id, event_type
+),
+entries AS (
+  SELECT user_id,
+         STRING_AGG(event_type || '=' || n, ',' ORDER BY event_type)
+           AS type_counts,
+         STRING_AGG(event_type || '=' || n * 2, ',' ORDER BY event_type)
+           AS doubled,
+         STRING_AGG(CASE WHEN n > 3 THEN event_type || '=' || n END, ','
+                    ORDER BY event_type) AS frequent,
+         CAST(SUM(n) AS BIGINT) AS total
+  FROM counts
+  GROUP BY user_id
+)
+SELECT user_id, type_counts, doubled,
+       COALESCE(frequent, '') AS frequent, total
+FROM entries
+ORDER BY user_id
+""",
+    tags=("functions", "map", "higher-order"),
+)
+def func_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + higher-order map functions: per-user
+    event_type→count maps built with map_from_entries, then
+    transform_values (double each count), map_filter (keep counts > 3),
+    and aggregate over map_values — all JVM lambda expressions. Maps are
+    rendered as sorted 'k=v' strings so the value-hash is representation-
+    independent (DuckDB's MAP has no higher-order functions; its oracle
+    computes the same strings relationally, which also proves the map
+    ops equal their relational meaning)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("tc")
+    )
+
+    def render(mp):
+        return F.array_join(
+            F.transform(
+                F.map_entries(mp),
+                lambda e: F.concat(
+                    e.getField("key"), F.lit("="), e.getField("value").cast("string")
+                ),
+            ),
+            ",",
+        )
+
+    doubled = F.transform_values("tc", lambda k, v: v * 2)
+    frequent = F.map_filter("tc", lambda k, v: v > 3)
+    total = F.aggregate(
+        F.map_values("tc"), F.lit(0).cast("bigint"), lambda s, x: s + x
+    )
+    return m.select(
+        "user_id",
+        render(F.col("tc")).alias("type_counts"),
+        render(doubled).alias("doubled"),
+        render(frequent).alias("frequent"),
+        total.alias("total"),
+    ).orderBy("user_id")

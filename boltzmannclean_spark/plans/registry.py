@@ -139,6 +139,7 @@ _VERIFY_FIRST = (
     "func_try_safe",
     "sink_upsert_merge",
     "pipeline_clean_corpus",
+    "func_map_higher_order",
 )
 
 
