@@ -550,3 +550,61 @@ def func_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         render(frequent).alias("frequent"),
         total.alias("total"),
     ).orderBy("user_id")
+
+
+@register(
+    "func_generators",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, lang, n_chars
+  FROM documents WHERE doc_id < 100
+),
+-- explode_outer twin: docs keep a row even when the filtered array is
+-- empty (LEFT JOIN the unnest)
+rare AS (
+  SELECT doc_id, LIST_FILTER(toks, x -> LENGTH(x) > 8) AS rares FROM src
+),
+exploded AS (
+  SELECT r.doc_id, COALESCE(u.tok, '(none)') AS rare_tok
+  FROM rare r LEFT JOIN (
+    SELECT doc_id, UNNEST(rares) AS tok FROM rare
+  ) u ON u.doc_id = r.doc_id
+),
+-- stack twin: two literal (metric, value) rows per doc
+stacked AS (
+  SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value FROM src
+  UNION ALL
+  SELECT doc_id, 'n_tokens' AS metric, CAST(LEN(toks) AS BIGINT) AS value FROM src
+)
+SELECT e.doc_id, e.rare_tok, s.metric, s.value
+FROM exploded e JOIN stacked s ON e.doc_id = s.doc_id
+ORDER BY e.doc_id, e.rare_tok, s.metric
+""",
+    tags=("functions", "generators", "explode"),
+)
+def func_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator family beyond plain explode: explode_outer keeps the
+    parent row when the array is empty (LEFT-JOIN-unnest semantics —
+    without it, docs with no long tokens silently vanish from the
+    output), and stack() pivots literal column pairs into rows. Both
+    are executor-side row generation — no shuffle until the final
+    join/sort."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    src = docs.select("doc_id", toks.alias("toks"), "n_chars")
+    rare = src.select(
+        "doc_id", F.filter("toks", lambda x: F.length(x) > 8).alias("rares")
+    )
+    exploded = rare.select(
+        "doc_id", F.explode_outer("rares").alias("tok")
+    ).select("doc_id", F.coalesce("tok", F.lit("(none)")).alias("rare_tok"))
+    stacked = src.selectExpr(
+        "doc_id",
+        "stack(2, 'n_chars', CAST(n_chars AS BIGINT),"
+        " 'n_tokens', CAST(size(toks) AS BIGINT)) AS (metric, value)",
+    )
+    return (
+        exploded.join(stacked, "doc_id")
+        .select("doc_id", "rare_tok", "metric", "value")
+        .orderBy("doc_id", "rare_tok", "metric")
+    )

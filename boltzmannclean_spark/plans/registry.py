@@ -140,6 +140,8 @@ _VERIFY_FIRST = (
     "sink_upsert_merge",
     "pipeline_clean_corpus",
     "func_map_higher_order",
+    "stream_foreach_batch_sink",
+    "func_generators",
 )
 
 

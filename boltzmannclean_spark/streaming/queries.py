@@ -434,3 +434,51 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "sink", "foreachBatch"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the production pattern for routing a stream
+    into a batch-only target (JDBC, MERGE, multi-sink fan-out): each
+    micro-batch arrives as a batch DataFrame with an epoch id, written
+    here as an idempotent per-epoch parquet overwrite (reprocessing an
+    epoch after a restart overwrites, not duplicates — the manual
+    exactly-once recipe). The final snapshot is re-read as the result;
+    complete mode means the last epoch carries the full aggregate."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bcs_feb_") + "/agg_snapshot"
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent per-epoch target: same epoch re-run = same overwrite.
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).orderBy("event_type")
