@@ -1,0 +1,215 @@
+"""Behavioral / warehouse-history operators over the events and orders
+tables: gap-based sessionization, cohort retention, and SCD2 (slowly
+changing dimension, type 2) history construction.
+
+Scale design: all three are single-shuffle plans — each partitions by
+its natural entity key (user_id / o_custkey) and does every window
+computation inside that partition, so the shuffle key equals the output
+grouping key and Catalyst reuses one Exchange across the window chain
+and the final aggregate. At 100 TB the events table would be bucketed
+by user_id, making all three shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+# open-ended SCD2 rows: 9999-12-31T00:00:00Z in epoch-µs (literal on
+# both engines — no timestamp arithmetic near the max range)
+SCD2_OPEN_END_US = 253_402_214_400_000_000
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN t_us - LAG(t_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+runs AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+       MAX(t_us) - MIN(t_us) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM runs
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""",
+    tags=("behavioral", "sessionize", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when the gap
+    to the previous event of the same user exceeds 30 minutes (lag +
+    running sum of new-session flags — the standard island-building
+    recipe). One shuffle on user_id serves the lag, the running sum and
+    the per-session aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        runs.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+            (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+       (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort_week))
+         // {WEEK_US} AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("behavioral", "retention", "cohort"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the ISO week of
+    their first event; each cell counts distinct users (and raw events)
+    active k weeks after their cohort week. The first-event lookup is an
+    aggregate on the same user_id key the join consumes — one shuffle,
+    and AQE broadcasts the cohort side when it is small."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                (
+                    F.unix_micros(F.date_trunc("week", F.col("ts")))
+                    - F.unix_micros("cohort_week")
+                )
+                / F.lit(WEEK_US)
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_week_us", "week_offset")
+    )
+
+
+@register(
+    "scd2_order_status_history",
+    oracle=f"""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         CASE WHEN LAG(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+grp AS (
+  SELECT o_custkey, run_id, o_orderstatus AS status,
+         MIN(o_orderdate) AS vf, COUNT(*) AS n_orders
+  FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+)
+SELECT o_custkey, CAST(run_id AS BIGINT) AS version, status,
+       epoch_us(vf) AS valid_from_us,
+       COALESCE(LEAD(epoch_us(vf)) OVER (PARTITION BY o_custkey ORDER BY run_id),
+                {SCD2_OPEN_END_US}) AS valid_to_us,
+       n_orders
+FROM grp
+ORDER BY o_custkey, version
+""",
+    tags=("behavioral", "scd2", "history"),
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: collapse each customer's order-status
+    timeline into validity intervals — consecutive same-status runs
+    become one row with [valid_from, valid_to) stitched via lead(), the
+    open row carrying a 9999-12-31 sentinel. The run-id island trick,
+    the grouping, and the lead() all ride one o_custkey shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    grp = runs.groupBy(
+        "o_custkey", "run_id", F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.min("o_orderdate").alias("vf"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("run_id")
+    return grp.select(
+        "o_custkey",
+        F.col("run_id").alias("version"),
+        "status",
+        F.unix_micros(F.col("vf").cast("timestamp")).alias("valid_from_us"),
+        F.coalesce(
+            F.lead(F.unix_micros(F.col("vf").cast("timestamp"))).over(wv),
+            F.lit(SCD2_OPEN_END_US),
+        ).alias("valid_to_us"),
+        "n_orders",
+    ).orderBy("o_custkey", "version")
