@@ -27,6 +27,13 @@ N_SEEDS = 8
 BAND_ROWS = 2  # 4 bands x 2 rows
 MINHASH_JACCARD_THRESHOLD = 0.9
 NGRAM_JACCARD_THRESHOLD = 0.2
+# Shingles present in more than this many docs are dropped BEFORE the
+# shared-shingle pair join: a shingle in d docs contributes d² candidate
+# pairs, so a handful of stop-bigrams ("of the") would otherwise turn
+# the join quadratic on a 100 TB crawl. Jaccard is then computed over
+# the capped shingle space on both sides (sizes and intersections), so
+# the metric stays internally consistent.
+NGRAM_DF_CAP = 50
 COSINE_DUP_THRESHOLD = 0.35
 
 
@@ -205,11 +212,13 @@ grams AS (
   FROM toks
   QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id),
+df AS (SELECT lang, sh FROM grams GROUP BY lang, sh HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+kept AS (SELECT g.* FROM grams g JOIN df USING (lang, sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
   SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_int
-  FROM grams ga
-  JOIN grams gb ON ga.sh = gb.sh AND ga.lang = gb.lang AND ga.doc_id < gb.doc_id
+  FROM kept ga
+  JOIN kept gb ON ga.sh = gb.sh AND ga.lang = gb.lang AND ga.doc_id < gb.doc_id
   GROUP BY ga.doc_id, gb.doc_id
 )
 SELECT i.doc_a, i.doc_b,
@@ -226,17 +235,20 @@ ORDER BY doc_a, doc_b
 
 @register("dedup_ngram_jaccard", oracle=NGRAM_ORACLE, tags=("dedup", "ngram"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard near-dup, language-blocked.
+    """Exact bigram-shingle Jaccard near-dup, language-blocked, with a
+    document-frequency cap on shingles.
 
     Pairs materialize ONLY via the shared-shingle equi-join (a pair with
-    zero common shingles has Jaccard 0 and never exists in the plan) —
-    the scalable exact-verification pattern."""
+    zero common shingles has Jaccard 0 and never exists in the plan);
+    shingles shared by more than NGRAM_DF_CAP docs are dropped before
+    the join — each contributes O(df²) candidate pairs, so uncapped
+    stop-bigrams are the one thing that breaks this plan at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
+    all_grams = (
         toks.withColumn("nxt", F.lead("tok").over(w))
         .where(F.col("nxt").isNotNull())
         .select(
@@ -246,6 +258,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    rare = (
+        all_grams.groupBy("lang", "sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("lang", "sh")
+    )
+    grams = all_grams.join(rare, ["lang", "sh"])
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ga = grams.alias("ga")
     gb = grams.alias("gb")
@@ -709,3 +728,65 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near_dups = dedup_minhash_lsh(spark, sf_dir).select("doc_id")
     return kept.join(near_dups, "doc_id", "left_anti").orderBy("doc_id")
+
+
+KEEP_BEST_ORACLE = f"""
+WITH pairs AS (
+  SELECT * FROM ({MINHASH_ORACLE})
+),
+members AS (
+  SELECT dup_of AS cluster, doc_id AS member FROM pairs
+  UNION
+  SELECT DISTINCT dup_of AS cluster, dup_of AS member FROM pairs
+),
+scored AS (
+  SELECT m.cluster, m.member, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster
+                            ORDER BY d.n_chars DESC, m.member) AS rn,
+         COUNT(*) OVER (PARTITION BY m.cluster) AS n_members
+  FROM members m JOIN documents d ON d.doc_id = m.member
+)
+SELECT cluster, member AS keep_doc_id, n_chars AS kept_n_chars, n_members
+FROM scored WHERE rn = 1
+ORDER BY cluster
+"""
+
+
+@register("dedup_keep_best", oracle=KEEP_BEST_ORACLE, tags=("dedup", "keep-best"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each MinHash near-dup cluster keep
+    the LONGEST member (n_chars desc, doc_id tiebreak) instead of the
+    arbitrary lowest-id representative — the policy real corpus
+    pipelines want ("drop dups, keep the best copy"). Composes the
+    registered LSH pair generator; the cluster window and the member
+    join both key on doc ids, so cost tracks the (small) duplicate set,
+    never the corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = (
+        pairs.select(F.col("dup_of").alias("cluster"), F.col("doc_id").alias("member"))
+        .unionByName(
+            pairs.select(
+                F.col("dup_of").alias("cluster"), F.col("dup_of").alias("member")
+            )
+        )
+        .distinct()
+    )
+    scored = members.join(docs, members.member == docs.doc_id).select(
+        "cluster", "member", "n_chars"
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        scored.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("n_chars"), "member"))
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("member").alias("keep_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            "n_members",
+        )
+        .orderBy("cluster")
+    )

@@ -427,3 +427,132 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# --- embedding aggregation / classification ---------------------------------
+#
+# Cross-engine float determinism: group averages of floats are merge-order
+# dependent, so centroids are computed in exact integer micro-units —
+# each float32 element is quantized to round(x * 1e6) as BIGINT, summed
+# exactly (order-free), and the centroid element is round(sum / n) back
+# in micro-units. Distances are then exact integer sums of squares, so
+# the argmin is bit-identical in any engine at any parallelism.
+
+MICRO = 1_000_000
+
+
+def _qvec(col):
+    """array<float> -> array<long> micro-unit quantization."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * MICRO, 0).cast("long"))
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+WITH q AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(qx) AS DOUBLE) / (COUNT(*) * {MICRO}) AS centroid
+FROM q GROUP BY label, dim
+ORDER BY label, dim
+""",
+    tags=("similarity", "embedding", "centroid"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    posexplode fans each vector into 64 (dim, value) rows; the partial
+    aggregation combines map-side, so the shuffle carries one partial
+    sum per (label, dim) per partition — constant in corpus size. The
+    flat layout is what a feature store would join against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", F.posexplode(_qvec(F.col("embedding"))).alias("dim", "qx"))
+    return (
+        q.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("qx").cast("double") / (F.count(F.lit(1)) * MICRO)).alias(
+                "centroid"
+            ),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "embedding_nearest_centroid",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+c AS (
+  SELECT label AS cl, d,
+         CAST(ROUND(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+  FROM q GROUP BY label, d
+),
+ss AS (
+  SELECT q.vec_id, q.label, c.cl,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist_sq
+  FROM q JOIN c ON q.d = c.d
+  GROUP BY q.vec_id, q.label, c.cl
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist_sq, cl) AS rn
+  FROM ss
+)
+SELECT vec_id, label, cl AS assigned_label, dist_sq,
+       CASE WHEN label = cl THEN 1 ELSE 0 END AS correct
+FROM r WHERE rn = 1
+ORDER BY vec_id
+""",
+    tags=("similarity", "embedding", "classify"),
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (one k-means assignment step):
+    label centroids in exact micro-units, then every vector scores all
+    k centroids via a JVM-side zip_with/aggregate fold — no explode of
+    the corpus, no shuffle beyond the 640-row centroid aggregate; the
+    k-row centroid table broadcasts. The integer distance makes the
+    argmin reproducible across engines and partitionings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qvec"))
+    qx = q.select("label", F.posexplode("qvec").alias("d", "qx"))
+    cent = qx.groupBy("label", "d").agg(
+        F.round(F.sum("qx").cast("double") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("cx")
+    )
+    carr = cent.groupBy(F.col("label").alias("cl")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s.cx
+        ).alias("cvec")
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "cl",
+        F.aggregate(
+            F.zip_with("qvec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist_sq"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cl")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cl").alias("assigned_label"),
+            "dist_sq",
+            F.when(F.col("label") == F.col("cl"), 1).otherwise(0).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )

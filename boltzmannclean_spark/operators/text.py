@@ -406,3 +406,86 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("props", F.lit("[a-z0-9._]+@[a-z0-9.-]+")).alias("n_emails"),
         F.md5(F.regexp_replace("props", "[0-9]+", "#")).alias("redacted_hash"),
     ).orderBy("event_id")
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM src
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+top AS (
+  SELECT doc_id, tok AS top_tok, c AS top_cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+  FROM cnt
+),
+tok_stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens
+  FROM ex GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM ex
+  QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+bi_stats AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_distinct_bigrams
+  FROM bi GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, p.top_tok, p.top_cnt,
+       CAST(p.top_cnt AS DOUBLE) / t.n_tokens AS top_frac,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+       END AS dup_bigram_frac
+FROM tok_stats t
+JOIN top p ON p.doc_id = t.doc_id AND p.rn = 1
+LEFT JOIN bi_stats b ON b.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-token
+    fraction and duplicate-bigram fraction. Everything is a per-row
+    array expression (array_remove / array_distinct / zip_with over
+    slices / a comparator array_sort for the mode) — zero shuffles,
+    zero Python; the whole computation inlines into one codegen stage,
+    which is exactly what a 100 TB quality-scoring pass needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.selectExpr(
+        "doc_id",
+        "array_remove(split(text, ' '), '') AS toks",
+    ).selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_distinct_tokens",
+        # mode: sort distinct tokens by (count desc, token asc), take head
+        "array_sort(transform(array_distinct(toks),"
+        " t -> struct(size(filter(toks, x -> x = t)) AS c, t AS t)),"
+        " (a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1"
+        " WHEN a.t < b.t THEN -1 WHEN a.t > b.t THEN 1 ELSE 0 END)[0] AS top",
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b)) AS bigrams",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top.t AS top_tok",
+        "CAST(top.c AS BIGINT) AS top_cnt",
+        "CAST(top.c AS DOUBLE) / n_tokens AS top_frac",
+        "CAST(size(bigrams) AS BIGINT) AS n_bigrams",
+        "CAST(size(array_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams",
+        "CASE WHEN size(bigrams) = 0 THEN 0.0"
+        " ELSE CAST(size(bigrams) - size(array_distinct(bigrams)) AS DOUBLE)"
+        "      / size(bigrams) END AS dup_bigram_frac",
+    )
+    return out.orderBy("doc_id")
