@@ -790,3 +790,65 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# Edit-distance verification: candidates are blocked on (lang, n_chars)
+# equality — an O(len²) DP per pair is affordable only because blocking
+# keeps the pair count near-linear; the threshold compares in exact
+# integers (lev * 10 <= n_chars * 3, i.e. distance within 30% of the
+# length) so both engines cut identically.
+LEV_MAX_PCT10 = 3  # tenths: distance <= 30% of doc length
+
+
+@register(
+    "dedup_levenshtein_verify",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_chars,
+         levenshtein(a.text, b.text) AS lev_dist
+  FROM documents a
+  JOIN documents b
+    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_chars, lev_dist,
+       1.0 - CAST(lev_dist AS DOUBLE) / n_chars AS similarity
+FROM pairs
+WHERE lev_dist * 10 <= n_chars * {LEV_MAX_PCT10}
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "levenshtein", "verify"),
+)
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification over blocked candidates:
+    docs sharing (lang, n_chars) pair up via an equi-join (never a
+    cross product), then exact Levenshtein distance — the
+    gold-standard verifier the cheap sketches (minhash/simhash)
+    approximate — confirms pairs within 30% edit distance. The DP runs
+    JVM-side per pair; blocking keys are the shuffle keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n_chars").alias("n_chars"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).alias("lev_dist"),
+    )
+    return (
+        pairs.where(F.col("lev_dist") * 10 <= F.col("n_chars") * LEV_MAX_PCT10)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_chars",
+            "lev_dist",
+            (1.0 - F.col("lev_dist").cast("double") / F.col("n_chars")).alias(
+                "similarity"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,140 @@
+"""Data-profiling / data-quality operators: per-column table profiling
+(the `DESCRIBE`-on-steroids every warehouse exposes) and statistical
+outlier detection over the events stream.
+
+Scale design: both are single-pass aggregations. The profiler computes
+every column's stats in ONE scan (count/null-count/distinct/min/max as
+parallel aggregate expressions, then a stack() pivot of the 1-row
+result); the z-score pass is a groupBy on user_id plus a same-key join
+back — two exchanges on the same key, which AQE plans as one shuffle
+reused by both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+# (column, min/max rendering) — money is rendered through DECIMAL(14,2)
+# so both engines print '857.71', not a shortest-double representation.
+_PROFILE_COLS = (
+    ("o_orderkey", "BIGINT"),
+    ("o_custkey", "BIGINT"),
+    ("o_orderstatus", None),
+    ("o_totalprice", "DECIMAL(14,2)"),
+    ("o_orderdate", None),
+    ("o_orderpriority", None),
+)
+
+
+def _render(col: str, typ: str | None) -> str:
+    return f"CAST(CAST({col} AS {typ}) AS STRING)" if typ else f"CAST({col} AS STRING)"
+
+
+def _render_duck(col: str, typ: str | None) -> str:
+    return (
+        f"CAST(CAST({col} AS {typ}) AS VARCHAR)" if typ else f"CAST({col} AS VARCHAR)"
+    )
+
+
+@register(
+    "agg_profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {_render_duck(f"MIN({c})", t)} AS min_value,
+       {_render_duck(f"MAX({c})", t)} AS max_value
+FROM orders"""
+        for c, t in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+    tags=("profiling", "aggregate"),
+)
+def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profiler: row count, null count, exact distinct
+    count, and min/max (string-rendered) for every column of `orders`,
+    one output row per column. All 6×4 aggregates evaluate in one
+    partial+final aggregation over one scan — the oracle's UNION ALL of
+    per-column scans is the semantic twin but 6 scans; at 100 TB the
+    one-pass shape is the only affordable one."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, t in _PROFILE_COLS:
+        aggs += [
+            F.expr(f"COUNT(*)").alias(f"{c}__rows"),
+            F.expr(f"COUNT(*) - COUNT({c})").alias(f"{c}__nulls"),
+            F.expr(f"COUNT(DISTINCT {c})").alias(f"{c}__distinct"),
+            F.expr(_render(f"MIN({c})", t)).alias(f"{c}__min"),
+            F.expr(_render(f"MAX({c})", t)).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS ss
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n, s / n AS mean, ss / n - (s / n) * (s / n) AS var
+  FROM stats WHERE n >= 10
+)
+SELECT e.user_id, e.event_id, e.value,
+       (e.value - m.mean) / sqrt(m.var) AS zscore
+FROM events e JOIN m ON e.user_id = m.user_id
+WHERE m.var > 0 AND abs((e.value - m.mean) / sqrt(m.var)) > 2.5
+ORDER BY e.user_id, e.event_id
+""",
+    tags=("profiling", "outliers", "zscore"),
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection: population moments from
+    EXACT decimal power sums (order-free), then a deterministic scalar
+    formula per row — both engines difference bit-identical doubles, so
+    even the |z| > 2.5 cut needs no tolerance. The moments groupBy and
+    the events join share the user_id key: one shuffle feeds both."""
+    ev = load_table(spark, sf_dir, "events")
+    v = dec("value")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("double").alias("s"),
+            F.sum(v * v).cast("double").alias("ss"),
+        )
+        .where(F.col("n") >= 10)
+        .select(
+            "user_id",
+            (F.col("s") / F.col("n")).alias("mean"),
+            (
+                F.col("ss") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            ).alias("var"),
+        )
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        ev.join(stats, "user_id")
+        .where((F.col("var") > 0) & (F.abs(z) > 2.5))
+        .select("user_id", "event_id", "value", z.alias("zscore"))
+        .orderBy("user_id", "event_id")
+    )

@@ -9,7 +9,7 @@ these scale linearly with corpus bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.plans.registry import register
@@ -489,3 +489,96 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      / size(bigrams) END AS dup_bigram_frac",
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, substring(md5(doc_id::VARCHAR), 1, 1) AS hd FROM documents
+)
+WHERE CASE WHEN lang = 'en' THEN hd IN ('0')
+      ELSE hd IN ('0', '1', '2', '3') END
+ORDER BY doc_id
+""",
+    tags=("sample", "stratified", "curation"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified reproducible sampling: downsample the majority
+    language to 1/16 while keeping 4/16 of every other language — the
+    language-rebalancing step of corpus curation. Per-stratum rates ride
+    the same md5-digit hash as the uniform sampler, so membership is
+    stable under reruns, repartitioning, and engine migration; the
+    predicate pushes to the scan, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    hd = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", hd.isin("0")).otherwise(
+        hd.isin("0", "1", "2", "3")
+    )
+    return (
+        docs.where(keep)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+PACK_BUDGET = 2048  # tokens per training chunk
+
+
+@register(
+    "chunk_pack_tokens",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c
+GROUP BY lang, (cum - n_tokens) // {PACK_BUDGET}
+ORDER BY lang, chunk_id
+""",
+    tags=("curation", "packing", "window"),
+)
+def chunk_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunk packing: docs stream in doc_id order per
+    language and append to the current ~2048-token training chunk; a doc
+    whose predecessor crossed the budget boundary starts the next chunk
+    (chunk_id = floor(prev_cumsum / budget) — deterministic contiguous
+    fill, no bin-packing search). One lang-keyed shuffle serves the
+    running sum and the per-chunk rollup; integer token counts make the
+    assignment engine- and partitioning-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_remove(F.split("text", " "), "")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn("chunk_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}"))
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "chunk_id")
+    )
