@@ -515,3 +515,98 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("o_orderpriority", "metric")
+
+
+@register(
+    "agg_boolean_countif",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk,
+       BOOL_AND(l_discount <= 0.1) AS all_modest_discount,
+       BOOL_OR(l_tax > 0.07) AS any_high_tax,
+       COUNT(CASE WHEN l_quantity > 25 THEN 1 END)
+         * 1.0 / COUNT(*) AS bulk_frac
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "boolean", "countif"),
+)
+def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and (every) / bool_or
+    (any) — predicate rollups that stay a single partial+final hash
+    aggregate (each boolean agg is one bit of partial state, the
+    cheapest aggregates there are). bulk_frac divides two exact counts,
+    so the double is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = F.count_if(F.col("l_quantity") > 25)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            bulk.alias("n_bulk"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_modest_discount"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            (bulk * F.lit(1.0) / F.count(F.lit(1))).alias("bulk_frac"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "ml_linreg_sufficient_stats",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM s
+ORDER BY l_returnflag
+""",
+    tags=("ml", "regression", "aggregate"),
+)
+def ml_linreg_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS (price ~ quantity per return flag) via sufficient
+    statistics: the five power sums accumulate EXACTLY in decimals (2-dp
+    money × 2-dp quantity products are exact in DECIMAL), then the
+    closed-form slope/intercept/R² evaluates per group from identical
+    doubles — the one-pass, shuffle-one-row-per-group pattern that is
+    the only way to fit millions of small regressions at 100 TB (MLlib
+    itself aggregates the same normal-equation terms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

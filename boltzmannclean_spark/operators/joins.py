@@ -437,3 +437,72 @@ def join_right_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH c AS (SELECT c_custkey, NULLIF(c_nationkey, 5) AS nk FROM customer),
+     s AS (SELECT s_suppkey, NULLIF(s_nationkey, 5) AS nk FROM supplier)
+SELECT COALESCE(c.nk, -1) AS nation_key, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+GROUP BY COALESCE(c.nk, -1)
+ORDER BY nation_key
+""",
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, which is what entity-
+    resolution joins on nullable business keys need. Spark plans `<=>`
+    as a hash join key (NULL becomes an ordinary bucket) — note the
+    NULL bucket is also the classic skew key at scale: salt it or
+    pre-split when NULL rates are high. Nation 5 is NULLed on both
+    sides here to force real NULL↔NULL matches."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(5)).alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(5)).alias("nk")
+    )
+    return (
+        c.join(s, c["nk"].eqNullSafe(s["nk"]))
+        .groupBy(F.coalesce(c["nk"], F.lit(-1)).alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+EXISTENCE_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F'
+                          AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "join_existence_in",
+    oracle=EXISTENCE_SQL,
+    tags=("join", "existence", "anti"),
+)
+def join_existence_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries through the SQL API: Catalyst compiles the
+    IN to a left-semi hash join and the NOT IN to a NULL-AWARE anti
+    join (the physical operator that honors three-valued NOT IN
+    semantics — a single NULL in the subquery empties the result; the
+    subquery key here is non-null so the result is meaningful). Both
+    existence joins build from the filtered orders side, never
+    materializing the match list on the driver."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(EXISTENCE_SQL)

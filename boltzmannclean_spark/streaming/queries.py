@@ -482,3 +482,44 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir).orderBy("event_type")
+
+
+@register(
+    "stream_trigger_available_now",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "trigger", "availableNow"),
+)
+def stream_trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow batch-drain: process everything currently in
+    the source across rate-limited micro-batches, then SELF-terminate —
+    the production pattern for scheduled (cron-style) incremental jobs
+    that want streaming's exactly-once bookkeeping without a 24/7
+    cluster. maxFilesPerTrigger caps each micro-batch; awaitTermination
+    returns when the backlog is drained (no manual stop)."""
+    agg = (
+        events_stream(spark, sf_dir, max_files_per_trigger=1)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    sink = "stream_available_now_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id")
