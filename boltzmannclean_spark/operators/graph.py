@@ -1,0 +1,125 @@
+"""Graph algorithms over relational edge lists: PageRank by power
+iteration on the customer↔supplier bipartite graph induced by orders.
+
+Scale design: each iteration is the canonical distributed PageRank
+shape — join ranks to edges on src, aggregate contributions on dst —
+two shuffles per iteration, both on node keys. At 100 TB the edge list
+would be bucketed by src so the rank join is exchange-free and only the
+dst aggregation shuffles. The edge list is cached across iterations
+(it is reused 3×; recomputing the orders⋈lineitem join each pass would
+triple the scan cost).
+
+Cross-engine determinism: ranks live in integer micro-units (node
+budget 1e9). Per-edge contribution is rank div degree (integer
+division), the damping mix is (15·init + 85·Σcontrib) div 100 — all
+integer arithmetic, so every iteration is bit-identical in any engine
+at any parallelism; no floating-point merge-order noise ever enters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+RSCALE = 1_000_000_000  # total rank budget in micro-units
+N_ITER = 3
+TOP_N = 25
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        its.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node, CAST(SUM({prev}.r // deg.d) AS BIGINT) AS contrib
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT c{i}.node,
+         (15 * ({RSCALE} // n.n_nodes) + 85 * c{i}.contrib) // 100 AS r
+  FROM c{i} CROSS JOIN n
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT 'c:' || c AS src, 's:' || s AS dst FROM eo
+  UNION ALL
+  SELECT 's:' || s AS src, 'c:' || c AS dst FROM eo
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT src AS node, CAST({RSCALE} // n.n_nodes AS BIGINT) AS r
+  FROM deg CROSS JOIN n
+),{",".join(its)}
+SELECT node, r AS rank_micro
+FROM {prev}
+ORDER BY rank_micro DESC, node
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "graph_pagerank_bipartite",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the customer↔supplier
+    graph; returns the top-25 nodes by rank. See module docstring for
+    the integer-arithmetic determinism and per-iteration shuffle
+    design."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eo = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = eo.select(
+        F.concat(F.lit("c:"), "o_custkey").alias("src"),
+        F.concat(F.lit("s:"), "l_suppkey").alias("dst"),
+    )
+    rev = eo.select(
+        F.concat(F.lit("s:"), "l_suppkey").alias("src"),
+        F.concat(F.lit("c:"), "o_custkey").alias("dst"),
+    )
+    edges = fwd.unionAll(rev).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    r = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), F.expr(f"{RSCALE} div n_nodes").alias("r")
+    )
+    for _ in range(N_ITER):
+        rd = r.join(deg, r.node == deg.src).select(
+            "node", F.expr("r div d").alias("contrib_each")
+        )
+        contrib = (
+            edges.join(rd, edges.src == rd.node)
+            .groupBy("dst")
+            .agg(F.sum("contrib_each").alias("contrib"))
+        )
+        r = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(15 * ({RSCALE} div n_nodes) + 85 * contrib) div 100").alias(
+                "r"
+            ),
+        )
+    return (
+        r.select("node", F.col("r").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(TOP_N)
+    )

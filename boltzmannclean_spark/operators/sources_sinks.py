@@ -272,3 +272,169 @@ def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "source_merge_schema",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_with_price,
+       COUNT(o_comment_len) AS n_with_comment
+FROM (
+  SELECT o_orderpriority, o_totalprice, NULL AS o_comment_len
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderpriority, LEN(o_orderstatus) AS o_comment_len
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("source", "schema-evolution"),
+)
+def source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet drops with DIFFERENT
+    schemas (an old extract with o_totalprice, a new one that dropped
+    it and added o_comment_len) land in one directory;
+    ``mergeSchema=true`` unions the schemas and NULL-fills the missing
+    columns per file — the standard landing-zone evolution story.
+    Schema merge costs one footer read per file (done in parallel);
+    the data pages are untouched."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="bcs_merge_schema_") + "/orders_evolving"
+    old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderpriority", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", F.length("o_orderstatus").alias("o_comment_len")
+    )
+    old.write.mode("overwrite").parquet(f"{path}/v=1")
+    new.write.mode("overwrite").parquet(f"{path}/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/v=1", f"{path}/v=2"
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.count("o_comment_len").alias("n_with_comment"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("sink", "partitioned", "dynamic-overwrite"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: the second write replaces ONLY the
+    partitions it produces (status 'F' gets rewritten with just urgent
+    orders) and leaves sibling partitions untouched — the idempotent
+    daily-reload recipe for partitioned tables; static mode would have
+    truncated the whole table first."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="bcs_dpo_") + "/orders_by_status"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    orders.select("o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(path)
+    # Reload of one partition's worth of data: only status 'F' is
+    # overwritten (with a reduced row set), others must survive.
+    orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderstatus", "o_totalprice").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14)).cast("double").alias("total_value"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PYSRC_N = 1000
+PYSRC_PARTS = 8
+
+
+@register(
+    "source_python_datasource",
+    oracle=f"""
+SELECT CASE WHEN r % 3 = 0 THEN 'fizz' ELSE 'plain' END AS bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(r * r) AS BIGINT) AS sum_sq
+FROM (SELECT UNNEST(range({PYSRC_N})) AS r)
+GROUP BY 1
+ORDER BY bucket
+""",
+    tags=("source", "python-datasource", "4.x"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySpark 4.x Python DataSource API: a custom batch source written
+    in pure Python (DataSource/DataSourceReader), registered under a
+    format name and read like any built-in — the extension point for
+    bespoke feeds (internal APIs, tickers, queues) without JVM code.
+    The reader declares 8 InputPartitions, each generating its slice
+    independently on executors via Arrow — the source is parallel from
+    day one; the deterministic integer payload keeps it oracle-able."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SeqReader(DataSourceReader):
+        def __init__(self, n: int, parts: int) -> None:
+            self.n, self.parts = n, parts
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            for r in range(partition.value, self.n, self.parts):
+                yield (r, r * r, "fizz" if r % 3 == 0 else "plain")
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bcs_sequence"
+
+        def schema(self) -> str:
+            return "r BIGINT, r_sq BIGINT, bucket STRING"
+
+        def reader(self, schema):
+            return SeqReader(
+                int(self.options.get("n", PYSRC_N)),
+                int(self.options.get("parts", PYSRC_PARTS)),
+            )
+
+    spark.dataSource.register(SeqSource)
+    df = (
+        spark.read.format("bcs_sequence")
+        .option("n", str(PYSRC_N))
+        .option("parts", str(PYSRC_PARTS))
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("r_sq").alias("sum_sq"))
+        .orderBy("bucket")
+    )

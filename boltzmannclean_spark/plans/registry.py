@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "boltzmannclean_spark.operators.timeseries",
     "boltzmannclean_spark.operators.behavioral",
     "boltzmannclean_spark.operators.profiling",
+    "boltzmannclean_spark.operators.graph",
     "boltzmannclean_spark.operators.dedup",
     "boltzmannclean_spark.operators.similarity",
     "boltzmannclean_spark.operators.text",
