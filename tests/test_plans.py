@@ -61,3 +61,46 @@ def test_embedding_dedup_has_no_driver_collect(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "mapInPandas" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    # lag, running sum, and the per-session aggregate must all reuse the
+    # one user_id exchange: exactly one shuffle before the final sort.
+    df = QUERIES["events_sessionize"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    pre_sort = plan.split("rangepartitioning")[-1]  # below the output sort
+    assert pre_sort.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
+    # The corpus side must stream: centroid table broadcast, no corpus
+    # cartesian product and no corpus-wide explode on the scoring path.
+    df = QUERIES["embedding_nearest_centroid"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_levenshtein_pairs_from_equi_join(spark, sf_dir):
+    # Blocking on (lang, n_chars) must plan as a hash/merge equi-join —
+    # a cartesian pair enumeration would be quadratic in the corpus.
+    df = QUERIES["dedup_levenshtein_verify"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    # The profiler's whole point: 6 columns × 4 stats from ONE scan of
+    # orders (the oracle's UNION ALL twin needs 6).
+    df = QUERIES["agg_profile_columns"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_pagerank_no_cartesian_blowup(spark, sf_dir):
+    # Power iteration must stay equi-join + aggregate per iteration;
+    # the only nested-loop join allowed is the 1-row n_nodes broadcast.
+    df = QUERIES["graph_pagerank_bipartite"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
