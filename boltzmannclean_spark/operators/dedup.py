@@ -763,12 +763,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # One pass over pairs (a self-union would evaluate the whole LSH
+    # pipeline twice — the plan literally duplicates the subtree):
+    # explode each pair into its member and its rep, then dedup reps.
     members = (
-        pairs.select(F.col("dup_of").alias("cluster"), F.col("doc_id").alias("member"))
-        .unionByName(
-            pairs.select(
-                F.col("dup_of").alias("cluster"), F.col("dup_of").alias("member")
-            )
+        pairs.select(
+            F.col("dup_of").alias("cluster"),
+            F.explode(F.array("doc_id", "dup_of")).alias("member"),
         )
         .distinct()
     )
