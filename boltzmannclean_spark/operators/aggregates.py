@@ -610,3 +610,46 @@ def ml_linreg_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS p25_qty,
+       quantile_disc(l_quantity, 0.50) AS p50_qty,
+       quantile_disc(l_quantity, 0.75) AS p75_qty,
+       quantile_disc(l_extendedprice, 0.90) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "percentile", "disc"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc / quantile_disc): returns
+    an ACTUAL data element, never an interpolation — which is why the
+    values hash-match across engines bit-for-bit with no float recipe
+    at all (continuous quantiles interpolate and need one). Exact
+    percentile aggregation sorts within groups; at 100 TB the
+    approx_percentile sketch next door (agg_approx_sketches) is the
+    scale path, this is the audit path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("p25_qty"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("p50_qty"),
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("p75_qty"),
+            F.expr(
+                "percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

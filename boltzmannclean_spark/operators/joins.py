@@ -506,3 +506,32 @@ def join_existence_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(EXISTENCE_SQL)
+
+
+EXISTS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_returnflag = 'R' AND l.l_quantity >= 49)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "subquery_exists",
+    oracle=EXISTS_SQL,
+    tags=("join", "exists", "subquery"),
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL API: Catalyst
+    de-correlates both into left-semi and left-anti hash joins on
+    s_suppkey with the extra predicates pushed below the join — the
+    suppliers-with-big-shipments-but-no-big-returns question a user
+    would actually write this way. No driver-side match list, no
+    row-at-a-time subquery execution."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(EXISTS_SQL)

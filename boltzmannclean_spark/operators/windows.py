@@ -238,3 +238,54 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_last_hour"),
     ).orderBy("user_id", "tus")
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       COALESCE(last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY tus, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS prev_purchase,
+       COALESCE(first_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY tus, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1.0) AS next_purchase
+FROM e
+ORDER BY event_id
+""",
+    tags=("window", "ignore-nulls", "fill"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: carry the user's most recent
+    purchase value forward and the next one backward across a sparse
+    column — the attribute-propagation idiom (forward/backward fill)
+    that plain lag/lead cannot express when the interesting rows are
+    sparse. Both directions ride ONE user_id shuffle; the two frames
+    are sort-compatible."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.last("pv", ignorenulls=True).over(back), F.lit(-1.0)).alias(
+            "prev_purchase"
+        ),
+        F.coalesce(F.first("pv", ignorenulls=True).over(fwd), F.lit(-1.0)).alias(
+            "next_purchase"
+        ),
+    ).orderBy("event_id")
