@@ -213,3 +213,57 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to_us"),
         "n_orders",
     ).orderBy("o_custkey", "version")
+
+
+@register(
+    "window_session_batch",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN t_us - LAG(t_us) OVER w >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+runs AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(t_us) AS session_start_us,
+       MAX(t_us) + {SESSION_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM runs
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+""",
+    tags=("behavioral", "session-window", "native"),
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode: Spark's built-in gap
+    sessionizer works in plain groupBy too (not just streaming) — one
+    aggregation, no window-function chain. The oracle rebuilds the same
+    sessions with the lag/cumsum island recipe (new session when the
+    gap is >= 30 min, window end = last event + gap), proving the
+    native operator and the manual idiom (events_sessionize) agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

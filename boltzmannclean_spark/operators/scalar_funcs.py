@@ -608,3 +608,38 @@ def func_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rare_tok", "metric", "value")
         .orderBy("doc_id", "rare_tok", "metric")
     )
+
+
+@register(
+    "func_encoding",
+    oracle="""
+SELECT n_nationkey,
+       base64(ENCODE(n_name)) AS b64,
+       DECODE(from_base64(base64(ENCODE(n_name)))) AS b64_roundtrip,
+       lower(to_hex(n_nationkey)) AS key_hex,
+       ascii(n_name) AS first_ascii,
+       chr(65 + n_nationkey % 26) AS letter,
+       bit_length(n_name) AS bits,
+       octet_length(ENCODE(n_name)) AS octets
+FROM nation
+ORDER BY n_nationkey
+""",
+    tags=("functions", "encoding"),
+)
+def func_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding scalar family: base64 round-trip, hex rendering,
+    ascii/chr, bit/octet lengths — the blob-wrangling toolkit for
+    multimodal columns (every one a JVM builtin; base64 is RFC 4648 on
+    both engines, so values hash-match)."""
+    n = load_table(spark, sf_dir, "nation")
+    b64 = F.base64(F.col("n_name").cast("binary"))
+    return n.select(
+        "n_nationkey",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("b64_roundtrip"),
+        F.lower(F.hex(F.col("n_nationkey"))).alias("key_hex"),
+        F.ascii("n_name").alias("first_ascii"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("letter"),
+        F.bit_length("n_name").alias("bits"),
+        F.octet_length("n_name").alias("octets"),
+    ).orderBy("n_nationkey")

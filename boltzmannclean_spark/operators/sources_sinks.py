@@ -438,3 +438,59 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("r_sq").alias("sum_sq"))
         .orderBy("bucket")
     )
+
+
+# Deterministic messy CSV: 20 good rows, 3 malformed (wrong arity /
+# non-numeric id / truncated). The expected outcome is a literal on
+# both sides because we author the file.
+_CORRUPT_CSV_GOOD = 20
+_CORRUPT_CSV_BAD = 3
+
+
+@register(
+    "source_csv_corrupt_records",
+    oracle=f"""
+SELECT status, n_rows FROM (
+  VALUES ('good', {_CORRUPT_CSV_GOOD}), ('corrupt', {_CORRUPT_CSV_BAD})
+) AS t(status, n_rows)
+ORDER BY status
+""",
+    tags=("source", "csv", "error-handling"),
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with a _corrupt_record column: malformed
+    rows (wrong arity, bad types, truncation) land in the quarantine
+    column instead of killing the 100 TB load — the count-and-route
+    pattern every landing zone needs (FAILFAST is the opposite mode;
+    DROPMALFORMED silently loses data). The file is authored
+    deterministically, so the good/corrupt split is a literal oracle."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="bcs_corrupt_") + "/messy"
+    os.makedirs(path, exist_ok=True)
+    lines = ["id,name,score"]
+    lines += [f"{i},row{i},{i * 10}" for i in range(_CORRUPT_CSV_GOOD)]
+    lines += ["99,too,many,fields,here", "not_a_number,bad,1", "42,truncated"]
+    with open(f"{path}/part-000.csv", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id INT, name STRING, score INT, _corrupt_record STRING")
+        .csv(path)
+        # Spark refuses plans that reference ONLY the corrupt-record
+        # column (the parser would need a second pass); caching the
+        # parsed rows is the documented way to query the quarantine.
+        .cache()
+    )
+    return (
+        df.select(
+            F.when(F.col("_corrupt_record").isNull(), "good")
+            .otherwise("corrupt")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )
