@@ -214,3 +214,135 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT c_custkey, c_name,
+       LENGTH(c_name) AS name_len,
+       CAST(c_acctbal * 100 AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+""",
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (4.x): whole-partition transform on RAW pyarrow
+    RecordBatches — one abstraction lower than mapInPandas (no pandas
+    conversion, no index games, zero-copy into pyarrow.compute). The
+    fastest Python escape hatch there is; the natural host for codec
+    work on multimodal binary columns. Integer cents arithmetic keeps
+    it oracle-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def enrich(batches):
+        for batch in batches:
+            name = batch.column("c_name")
+            bal = batch.column("c_acctbal")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("c_custkey"),
+                    name,
+                    pc.cast(pc.utf8_length(name), pa.int32()),
+                    pc.cast(pc.round(pc.multiply(bal, 100.0)), pa.int64()),
+                ],
+                names=["c_custkey", "c_name", "name_len", "bal_cents"],
+            )
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    out = cust.mapInArrow(
+        enrich,
+        "c_custkey BIGINT, c_name STRING, name_len INT, bal_cents BIGINT",
+    )
+    return out.orderBy("c_custkey")
+
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+SELECT c_nationkey AS nation_key, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal * 100 AS BIGINT)) AS BIGINT) AS bal_cents_total
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nation_key
+""",
+    tags=("udf", "arrow", "applyInArrow"),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (4.x): grouped-map over pyarrow Tables — the Arrow
+    twin of applyInPandas for group-shaped Python logic without the
+    pandas tax. Cents accumulate as int64 before summation, so the
+    group total is exact regardless of intra-group order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_nation(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table.column("c_acctbal"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "nation_key": [table.column("c_nationkey")[0].as_py()],
+                "n_customers": [table.num_rows],
+                "bal_cents_total": [pc.sum(cents).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("nation_key", pa.int32()),
+                    ("n_customers", pa.int64()),
+                    ("bal_cents_total", pa.int64()),
+                ]
+            ),
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = cust.groupBy("c_nationkey").applyInArrow(
+        per_nation,
+        "nation_key INT, n_customers BIGINT, bal_cents_total BIGINT",
+    )
+    return out.orderBy("nation_key")
+
+
+SQL_UDF_QUERY = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(discount_cents(l_extendedprice, l_discount)) AS BIGINT)
+         AS discount_cents_total
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "udf_sql_registered",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS discount_cents_total
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("udf", "sql-registered"),
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register: a Python function exposed BY NAME to SQL text
+    — the surface a SQL-first user extends the engine through (the
+    DataFrame-API UDFs next door are invisible to spark.sql). Pandas
+    (Arrow-vectorized) under the hood; integer cents per row make the
+    fact-table sum exact."""
+
+    import numpy as np
+
+    @pandas_udf("bigint")
+    def discount_cents(price: pd.Series, disc: pd.Series) -> pd.Series:
+        # floor(x + 0.5), not .round(): pandas rounds half-to-even while
+        # SQL ROUND rounds half-away — floor+0.5 is identical everywhere.
+        return np.floor(price * disc * 100 + 0.5).astype("int64")
+
+    spark.udf.register("discount_cents", discount_cents)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_UDF_QUERY)
