@@ -337,3 +337,82 @@ def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(LATERAL_SQL)
+
+
+RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1997-12-01'
+)
+SELECT CAST(m AS STRING) AS month,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM months
+LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+GROUP BY m
+ORDER BY m
+"""
+
+
+@register(
+    "subquery_recursive_cte",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1997-12-01'
+)
+SELECT CAST(m AS VARCHAR) AS month,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM months
+LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+GROUP BY m
+ORDER BY m
+""",
+    tags=("sql", "recursive-cte", "4.x"),
+)
+def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (4.x): a recursive month spine left-joined to
+    orders, so months with zero orders still report (the gap-aware
+    report a plain GROUP BY silently drops). The recursion materializes
+    36 driver-cheap rows; the join and aggregate stay distributed —
+    recursion generating the SMALL side is the scalable use of the
+    feature (recursing over the fact table would not be)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(RECURSIVE_SPINE_SQL)
+
+
+PARAM_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority, n_orders, total_value
+""",
+    tags=("sql", "parameterized", "4.x"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(..., args={...})): named :markers
+    bind server-side — no string interpolation, no injection surface,
+    and the SAME parsed plan is reusable across bindings (plan-cache
+    friendly). Also exercises 4.x GROUP BY ALL / ORDER BY ALL sugar.
+    The oracle is the literal-inlined twin."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(PARAM_SQL, args={"min_price": 150000.0, "status": "O"})

@@ -643,3 +643,49 @@ def func_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("n_name").alias("bits"),
         F.octet_length("n_name").alias("octets"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "func_collation",
+    oracle="""
+SELECT lower(mixed) AS canonical,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT mixed) AS n_case_variants
+FROM (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS mixed
+  FROM events
+)
+GROUP BY lower(mixed)
+ORDER BY canonical
+""",
+    tags=("functions", "collation", "4.x"),
+)
+def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (4.x): grouping under UTF8_LCASE merges case
+    variants engine-side — the declarative alternative to sprinkling
+    lower() through every predicate, and the only way to get
+    case-insensitive semantics into joins/aggregations without
+    rewriting expressions. The oracle is the lower()-normalized twin;
+    COUNT(DISTINCT raw) proves real case variants were merged."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    return (
+        ev.select(
+            mixed.alias("mixed"),
+            F.collate(mixed, "UTF8_LCASE").alias("ci"),
+        )
+        .groupBy("ci")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("mixed").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("ci")).alias("canonical"),
+            "n_events",
+            "n_case_variants",
+        )
+        .orderBy("canonical")
+    )
