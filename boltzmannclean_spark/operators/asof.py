@@ -182,3 +182,99 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-1)
         .alias("lag_us"),
     ).orderBy("purchase_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row with right_on >= left_on
+    per ``by`` group (pandas merge_asof direction='forward'). Mirror of
+    ``asof_join``: same one-shuffle union+sort, but the fill runs
+    backward (first over current..unboundedFollowing) and right rows
+    sort AFTER left rows on timestamp ties so a tie still matches."""
+    by = list(by)
+    payload = list(payload)
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns clash with left columns: {sorted(clash)}")
+
+    l2 = left.withColumn(_TAG, F.lit(0)).withColumn(_TS, F.col(left_on))
+    for c in payload:
+        l2 = l2.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+
+    r2 = right.select(
+        *by, F.col(right_on).alias(_TS), F.lit(1).alias(_TAG), *payload
+    )
+    for c in left.columns:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    cols = left.columns + [_TAG, _TS] + payload
+    unioned = l2.select(*cols).unionByName(r2.select(*cols))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(_TS, _TAG)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *left.columns,
+        F.col(_TAG),
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.where(F.col(_TAG) == 0).drop(_TAG)
+
+
+@register(
+    "asof_forward_next_click",
+    oracle="""
+SELECT
+  p.event_id        AS purchase_id,
+  p.user_id         AS user_id,
+  epoch_us(p.ts)    AS purchase_us,
+  COALESCE(c.event_id, -1)     AS click_id,
+  COALESCE(c.value, -1.0)      AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY purchase_id
+""",
+    tags=("join", "asof", "forward"),
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's NEXT click at
+    or after it (post-purchase behavior attribution) — merge_asof
+    direction='forward', still one shuffle, no per-key cross product.
+    DuckDB's ASOF with `<=` is the directional oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join_forward(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="p_ts",
+        right_on="c_ts",
+        payload=["click_id", "click_value"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+    ).orderBy("purchase_id")

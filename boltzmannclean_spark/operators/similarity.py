@@ -556,3 +556,49 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+N_NORM_DIMS = 8  # normalize the leading dims (all 64 works identically)
+
+
+@register(
+    "embedding_quantile_normalize",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT vec_id, dim,
+       CAST(RANK() OVER w - 1 AS DOUBLE)
+         / (COUNT(*) OVER (PARTITION BY dim) - 1) AS pct
+FROM q
+WHERE dim < {N_NORM_DIMS}
+WINDOW w AS (PARTITION BY dim ORDER BY x)
+ORDER BY vec_id, dim
+""",
+    tags=("similarity", "embedding", "normalize"),
+)
+def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of embeddings — the
+    distribution-free rescaling for mixed-source vectors. percent_rank
+    is (rank-1)/(n-1) over exact integer ranks, so outputs are
+    bit-identical cross-engine with zero float recipes; ties share a
+    rank by definition in both. One shuffle on dim (64 partitions of
+    corpus-size each — at 100 TB, range-partition within dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).where(F.col("dim") < N_NORM_DIMS)
+    w = Window.partitionBy("dim").orderBy("x")
+    return (
+        q.select(
+            "vec_id",
+            "dim",
+            F.percent_rank().over(w).alias("pct"),
+        )
+        .orderBy("vec_id", "dim")
+    )
