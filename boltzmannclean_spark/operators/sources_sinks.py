@@ -494,3 +494,118 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("status")
     )
+
+
+COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey < 5000
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("sink", "compaction", "small-files"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented landing zone (32-way write →
+    one file per partition) is rewritten through coalesce() into a few
+    right-sized files — THE daily hygiene job at scale (each parquet
+    file costs a footer read + a task; 10⁶ small files can dominate a
+    scan). coalesce avoids a shuffle entirely (it merges upstream
+    partitions); repartition would shuffle but also rebalance skew.
+    The pytest asserts the file count actually dropped; the oracle
+    checks compaction changed no data."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
+    base = tempfile.mkdtemp(prefix="bcs_compact_")
+    frag_dir, compact_dir = f"{base}/fragmented", f"{base}/compacted"
+    li.repartition(32).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(COMPACT_TARGET_FILES).write.mode("overwrite").parquet(compact_dir)
+    return (
+        spark.read.parquet(compact_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZBITS = 8  # bits per dimension in the Morton interleave
+
+
+def _morton_spark():
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"shiftleft(shiftright(za, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright(zb, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_duck():
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(((za >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((zb >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "sink_zorder_cluster",
+    oracle=f"""
+WITH keyed AS (
+  SELECT l_partkey % 256 AS za, l_suppkey % 256 AS zb, l_extendedprice
+  FROM lineitem
+),
+z AS (SELECT *, {_morton_duck()} AS morton FROM keyed)
+SELECT morton // 4096 AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(za) AS min_a, MAX(za) AS max_a,
+       MIN(zb) AS min_b, MAX(zb) AS max_b,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM z
+GROUP BY morton // 4096
+ORDER BY zbucket
+""",
+    tags=("sink", "zorder", "clustering"),
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: interleave the bits of two join/
+    filter keys into one sort key, range-partition + sort the write on
+    it, and every file covers a small RECTANGLE in (partkey, suppkey)
+    space — so a predicate on EITHER key prunes most files via their
+    min/max footers (a single-key sort only prunes its own key). The
+    Morton code is pure integer bit arithmetic — identical in any
+    engine; bucket stats (bounded min/max spans per bucket) are the
+    oracle-visible locality evidence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.selectExpr(
+        "l_partkey % 256 AS za", "l_suppkey % 256 AS zb", "l_extendedprice"
+    )
+    z = keyed.withColumn("morton", F.expr(_morton_spark()))
+    path = tempfile.mkdtemp(prefix="bcs_zorder_") + "/lineitem_z"
+    (
+        z.repartitionByRange(8, "morton")
+        .sortWithinPartitions("morton")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.expr("morton div 4096").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("za").alias("min_a"),
+            F.max("za").alias("max_a"),
+            F.min("zb").alias("min_b"),
+            F.max("zb").alias("max_b"),
+            F.sum(dec("l_extendedprice", 14)).cast("double").alias("sum_price"),
+        )
+        .orderBy("zbucket")
+    )

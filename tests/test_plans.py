@@ -104,3 +104,56 @@ def test_pagerank_no_cartesian_blowup(spark, sf_dir):
     df = QUERIES["graph_pagerank_bipartite"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_files_cover_bounded_rectangles(spark, sf_dir, tmp_path):
+    # A Z-ordered write must give each FILE a bounded min/max rectangle
+    # in both keys (that's what makes footer pruning work on either
+    # predicate); a single-key sort would leave the second key's span
+    # at full range in every file.
+    from boltzmannclean_spark.operators.sources_sinks import (
+        _morton_spark,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.selectExpr(
+        "l_partkey % 256 AS za", "l_suppkey % 256 AS zb"
+    ).withColumn("morton", F.expr(_morton_spark()))
+    out = str(tmp_path / "zorder")
+    (
+        keyed.repartitionByRange(8, "morton")
+        .sortWithinPartitions("morton")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("za") - F.min("za")).alias("span_a"),
+            (F.max("zb") - F.min("zb")).alias("span_b"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 4
+    # every file's rectangle must be materially smaller than the full
+    # 256x256 domain in at least one dimension, most in both
+    tight = [r for r in spans if r.span_a <= 192 and r.span_b <= 192]
+    assert len(tight) >= len(spans) // 2, [(r.span_a, r.span_b) for r in spans]
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(2000)
+    frag = str(tmp_path / "frag")
+    comp = str(tmp_path / "comp")
+    li.repartition(16).write.mode("overwrite").parquet(frag)
+    fdf = spark.read.parquet(frag)
+    n_frag = fdf.select(F.input_file_name()).distinct().count()
+    fdf.coalesce(2).write.mode("overwrite").parquet(comp)
+    cdf = spark.read.parquet(comp)
+    n_comp = cdf.select(F.input_file_name()).distinct().count()
+    assert n_frag >= 8 and n_comp <= 2, (n_frag, n_comp)
+    assert cdf.count() == fdf.count()
