@@ -267,3 +267,50 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+),
+cnt AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur) AS p
+FROM cnt
+ORDER BY cur, nxt
+""",
+    tags=("behavioral", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lead() pairs consecutive events (one user_id shuffle),
+    the count aggregate shuffles only distinct (cur, next) cells, and
+    the row-normalized probability divides two exact counts — the
+    empirical behavior model feeding next-event prediction and anomaly
+    scoring."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("cur")
+    return (
+        cnt.select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wrow)).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

@@ -602,3 +602,96 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim")
     )
+
+
+# --- dominant principal direction via integer power iteration ---------------
+
+GRAM_DOWNSCALE = 1_000_000_000
+PCA_ITERS = 3
+
+
+def _sdiv_duck(num: str, den: str) -> str:
+    """Sign-safe integer division: DuckDB // floors but Spark div
+    truncates, so divide magnitudes (where both agree) and reapply the
+    sign."""
+    return f"CASE WHEN {num} < 0 THEN -((-({num})) // {den}) ELSE ({num}) // {den} END"
+
+
+def _sdiv_spark(num: str, den: str) -> str:
+    return f"CASE WHEN {num} < 0 THEN -((-({num})) div {den}) ELSE ({num}) div {den} END"
+
+
+def _pca_oracle() -> str:
+    its = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        its.append(
+            f"""
+u{k} AS (
+  SELECT g.i AS d, CAST(SUM(g.gs * {prev}.v) AS BIGINT) AS u
+  FROM g JOIN {prev} ON {prev}.d = g.j GROUP BY g.i
+),
+m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k}),
+v{k} AS (
+  SELECT d, {_sdiv_duck("u * 1000000", "m")} AS v
+  FROM u{k} CROSS JOIN m{k}
+)"""
+        )
+        prev = f"v{k}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+g AS (
+  SELECT a.d AS i, b.d AS j,
+         {_sdiv_duck(f"CAST(SUM(a.qx * b.qx) AS BIGINT)", str(GRAM_DOWNSCALE))} AS gs
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.d, b.d
+),
+v0 AS (SELECT DISTINCT d, CAST({MICRO} AS BIGINT) AS v FROM q),{",".join(its)}
+SELECT d AS dim, v AS eigvec_micro FROM {prev} ORDER BY dim
+"""
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("similarity", "pca", "iterative"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by power
+    iteration on the Gram matrix — the first step of distributed PCA.
+    The Gram accumulates as EXACT integer products over one corpus pass
+    (the classic outer-product aggregation: 64×64 partial sums per
+    partition, constant-size shuffle regardless of corpus rows); the
+    64×64 iteration itself is tiny and stays declarative. Every step is
+    integer arithmetic with sign-safe scaling divisions, so all three
+    iterations are bit-identical in any engine at any parallelism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(_qvec(F.col("embedding"))).alias("d", "qx")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    g = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.d").alias("i"), F.col("b.d").alias("j"))
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).alias("s"))
+        .selectExpr("i", "j", _sdiv_spark("s", str(GRAM_DOWNSCALE)) + " AS gs")
+    )
+    v = q.select("d").distinct().select("d", F.lit(MICRO).cast("long").alias("v"))
+    for _ in range(PCA_ITERS):
+        u = (
+            g.join(v, g.j == v.d)
+            .groupBy("i")
+            .agg(F.sum(F.col("gs") * F.col("v")).alias("u"))
+            .withColumnRenamed("i", "d")
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).selectExpr(
+            "d", _sdiv_spark("u * 1000000", "m") + " AS v"
+        )
+    return v.select(F.col("d").alias("dim"), F.col("v").alias("eigvec_micro")).orderBy(
+        "dim"
+    )

@@ -582,3 +582,64 @@ def chunk_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "chunk_id")
     )
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= {VOCAB_TOP_K}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(v.tok) AS n_in_vocab,
+       CAST(COUNT(*) - COUNT(v.tok) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("text", "vocab", "oov"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-100
+    vocabulary — the tokenizer-fit signal (high OOV → wrong tokenizer or
+    wrong-language doc). Two aggregations: corpus term counts (token-
+    keyed shuffle), then a broadcast of the tiny vocab back over the
+    exploded tokens; deterministic (count desc, token) vocab cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " "), "")).alias("tok"),
+    )
+    wv = Window.orderBy(F.desc("n"), "tok")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") <= VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("in_vocab").alias("n_in_vocab"),
+            (
+                (F.count(F.lit(1)) - F.count("in_vocab")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
