@@ -12,7 +12,7 @@ reused by both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.exact import dec
@@ -137,4 +137,119 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("var") > 0) & (F.abs(z) > 2.5))
         .select("user_id", "event_id", "value", z.alias("zscore"))
         .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+rows_ AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+cols_ AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, obs.o,
+         CAST(rows_.r * cols_.c AS DOUBLE) / tot.n AS expected
+  FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN tot
+)
+SELECT lang, source, CAST(o AS BIGINT) AS observed, expected,
+       (o - expected) * (o - expected) / expected AS contrib,
+       CAST(SUM((o - expected) * (o - expected) / expected) OVER () AS FLOAT)
+         AS chi2_total
+FROM cells
+ORDER BY lang, source
+""",
+    tags=("profiling", "statistics", "chi-square"),
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the lang × source contingency
+    table — the drift/bias check for corpus composition. Counts and
+    marginals are exact integers; expected = r·c/n and each cell's
+    contribution evaluate per row from identical doubles, and only the
+    cross-cell total (a merge-order-sensitive sum) is FLOAT-truncated.
+    One groupBy of the corpus, then marginal joins over the tiny cell
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rows_, "lang")
+        .join(cols_, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "o",
+            ((F.col("r") * F.col("c")).cast("double") / F.col("n")).alias(
+                "expected"
+            ),
+        )
+    )
+    contrib = (F.col("o") - F.col("expected")) * (
+        F.col("o") - F.col("expected")
+    ) / F.col("expected")
+    return (
+        cells.select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            "expected",
+            contrib.alias("contrib"),
+        )
+        .withColumn(
+            "chi2_total",
+            F.sum("contrib").over(Window.partitionBy()).cast("float"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, SUM(n) AS total FROM c GROUP BY user_id)
+SELECT c.user_id,
+       CAST(t.total AS BIGINT) AS n_events,
+       COUNT(*) AS n_types,
+       CAST(-SUM((CAST(c.n AS DOUBLE) / t.total)
+                 * ln(CAST(c.n AS DOUBLE) / t.total)) AS FLOAT) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.total
+ORDER BY c.user_id
+""",
+    tags=("profiling", "statistics", "entropy"),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the diversity /
+    bot-detection signal (entropy ≈ 0 → single-action automation).
+    Probabilities divide exact counts; the Σ p·ln p aggregate is the
+    one merge-order-sensitive step, so it is FLOAT-truncated (the
+    proven transcendental recipe). Two same-key aggregations ride one
+    user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            (-F.sum(p * F.log(p))).cast("float").alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("total").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+        .orderBy("user_id")
     )
