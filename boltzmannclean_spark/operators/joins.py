@@ -535,3 +535,63 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(EXISTS_SQL)
+
+
+VOLUME_SHIPPING_SQL_DUCK = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "join_volume_shipping",
+    oracle=VOLUME_SHIPPING_SQL_DUCK,
+    tags=("join", "tpch-q7", "multi-join"),
+)
+def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped 6-way join: bilateral trade volume between two
+    nations by ship year. The OR-of-pairs predicate cannot be pushed
+    into either nation join alone — Catalyst evaluates it after both
+    broadcast nation joins, which is the right plan: the two fact
+    shuffles (lineitem⋈orders on orderkey) dominate, every dimension
+    broadcasts, and the disjunction filters a tiny post-join stream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

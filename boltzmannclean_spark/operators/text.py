@@ -643,3 +643,67 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM src
+),
+bi AS (
+  SELECT doc_id, tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+bg_counts AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+u_counts AS (SELECT w1, SUM(c2) AS c1 FROM bg_counts GROUP BY w1)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(ln(CAST(g.c2 AS DOUBLE) / u.c1)) / COUNT(*) AS FLOAT)
+         AS mean_logprob
+FROM bi b
+JOIN bg_counts g ON g.w1 = b.w1 AND g.w2 = b.w2
+JOIN u_counts u ON u.w1 = b.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+    tags=("text", "lm", "bigram"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: corpus-estimated P(w₂|w₁) =
+    c(w₁w₂)/c(w₁·), per-doc mean log-probability — the step up from the
+    unigram proxy (text_unigram_logprob) and the standard LM-quality
+    filter shape: counts aggregate once corpus-wide, then broadcast-ish
+    joins score every doc's bigrams. Probabilities divide exact counts;
+    only the per-doc Σln (merge-order-sensitive) is FLOAT-truncated."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.array_remove(F.split("text", " "), "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    bg = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    un = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lp = F.log(F.col("c2").cast("double") / F.col("c1"))
+    return (
+        bi.join(bg, ["w1", "w2"])
+        .join(un, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(lp) / F.count(F.lit(1))).cast("float").alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
