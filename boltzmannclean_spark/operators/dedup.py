@@ -853,3 +853,105 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang,
+         tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks
+  QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+df AS (SELECT lang, sh FROM grams GROUP BY lang, sh HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+kept AS (SELECT g.* FROM grams g JOIN df USING (lang, sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_int
+  FROM kept ga
+  JOIN kept gb ON ga.sh = gb.sh AND ga.lang = gb.lang AND ga.doc_id < gb.doc_id
+  GROUP BY ga.doc_id, gb.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_int,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       GREATEST(CAST(i.n_int AS DOUBLE) / sa.n_sh,
+                CAST(i.n_int AS DOUBLE) / sb.n_sh) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE GREATEST(CAST(i.n_int AS DOUBLE) / sa.n_sh,
+               CAST(i.n_int AS DOUBLE) / sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup (max of |A∩B|/|A|, |A∩B|/|B| over capped
+    bigram shingles): catches the quote-inclusion / near-superset
+    duplicates that symmetric Jaccard misses — a short doc fully
+    embedded in a long one has low Jaccard but containment ≈ 1. Same
+    DF-capped shared-shingle equi-join as the Jaccard pass (pairs track
+    actual overlap, stop-bigrams pre-dropped); the asymmetric ratios
+    divide exact intersection counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    all_grams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("sh"),
+        )
+        .distinct()
+    )
+    rare = (
+        all_grams.groupBy("lang", "sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("lang", "sh")
+    )
+    kept = all_grams.join(rare, ["lang", "sh"])
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ga, gb = kept.alias("ga"), kept.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.sh") == F.col("gb.sh"))
+            & (F.col("ga.lang") == F.col("gb.lang"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.greatest(
+        F.col("n_int").cast("double") / F.col("sa.n_sh"),
+        F.col("n_int").cast("double") / F.col("sb.n_sh"),
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_int",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

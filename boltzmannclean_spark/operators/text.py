@@ -707,3 +707,131 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BENCH_DOCS = 10  # doc_id < 10 stands in for the eval/benchmark set
+CONTAM_MIN_SHARED = 3
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g5 AS (
+  SELECT doc_id, DISTINCT_ON_HACK.g AS g FROM src,
+  LATERAL (SELECT UNNEST(list_distinct(list_transform(
+    generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         || toks[i+3] || ' ' || toks[i+4]))) AS g) AS DISTINCT_ON_HACK
+),
+bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id < {BENCH_DOCS}),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM g5 c JOIN bench b ON c.g = b.g
+  WHERE c.doc_id >= {BENCH_DOCS}
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shared,
+       CASE WHEN n_shared >= {CONTAM_MIN_SHARED} THEN 1 ELSE 0 END AS contaminated
+FROM hits
+ORDER BY doc_id
+""",
+    tags=("text", "decontamination", "llm"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word
+    5-grams with the held-out set (doc_id < 10 as the stand-in) — the
+    eval-integrity pass every LLM corpus needs. The benchmark's distinct
+    5-grams broadcast (eval sets are tiny vs the corpus); training docs
+    stream through the hash join, so cost is one corpus pass at any
+    scale. 5-grams build as per-row array expressions — no shuffle
+    until the per-doc hit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    g5 = docs.selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform("
+        " sequence(0, size(array_remove(split(text, ' '), '')) - 5),"
+        " i -> concat_ws(' ',"
+        "   array_remove(split(text, ' '), '')[i],"
+        "   array_remove(split(text, ' '), '')[i+1],"
+        "   array_remove(split(text, ' '), '')[i+2],"
+        "   array_remove(split(text, ' '), '')[i+3],"
+        "   array_remove(split(text, ' '), '')[i+4]))) ) AS g",
+    )
+    bench = (
+        g5.where(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
+    )
+    return (
+        g5.where(F.col("doc_id") >= BENCH_DOCS)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            F.when(F.col("n_shared") >= CONTAM_MIN_SHARED, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MIX_ALPHA = 2  # weight ∝ quality^alpha
+
+
+@register(
+    "curation_mixture_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(LEN(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x <> '')))) AS BIGINT)
+           AS sum_unique,
+         CAST(SUM(LEN(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_docs,
+         CAST(sum_unique AS DOUBLE) / sum_tokens AS quality
+  FROM per_source
+)
+SELECT source, n_docs, quality,
+       CAST(quality * quality / SUM(quality * quality) OVER () AS FLOAT)
+         AS mix_weight
+FROM q
+ORDER BY source
+""",
+    tags=("curation", "mixture", "llm"),
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting: per-source sampling weights ∝ quality²
+    (pooled type/token ratio from EXACT integer token sums — never a
+    mean of per-doc floats, which would be merge-order noise). Only the
+    cross-source normalizer is order-sensitive, so the weight is
+    FLOAT-truncated. This is the knob that turns corpus curation into
+    an epoch sampling plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split("text", " "), "")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.array_distinct(toks))).cast("long").alias("sum_unique"),
+        F.sum(F.size(toks)).cast("long").alias("sum_tokens"),
+    )
+    q = per_source.select(
+        "source",
+        "n_docs",
+        (F.col("sum_unique").cast("double") / F.col("sum_tokens")).alias("quality"),
+    )
+    qq = F.col("quality") * F.col("quality")
+    return (
+        q.withColumn(
+            "mix_weight",
+            (qq / F.sum(qq).over(Window.partitionBy())).cast("float"),
+        )
+        .orderBy("source")
+    )
