@@ -653,3 +653,36 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT n_regionkey,
+       STRING_AGG(n_name, '|' ORDER BY n_name) AS nations,
+       STRING_AGG(DISTINCT SUBSTRING(n_name, 1, 7), '|' ORDER BY SUBSTRING(n_name, 1, 7))
+         AS name_prefixes
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    tags=("aggregate", "listagg", "4.x"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / string_agg (4.x): ordered string concatenation as a
+    real aggregate — WITHIN GROUP fixes the concatenation order, so the
+    result is deterministic under any shuffle (an unordered listagg is
+    a flaky-output bug factory). DISTINCT + ordered variant included."""
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+SELECT n_regionkey,
+       listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+       listagg(DISTINCT SUBSTRING(n_name, 1, 7), '|')
+         WITHIN GROUP (ORDER BY SUBSTRING(n_name, 1, 7)) AS name_prefixes
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+    )

@@ -314,3 +314,124 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS last_us,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT *,
+         NTILE(4) OVER (ORDER BY last_us DESC, user_id) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM base
+)
+SELECT user_id, last_us, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score <= 2 AND m_score <= 2 THEN 'loyal'
+            WHEN r_score = 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY user_id
+""",
+    tags=("behavioral", "rfm", "segmentation"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles (ntile
+    over a UNIQUE total order — value desc then user_id — so tile
+    membership is deterministic) folded into named segments. One
+    aggregate pass + three global ntiles over the small per-user
+    rollup; at 100 TB the rollup is ~users-sized, not events-sized."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("value")).cast("double").alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_us"), "user_id"))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id"))
+    scored = base.select(
+        "user_id", "last_us", "frequency", "monetary",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "loyal")
+        .when(F.col("r_score") == 4, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(20,2)) AS total FROM rev),
+run AS (
+  SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue,
+         CAST(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(20,2)) AS cum,
+         total
+  FROM rev CROSS JOIN tot
+)
+SELECT o_custkey, revenue,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.5 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM run
+ORDER BY revenue DESC, o_custkey
+""",
+    tags=("behavioral", "pareto", "abc"),
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by cumulative revenue
+    share: the running total accumulates in EXACT decimal over a unique
+    (revenue desc, custkey) order, so the cumulative share — and
+    therefore every A/B/C boundary decision — is bit-deterministic; a
+    double running sum would flip classes at the boundaries under
+    re-partitioning. Global window over the customer rollup, not the
+    fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 16)).cast("decimal(18,2)").alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").cast("decimal(20,2)").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = rev.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("decimal(20,2)").alias("cum"),
+        "total",
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return (
+        run.select(
+            "o_custkey",
+            "revenue",
+            share.alias("cum_share"),
+            F.when(share <= 0.5, "A")
+            .when(share <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+    )

@@ -689,3 +689,50 @@ def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+@register(
+    "func_datetime_make",
+    oracle="""
+SELECT o_orderkey,
+       CAST(make_date(2024, MONTH(o_orderdate), 1) AS VARCHAR) AS month_marker,
+       CAST(make_timestamp(YEAR(o_orderdate), MONTH(o_orderdate),
+                           DAY(o_orderdate), 12, 30, 0.0) AS VARCHAR)
+         AS noon_ts,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+         AS plus_month,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       DATEDIFF('day', CAST(o_orderdate AS DATE),
+                last_day(CAST(o_orderdate AS DATE))) AS days_left_in_month
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+""",
+    tags=("functions", "datetime", "constructors"),
+)
+def func_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp constructors and calendar arithmetic: make_date /
+    make_timestamp build temporal values from parts (the inverse of the
+    extraction family), add_months clamps to month end exactly like
+    DuckDB's +INTERVAL (Jan 31 + 1 month = Feb 28/29 in both), and
+    last_day anchors month-window logic. All string-rendered so the
+    comparison is calendar semantics, not dtype trivia."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    dd = d.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.lit(2024), F.month(d), F.lit(1))
+        .cast("string")
+        .alias("month_marker"),
+        F.date_format(
+            F.make_timestamp(
+                F.year(d), F.month(d), F.dayofmonth(d),
+                F.lit(12), F.lit(30), F.lit(0),
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("noon_ts"),
+        F.add_months(dd, 1).cast("string").alias("plus_month"),
+        F.last_day(dd).cast("string").alias("month_end"),
+        F.datediff(F.last_day(dd), dd).alias("days_left_in_month"),
+    ).orderBy("o_orderkey")
