@@ -736,3 +736,43 @@ def func_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(dd).cast("string").alias("month_end"),
         F.datediff(F.last_day(dd), dd).alias("days_left_in_month"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "func_url_parse",
+    oracle="""
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       'lang=' || lang AS query,
+       lang AS lang_param,
+       'sec' || CAST(doc_id % 3 AS VARCHAR) AS fragment
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+    tags=("functions", "url", "web"),
+)
+def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url): host / path / query / named query
+    parameter / fragment extraction — the first operator of every
+    web-crawl pipeline (domain blocklists, per-site rate stats, dedup
+    by canonical URL). URLs are synthesized deterministically from
+    columns, so the oracle states the expected parts as ground truth
+    and the check validates Spark's parser itself. JVM-side regex —
+    no Python in the row path."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("#sec"), (F.col("doc_id") % 3).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("u"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("u"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("u"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("u"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("u"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(F.col("u"), F.lit("REF")).alias("fragment"),
+    ).orderBy("doc_id")
