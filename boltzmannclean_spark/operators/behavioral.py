@@ -435,3 +435,124 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "o_custkey")
     )
+
+
+COVER_DAYS = 30  # each order "covers" [o_orderdate, o_orderdate + 30d)
+
+
+@register(
+    "intervals_merge_overlapping",
+    oracle=f"""
+WITH iv AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + {COVER_DAYS}::BIGINT * 86400000000 AS e
+  FROM orders
+),
+flagged AS (
+  SELECT *, CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT o_custkey, CAST(island AS BIGINT) AS island,
+       MIN(s) AS start_us, MAX(e) AS end_us,
+       COUNT(*) AS n_intervals,
+       (MAX(e) - MIN(s)) // 86400000000 AS span_days
+FROM islands
+GROUP BY o_custkey, island
+ORDER BY o_custkey, island
+""",
+    tags=("behavioral", "intervals", "islands"),
+)
+def intervals_merge_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key (each order covers 30 days;
+    touching/overlapping coverage windows collapse into maximal
+    'coverage islands'). The classic sweep: an interval starts a new
+    island iff its start exceeds the running MAX(end) of everything
+    before it — a window max with an UNBOUNDED..1 PRECEDING frame, then
+    the usual flag-cumsum island id. One customer-keyed shuffle for the
+    sweep, the island grouping, and the rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(COVER_DAYS * 86_400_000_000)
+        ).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > prev_max_e, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        islands.groupBy("o_custkey", "island")
+        .agg(
+            F.min("s").alias("start_us"),
+            F.max("e").alias("end_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            ((F.max("e") - F.min("s")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("span_days"),
+        )
+        .orderBy("o_custkey", "island")
+    )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT user_id, UNNEST(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS rd
+  FROM ud
+)
+SELECT CAST(CAST(rd AS DATE) AS VARCHAR) AS report_day,
+       COUNT(DISTINCT user_id) AS wau
+FROM contrib
+GROUP BY rd
+ORDER BY report_day
+""",
+    tags=("behavioral", "wau", "rolling-distinct"),
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the metric SQL can't
+    express as a window (COUNT DISTINCT over a RANGE frame is
+    unsupported everywhere) — via the scatter trick: each (user, day)
+    activity contributes itself to the 7 report days it makes active,
+    then one distinct-count per report day. Contribution fan-out is a
+    constant ×7 on the DEDUPED user-day table (≪ raw events), which is
+    the shape that survives 100 TB of events."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("rd"),
+    )
+    return (
+        contrib.groupBy(F.col("rd").cast("string").alias("report_day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("report_day")
+    )

@@ -609,3 +609,90 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@register(
+    "sink_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+new AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0
+              THEN CAST(c_acctbal AS DECIMAL(12,2)) + CAST(10 AS DECIMAL(12,2))
+              ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+diff AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'insert'
+              WHEN n.c_custkey IS NULL THEN 'delete'
+              WHEN o.bal <> n.bal OR o.c_mktsegment <> n.c_mktsegment THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM diff
+GROUP BY change_type
+ORDER BY change_type
+""",
+    tags=("sink", "cdc", "snapshot-diff"),
+)
+def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing (poor-man's CDC): two materialized
+    snapshots of a dimension full-outer-join on the business key and
+    every row is classified insert / delete / update / unchanged — the
+    changeset feed when the upstream system has no change log. Both
+    snapshots are REAL parquet writes re-read before diffing (the
+    operational shape: yesterday's snapshot is on disk, not in memory);
+    the join shuffles on the key both snapshots would be bucketed by
+    at scale. Balances compare in exact DECIMAL — a double snapshot
+    would manufacture phantom updates."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="bcs_snapdiff_")
+    old = cust.where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment", dec("c_acctbal").alias("bal")
+    )
+    new = cust.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            dec("c_acctbal") + F.lit(10).cast("decimal(12,2)"),
+        )
+        .otherwise(dec("c_acctbal"))
+        .alias("bal"),
+    )
+    old.write.mode("overwrite").parquet(f"{base}/old")
+    new.write.mode("overwrite").parquet(f"{base}/new")
+    o = spark.read.parquet(f"{base}/old").alias("o")
+    n = spark.read.parquet(f"{base}/new").alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    change = (
+        F.when(F.col("o.c_custkey").isNull(), "insert")
+        .when(F.col("n.c_custkey").isNull(), "delete")
+        .when(
+            (F.col("o.bal") != F.col("n.bal"))
+            | (F.col("o.c_mktsegment") != F.col("n.c_mktsegment")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias(
+                "c_custkey"
+            ),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
