@@ -686,3 +686,44 @@ GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS qty_weighted_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         AS plain_avg_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "weighted"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean (Σw·x / Σw) with EXACT decimal numerator and
+    denominator — the aggregation every pricing/index computation
+    needs, and a decimal-recipe showcase: both power sums are exact, so
+    the one double division is bit-identical cross-engine. Plain mean
+    alongside shows the weighting effect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price, qty = dec("l_extendedprice"), dec("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(price * qty).cast("double")
+                / F.sum(qty).cast("double")
+            ).alias("qty_weighted_price"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias(
+                "plain_avg_price"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

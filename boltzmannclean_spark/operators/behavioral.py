@@ -556,3 +556,74 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("report_day")
     )
+
+
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # clicks within 1 day before purchase
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+         CAST(value AS DECIMAL(12,2)) AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.purchase_id, p.user_id, p.amount, c.click_id,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM p JOIN c ON p.user_id = c.user_id
+              AND c.c_us <= p.p_us
+              AND c.c_us > p.p_us - {ATTR_WINDOW_US}
+)
+SELECT purchase_id, user_id, click_id,
+       CAST(amount AS DOUBLE) / n_touches AS credit,
+       CAST(n_touches AS BIGINT) AS n_touches
+FROM touch
+ORDER BY purchase_id, click_id
+""",
+    tags=("behavioral", "attribution", "range-join"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 24 h before a
+    purchase shares the purchase amount equally. The purchase⋈click
+    range join is user-equi + time-banded — pairs only materialize per
+    user within the window (at 100 TB: pre-bucket both sides by
+    (user, day) so the band never crosses more than two buckets).
+    Credit divides a decimal-exact amount by an integer touch count —
+    bit-identical splits, which is what makes attribution revenue
+    reconcile with finance's totals."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        dec("value").alias("amount"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        touch.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.col("amount").cast("double") / F.col("n_touches")).alias("credit"),
+            F.col("n_touches").cast("long").alias("n_touches"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

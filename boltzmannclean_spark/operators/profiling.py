@@ -253,3 +253,50 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_anomaly_iqr",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT e.event_type, e.event_id, e.value, b.lo, b.hi
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE e.value < b.lo OR e.value > b.hi
+ORDER BY e.event_type, e.event_id
+""",
+    tags=("profiling", "outliers", "iqr"),
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier detection per event type — the ROBUST
+    twin of the z-score pass (quartiles ignore the very outliers that
+    inflate a standard deviation). percentile_disc returns actual data
+    elements, so the fences derive from bit-identical doubles in both
+    engines and the cut is tolerance-free. Tiny per-type fence table
+    broadcasts back over the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    b = q.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .where((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .select("event_type", "event_id", "value", "lo", "hi")
+        .orderBy("event_type", "event_id")
+    )

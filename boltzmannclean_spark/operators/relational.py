@@ -416,3 +416,40 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the literal-inlined twin."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(PARAM_SQL, args={"min_price": 150000.0, "status": "O"})
+
+
+SCALAR_SUBQ_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_above_avg,
+       CAST(MIN(p_retailprice) AS DOUBLE) AS cheapest_above_avg
+FROM part
+WHERE p_retailprice > (SELECT AVG(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+  AND p_size < (SELECT MAX(p_size) FROM part)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register(
+    "subquery_scalar_agg",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_above_avg,
+       CAST(MIN(p_retailprice) AS DOUBLE) AS cheapest_above_avg
+FROM part
+WHERE p_retailprice > (SELECT AVG(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+  AND p_size < (SELECT MAX(p_size) FROM part)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("sql", "scalar-subquery"),
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries in predicates ("above the overall
+    average"): Catalyst executes each once and injects the scalar as a
+    literal into the main scan's filter — effectively a broadcast of
+    one value, NOT a per-row subquery. The average accumulates in exact
+    decimal so the > cut is deterministic; min price re-rendered as
+    DECIMAL so both engines print identically."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(SCALAR_SUBQ_SQL)

@@ -289,3 +289,41 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase"
         ),
     ).orderBy("event_id")
+
+
+BAL_RANGE = 100  # acctbal neighborhood half-width
+
+
+@register(
+    "window_value_range",
+    oracle=f"""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       COUNT(*) OVER w AS n_peers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE) AS peer_bal_sum
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+             RANGE BETWEEN {BAL_RANGE} PRECEDING AND {BAL_RANGE} FOLLOWING)
+ORDER BY c_custkey
+""",
+    tags=("window", "range-frame", "value"),
+)
+def window_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame (±100 of account balance, not ±N rows):
+    each customer aggregates over its balance NEIGHBORHOOD within the
+    nation — peer-group analytics no ROWS frame can express (tied and
+    near values enter the frame together). The frame sum accumulates in
+    exact decimal: engines walk range frames in different orders
+    (incremental vs segment tree), which a double sum would expose."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-BAL_RANGE, BAL_RANGE)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_peers"),
+        F.sum(dec("c_acctbal")).over(w).cast("double").alias("peer_bal_sum"),
+    ).orderBy("c_custkey")
