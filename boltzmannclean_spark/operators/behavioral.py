@@ -627,3 +627,49 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "events_cumulative_reach",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+new_per_day AS (
+  SELECT first_day AS d, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+),
+days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events)
+SELECT CAST(days.d AS VARCHAR) AS day,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY days.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_reach
+FROM days LEFT JOIN new_per_day n ON n.d = days.d
+ORDER BY day
+""",
+    tags=("behavioral", "reach", "cumulative-distinct"),
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach (running distinct users ever seen, per day):
+    the cumulative-COUNT-DISTINCT that windows can't express becomes
+    exact integer arithmetic via first-touch reduction — each user
+    contributes once on their first day, and a running SUM of new users
+    IS the distinct total. Events-sized input collapses to a users-
+    sized aggregate, then a days-sized window."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = ev.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        F.min("d").alias("first_day")
+    )
+    new_per_day = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select(day.alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(new_per_day, "d", "left")
+        .select("d", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cumulative_reach", F.sum("new_users").over(w).cast("long"))
+        .select(F.col("d").cast("string").alias("day"), "new_users", "cumulative_reach")
+        .orderBy("day")
+    )

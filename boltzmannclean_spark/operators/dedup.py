@@ -955,3 +955,61 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || upper(source) || '.Example.COM/docs/'
+           || CAST(doc_id % 100 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+           || '?utm=x' AS raw_url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_replace(regexp_replace(raw_url,
+               '[?#].*$', ''), '/+$', ''), '^https?://', '')) AS canon_url
+  FROM urls
+)
+SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM canon
+GROUP BY canon_url
+HAVING COUNT(*) > 1
+ORDER BY canon_url
+""",
+    tags=("dedup", "url", "canonical"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: strip scheme, query/fragment and trailing
+    slashes, lowercase the host — the crawl-frontier dedup that
+    collapses `HTTP://Site.com/a/?utm=x` and `https://site.com/a` into
+    one canonical key before any content hashing happens (cheapest
+    dedup signal there is: pure per-row string ops + one groupBy on
+    the canonical key). URLs synthesized with deliberate case/slash/
+    query noise; clusters >1 are the catch."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://"), F.upper("source"), F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.lit("?utm=x"),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, r"[?#].*$", ""), r"/+$", ""
+            ),
+            r"^https?://",
+            "",
+        )
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("canon_url")
+    )

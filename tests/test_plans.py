@@ -157,3 +157,18 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     n_comp = cdf.select(F.input_file_name()).distinct().count()
     assert n_frag >= 8 and n_comp <= 2, (n_frag, n_comp)
     assert cdf.count() == fdf.count()
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # The engine must expose physical join strategy control: merge →
+    # SortMergeJoin, shuffle_hash → ShuffledHashJoin, broadcast →
+    # BroadcastHashJoin — the knobs for overriding a bad cost estimate.
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cond = o.o_custkey == c.c_custkey
+    merge_plan = _plan(o.join(c.hint("merge"), cond))
+    assert "SortMergeJoin" in merge_plan, merge_plan
+    sh_plan = _plan(o.join(c.hint("shuffle_hash"), cond))
+    assert "ShuffledHashJoin" in sh_plan, sh_plan
+    b_plan = _plan(o.join(c.hint("broadcast"), cond))
+    assert "BroadcastHashJoin" in b_plan, b_plan
