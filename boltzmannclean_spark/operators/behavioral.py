@@ -673,3 +673,53 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").cast("string").alias("day"), "new_users", "cumulative_reach")
         .orderBy("day")
     )
+
+
+PATH_TOP_N = 20
+
+
+@register(
+    "events_path_analysis",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY e1 || '>' || e2 || '>' || e3
+)
+SELECT path, n
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk FROM paths)
+WHERE rk <= {PATH_TOP_N}
+ORDER BY n DESC, path
+""",
+    tags=("behavioral", "paths", "sequence"),
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths (view>click>purchase …): two leads
+    per event build the 3-step journeys on one user_id shuffle, then a
+    count + deterministic top-N. The n-gram-over-sequences pattern that
+    powers funnel discovery — same shape at 100 TB because paths
+    aggregate to a tiny distinct set."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= PATH_TOP_N)
+        .drop("rk")
+        .orderBy(F.desc("n"), "path")
+    )

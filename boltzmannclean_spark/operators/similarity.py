@@ -695,3 +695,105 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     return v.select(F.col("d").alias("dim"), F.col("v").alias("eigvec_micro")).orderBy(
         "dim"
     )
+
+
+# --- kNN imputation over embeddings ----------------------------------------
+
+KNN_K = 5
+MASK_MOD = 10  # vec_id % 10 == 0 -> dimension 0 treated as missing
+
+
+@register(
+    "impute_knn_embedding",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+masked AS (SELECT * FROM q WHERE vec_id % {MASK_MOD} = 0),
+cands  AS (SELECT * FROM q WHERE vec_id % {MASK_MOD} <> 0),
+ss AS (
+  SELECT m.vec_id AS m_id, c.vec_id AS c_id,
+         CAST(SUM((m.qx - c.qx) * (m.qx - c.qx)) AS BIGINT) AS dist_sq
+  FROM masked m JOIN cands c ON m.d = c.d
+  WHERE m.d >= 1
+  GROUP BY m.vec_id, c.vec_id
+),
+nn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY m_id ORDER BY dist_sq, c_id) AS rn
+  FROM ss
+),
+imp AS (
+  SELECT nn.m_id AS vec_id,
+         CAST(ROUND(SUM(c0.qx) / {KNN_K}.0) AS BIGINT) AS imputed_micro
+  FROM nn JOIN cands c0 ON c0.vec_id = nn.c_id AND c0.d = 0
+  WHERE nn.rn <= {KNN_K}
+  GROUP BY nn.m_id
+)
+SELECT imp.vec_id, t.qx AS true_micro, imp.imputed_micro,
+       ABS(t.qx - imp.imputed_micro) AS abs_err_micro
+FROM imp JOIN masked t ON t.vec_id = imp.vec_id AND t.d = 0
+ORDER BY imp.vec_id
+""",
+    tags=("imputation", "knn", "embedding"),
+)
+def impute_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN imputation of a masked embedding dimension: vectors with
+    vec_id % 10 == 0 'lose' dimension 0; each is reconstructed as the
+    mean of its 5 nearest neighbors (distance over the 63 observed
+    dims) — the distributed-kNN alternative to the RBM imputer on the
+    vector side of the house. The small masked side broadcasts and the
+    candidate corpus STREAMS (at 100 TB: prune candidates to LSH
+    bucket-mates first — similarity_ann_lsh is the pruner). Integer
+    micro-unit distances make neighbor choice and the imputed value
+    bit-deterministic; abs_err_micro reports reconstruction quality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    masked = q.where(F.col("vec_id") % MASK_MOD == 0).select(
+        F.col("vec_id").alias("m_id"), F.col("qvec").alias("m_vec")
+    )
+    cands = q.where(F.col("vec_id") % MASK_MOD != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("qvec").alias("c_vec")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.slice("m_vec", 2, 63),
+            F.slice("c_vec", 2, 63),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = cands.crossJoin(F.broadcast(masked)).select(
+        "m_id",
+        "c_id",
+        dist.alias("dist_sq"),
+        F.element_at("c_vec", 1).alias("c0"),
+    )
+    w = Window.partitionBy("m_id").orderBy("dist_sq", "c_id")
+    imp = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .groupBy("m_id")
+        .agg(
+            F.round(F.sum("c0") / float(KNN_K), 0).cast("long").alias(
+                "imputed_micro"
+            )
+        )
+    )
+    truth = masked.select(
+        "m_id", F.element_at("m_vec", 1).alias("true_micro")
+    )
+    return (
+        imp.join(truth, "m_id")
+        .select(
+            F.col("m_id").alias("vec_id"),
+            "true_micro",
+            "imputed_micro",
+            F.abs(F.col("true_micro") - F.col("imputed_micro")).alias(
+                "abs_err_micro"
+            ),
+        )
+        .orderBy("vec_id")
+    )
