@@ -723,3 +723,59 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy(F.desc("n"), "path")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+latency AS (
+  SELECT user_id, t_purchase - t_view AS us_to_convert
+  FROM stage
+  WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL AND t_purchase >= t_view
+)
+SELECT COUNT(*) AS n_converters,
+       CAST(MIN(us_to_convert) AS BIGINT) AS min_us,
+       CAST(quantile_disc(us_to_convert, 0.50) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(us_to_convert, 0.90) AS BIGINT) AS p90_us,
+       CAST(MAX(us_to_convert) AS BIGINT) AS max_us
+FROM latency
+""",
+    tags=("behavioral", "latency", "funnel"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first-view → first-purchase
+    latency per user (conditional MINs in one aggregation pass, the
+    funnel trick), summarized with DISCRETE percentiles over integer µs
+    — actual data elements, so the p50/p90 are bit-exact cross-engine
+    with no float recipe. Two aggregations, both on user_id then
+    global."""
+    ev = load_table(spark, sf_dir, "events")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    ).alias("t_view")
+    t_purch = F.min(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    ).alias("t_purchase")
+    stage = ev.groupBy("user_id").agg(t_view, t_purch)
+    latency = stage.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_view"))
+    ).select((F.col("t_purchase") - F.col("t_view")).alias("us_to_convert"))
+    return latency.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("us_to_convert").alias("min_us"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY us_to_convert)"
+        ).cast("long").alias("p50_us"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY us_to_convert)"
+        ).cast("long").alias("p90_us"),
+        F.max("us_to_convert").alias("max_us"),
+    )

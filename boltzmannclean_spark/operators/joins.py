@@ -17,7 +17,7 @@ Design-for-scale notes, per join kind:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.exact import dec
@@ -594,4 +594,79 @@ def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(volume).cast("double").alias("volume"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+BASKET_TOP_N = 25
+
+
+@register(
+    "join_basket_affinity",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+supp AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, together,
+       sa.s AS supp_a, sb.s AS supp_b,
+       CAST(together AS DOUBLE) * n_orders.n / (sa.s * sb.s) AS lift
+FROM pairs
+JOIN supp sa ON sa.l_partkey = part_a
+JOIN supp sb ON sb.l_partkey = part_b
+CROSS JOIN n_orders
+QUALIFY ROW_NUMBER() OVER (ORDER BY together DESC, part_a, part_b) <= {BASKET_TOP_N}
+ORDER BY together DESC, part_a, part_b
+""",
+    tags=("join", "basket", "affinity"),
+)
+def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same
+    order, with lift = P(a,b)/(P(a)·P(b)) from exact counts. Pairs
+    materialize ONLY through the order-key self-join (cost Σ items²
+    per order — bounded by basket size, never corpus²; at 100 TB cap
+    basket size like the shingle DF cap). Deterministic top-25 by
+    co-occurrence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("supp_b"))
+    lift = (
+        F.col("together").cast("double")
+        * F.col("n")
+        / (F.col("supp_a") * F.col("supp_b"))
+    )
+    w = Window.orderBy(F.desc("together"), "part_a", "part_b")
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "together", "supp_a", "supp_b", lift.alias("lift"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BASKET_TOP_N)
+        .drop("rk")
+        .orderBy(F.desc("together"), "part_a", "part_b")
     )
