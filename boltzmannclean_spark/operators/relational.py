@@ -453,3 +453,66 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL so both engines print identically."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(SCALAR_SUBQ_SQL)
+
+
+PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'O'
+|> EXTEND CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(price_dec) AS DOUBLE) AS total_value
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("sql", "pipe-syntax", "4.x"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (4.x): `FROM … |> WHERE … |> EXTEND … |>
+    AGGREGATE … |> ORDER BY` — operators read top-to-bottom in
+    execution order instead of SQL's inside-out nesting. Same Catalyst
+    plan as the classic form (the oracle is the classic twin), so the
+    ergonomics are free."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(PIPE_SQL)
+
+
+@register(
+    "relational_transpose",
+    oracle="""
+SELECT 'n_customers' AS key, COUNT(*) AS orders FROM customer
+UNION ALL
+SELECT 'n_nations', COUNT(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'n_segments', COUNT(DISTINCT c_mktsegment) FROM customer
+ORDER BY key
+""",
+    tags=("relational", "transpose", "4.x"),
+)
+def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (4.x): flip a 1-row metrics summary into a
+    (key, value) column — the report-friendly orientation — without
+    hand-writing a stack(). The first column's values become the new
+    column names; here the 'orders' scope labels the value column.
+    Transpose is driver-light (it reshapes a tiny collected frame),
+    so it belongs AFTER the heavy aggregation, never before."""
+    cust = load_table(spark, sf_dir, "customer")
+    summary = cust.agg(
+        F.lit("orders").alias("scope"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+    return summary.transpose().orderBy("key")

@@ -776,3 +776,35 @@ def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("u"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(F.col("u"), F.lit("REF")).alias("fragment"),
     ).orderBy("doc_id")
+
+
+@register(
+    "func_regexp",
+    oracle="""
+SELECT event_id,
+       regexp_extract_all(props, '[0-9]+') AS digit_runs,
+       LEN(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+       regexp_matches(props, '"k": [0-9]{2}\\}') AS has_2digit_k,
+       regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    tags=("functions", "regexp"),
+)
+def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: extract-all (array output), match counts,
+    boolean rlike, and group extraction over the JSON-ish props
+    payload. Patterns stay in the POSIX-compatible subset Java regex
+    and RE2 agree on (no lookaround/backrefs) — the portability rule
+    for cross-engine pipelines. JVM-side, codegen-friendly."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.regexp_extract_all("props", F.lit("[0-9]+"), 0).alias("digit_runs"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).alias(
+            "n_digit_runs"
+        ),
+        F.col("props").rlike('"k": [0-9]{2}\\}').alias("has_2digit_k"),
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_str"),
+    ).orderBy("event_id")
