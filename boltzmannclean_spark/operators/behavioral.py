@@ -779,3 +779,52 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p90_us"),
         F.max("us_to_convert").alias("max_us"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+WITH dau AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+mau AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+         COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+FROM dau JOIN mau ON date_trunc('month', dau.d) = mau.m
+ORDER BY day
+""",
+    tags=("behavioral", "stickiness", "dau-mau"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: two distinct-count aggregates at
+    different grains joined on the calendar month — the engagement
+    ratio every product dashboard leads with. Exact distinct counts
+    divide to a deterministic double; the month side is tiny and
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    mau = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("m"), "user_id"
+    ).groupBy("m").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.col("d").cast("timestamp")).cast("date")
+            == F.col("m"),
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
