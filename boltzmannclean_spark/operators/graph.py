@@ -123,3 +123,51 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "node")
         .limit(TOP_N)
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT 'c:' || c AS node FROM eo
+    UNION ALL
+    SELECT 's:' || s AS node FROM eo
+  ) GROUP BY node
+)
+SELECT SUBSTRING(node, 1, 1) AS node_type, degree,
+       COUNT(*) AS n_nodes
+FROM deg
+GROUP BY SUBSTRING(node, 1, 1), degree
+ORDER BY node_type, degree
+""",
+    tags=("graph", "degree", "distribution"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier graph, split by
+    node type — the first diagnostic before any graph algorithm (a
+    heavy-tailed degree histogram predicts exactly which PageRank /
+    join keys will skew). Two aggregations over the edge list; output
+    size is bounded by max degree, so this stays tiny at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eo = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    nodes = eo.select(
+        F.concat(F.lit("c:"), "o_custkey").alias("node")
+    ).unionAll(eo.select(F.concat(F.lit("s:"), "l_suppkey").alias("node")))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(
+            F.substring("node", 1, 1).alias("node_type"), "degree"
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("node_type", "degree")
+    )

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.plans.registry import register
@@ -275,3 +275,57 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_chunks, schema=CHUNK_SCHEMA
     )
     return chunks.orderBy("doc_id", "chunk_idx")
+
+
+SHARD_BYTES = 64 * 1024  # target shard payload size
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle=f"""
+WITH blobs AS (
+  SELECT vec_id, CAST(16 + 4 * LEN(embedding) AS BIGINT) AS n_bytes
+  FROM embeddings
+),
+c AS (
+  SELECT *, SUM(n_bytes) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM blobs
+)
+SELECT CAST((cum - n_bytes) // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(vec_id) AS first_id, MAX(vec_id) AS last_id
+FROM c
+GROUP BY (cum - n_bytes) // {SHARD_BYTES}
+ORDER BY shard_id
+""",
+    tags=("multimodal", "shard", "manifest"),
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: binary samples (here the
+    embedding payloads: 16-byte header + 4 bytes/dim) are packed into
+    ~64 KiB shards by cumulative size in stable id order — the layout
+    step before training loaders stream tar shards. Same deterministic
+    cumsum-fill as token packing, so shard membership is identical on
+    any engine/partitioning; loaders get (shard, first/last id, bytes)
+    without touching payloads."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blobs = emb.select(
+        "vec_id",
+        (F.lit(16) + 4 * F.size("embedding")).cast("long").alias("n_bytes"),
+    )
+    w = Window.orderBy("vec_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = blobs.withColumn("cum", F.sum("n_bytes").over(w))
+    return (
+        c.withColumn("shard_id", F.expr(f"(cum - n_bytes) div {SHARD_BYTES}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("vec_id").alias("first_id"),
+            F.max("vec_id").alias("last_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -835,3 +835,85 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PROFILE_TOP_K = 20
+
+
+@register(
+    "text_char_ngram_langid",
+    oracle=f"""
+WITH tri AS (
+  SELECT doc_id, lang,
+         UNNEST(list_distinct(list_transform(
+           generate_series(1, length(text) - 2),
+           i -> substring(text, i, 3)))) AS g
+  FROM documents
+),
+profile AS (
+  SELECT lang AS plang, g FROM (
+    SELECT lang, g, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rk
+    FROM tri GROUP BY lang, g
+  ) WHERE rk <= {PROFILE_TOP_K}
+),
+overlap AS (
+  SELECT t.doc_id, t.lang, p.plang, COUNT(*) AS n_hits
+  FROM tri t JOIN profile p ON t.g = p.g
+  GROUP BY t.doc_id, t.lang, p.plang
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY n_hits DESC, plang) AS rn
+  FROM overlap
+)
+SELECT doc_id, lang AS labeled_lang, plang AS predicted_lang, n_hits,
+       CASE WHEN lang = plang THEN 1 ELSE 0 END AS correct
+FROM best WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("text", "langid", "char-ngram"),
+)
+def text_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID, the textcat/fastText-style
+    classifier shape: per-language top-20 trigram profiles from the
+    corpus (deterministic count-desc cut), then each doc votes for the
+    profile it overlaps most. Two corpus aggregations plus a broadcast
+    of the 100-row profile back over exploded trigrams — the train-
+    then-score loop entirely in one declarative plan; argmax breaks
+    ties on (hits desc, lang) so predictions are shuffle-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "explode(array_distinct(transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3)))) AS g",
+    )
+    wp = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
+    profile = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= PROFILE_TOP_K)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    overlap = (
+        tri.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "plang")
+    return (
+        overlap.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            F.col("plang").alias("predicted_lang"),
+            "n_hits",
+            F.when(F.col("lang") == F.col("plang"), 1).otherwise(0).alias(
+                "correct"
+            ),
+        )
+        .orderBy("doc_id")
+    )
