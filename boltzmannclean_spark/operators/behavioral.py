@@ -828,3 +828,79 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / (SELECT COUNT(*) FROM c) AS click_to_purchase
+""",
+    tags=("behavioral", "funnel", "ordered"),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel: each stage only counts if it happens AT/AFTER
+    the user's previous stage (first view → first click after that →
+    first purchase after that) — the semantics product analytics means
+    by "funnel", unlike the any-order conditional-MIN variant
+    (events_funnel). Three same-key aggregations chain on user_id, so
+    one shuffle partitioning serves the whole cascade; conversion
+    rates divide exact counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        (
+            F.col("n_clicked_after_view").cast("double") / F.col("n_viewed")
+        ).alias("view_to_click"),
+        (
+            F.col("n_purchased_after_click").cast("double")
+            / F.col("n_clicked_after_view")
+        ).alias("click_to_purchase"),
+    )
