@@ -904,3 +904,146 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_clicked_after_view")
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "orders_rank_shift",
+    oracle="""
+WITH y95 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS rev,
+         RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(16,2))) DESC,
+                      o_custkey) AS rk
+  FROM orders WHERE YEAR(o_orderdate) = 1995
+  GROUP BY o_custkey
+),
+y96 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS rev,
+         RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(16,2))) DESC,
+                      o_custkey) AS rk
+  FROM orders WHERE YEAR(o_orderdate) = 1996
+  GROUP BY o_custkey
+)
+SELECT a.o_custkey, a.rk AS rank_1995, b.rk AS rank_1996,
+       CAST(a.rk AS BIGINT) - CAST(b.rk AS BIGINT) AS places_gained,
+       a.rev AS rev_1995, b.rev AS rev_1996
+FROM y95 a JOIN y96 b ON a.o_custkey = b.o_custkey
+WHERE a.rk <= 50 OR b.rk <= 50
+ORDER BY a.o_custkey
+""",
+    tags=("behavioral", "leaderboard", "rank-shift"),
+)
+def orders_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement: customer revenue rank in 1995 vs 1996 and
+    places gained — the period-over-period comparison behind every
+    'top movers' report. Ranks break ties on (revenue desc, custkey),
+    so they are total orders and shuffle-stable; revenues are exact
+    decimal sums. Two grouped aggregates + rank windows + an equi-join
+    on the customer rollup, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_rank(year: int, suffix: str) -> DataFrame:
+        rev = (
+            orders.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(dec("o_totalprice", 16)).alias("rev_dec"))
+        )
+        w = Window.orderBy(F.desc("rev_dec"), "o_custkey")
+        return rev.select(
+            "o_custkey",
+            F.col("rev_dec").cast("double").alias(f"rev_{suffix}"),
+            F.rank().over(w).alias(f"rank_{suffix}"),
+        )
+
+    a = year_rank(1995, "1995")
+    b = year_rank(1996, "1996")
+    return (
+        a.join(b, "o_custkey")
+        .where((F.col("rank_1995") <= 50) | (F.col("rank_1996") <= 50))
+        .select(
+            "o_custkey",
+            "rank_1995",
+            "rank_1996",
+            (
+                F.col("rank_1995").cast("long") - F.col("rank_1996").cast("long")
+            ).alias("places_gained"),
+            "rev_1995",
+            "rev_1996",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "events_bounce_rate",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN t_us - LAG(t_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid,
+         t_us
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         CAST(date_trunc('day', make_timestamp(MIN(t_us))) AS DATE) AS d
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       COUNT(*) AS n_sessions,
+       COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS bounce_rate
+FROM per_sess
+GROUP BY d
+ORDER BY day
+""",
+    tags=("behavioral", "bounce", "sessions"),
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min-gap islands, dated
+    by their first event) containing exactly one event — the classic
+    engagement-quality metric layered on the sessionizer. Same single
+    user_id shuffle as events_sessionize plus a days-sized rollup;
+    the rate divides exact counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US, 1).otherwise(
+            0
+        ),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("day", F.timestamp_micros(F.min("t_us")))
+        .cast("date")
+        .alias("d"),
+    )
+    bounces = F.count_if(F.col("n_events") == 1)
+    return (
+        per_sess.groupBy(F.col("d").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+            (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

@@ -140,3 +140,43 @@ def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("priority")
     )
+
+
+@register(
+    "setop_symmetric_difference",
+    oracle="""
+SELECT c_custkey, side FROM (
+  SELECT c_custkey, 'only_big_spenders' AS side
+  FROM (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  UNION ALL
+  SELECT c_custkey, 'only_f_status' AS side
+  FROM (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
+)
+ORDER BY c_custkey, side
+""",
+    tags=("setop", "symmetric-difference"),
+)
+def setop_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance: customers in exactly one
+    of two cohorts, tagged with which side they came from — the
+    audience-comparison op (A-only / B-only) that plain EXCEPT answers
+    only half of. Two EXCEPTs over deduped key sets union'd with a
+    side label; each EXCEPT is one hash aggregation on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    fstat = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    only_a = big.exceptAll(fstat).select(
+        "c_custkey", F.lit("only_big_spenders").alias("side")
+    )
+    only_b = fstat.exceptAll(big).select(
+        "c_custkey", F.lit("only_f_status").alias("side")
+    )
+    return only_a.unionByName(only_b).orderBy("c_custkey", "side")
