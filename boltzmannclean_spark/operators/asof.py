@@ -278,3 +278,91 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "asof_nearest_click",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+back AS (
+  SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS p_us,
+         c.event_id AS b_id, epoch_us(c.ts) AS b_us
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+fwd AS (
+  SELECT p.event_id AS purchase_id,
+         c.event_id AS f_id, epoch_us(c.ts) AS f_us
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT b.purchase_id, b.user_id,
+       CASE
+         WHEN b.b_id IS NULL AND f.f_id IS NULL THEN -1
+         WHEN f.f_id IS NULL THEN b.b_id
+         WHEN b.b_id IS NULL THEN f.f_id
+         WHEN b.p_us - b.b_us <= f.f_us - b.p_us THEN b.b_id
+         ELSE f.f_id
+       END AS nearest_click_id,
+       CASE
+         WHEN b.b_id IS NULL AND f.f_id IS NULL THEN -1
+         WHEN f.f_id IS NULL THEN b.p_us - b.b_us
+         WHEN b.b_id IS NULL THEN f.f_us - b.p_us
+         ELSE LEAST(b.p_us - b.b_us, f.f_us - b.p_us)
+       END AS gap_us
+FROM back b JOIN fwd f ON f.purchase_id = b.purchase_id
+ORDER BY b.purchase_id
+""",
+    tags=("join", "asof", "nearest"),
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (merge_asof direction='nearest'): each purchase
+    takes whichever click is closer in time — backward on ties —
+    composed from the backward and forward single-shuffle as-of
+    kernels and a per-row CASE. Still two sorts of n_left+n_right
+    rows, never a per-key cross product; the gap arithmetic is integer
+    µs, so the closer-side choice is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks_b = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    clicks_f = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("f_id"),
+        F.col("ts").alias("f_ts"),
+    )
+    back = asof_join(
+        purchases, clicks_b, by=["user_id"], left_on="p_ts", right_on="c_ts",
+        payload=["b_id", "b_ts"],
+    )
+    fwd = asof_join_forward(
+        purchases.select("purchase_id", "user_id", "p_ts"),
+        clicks_f, by=["user_id"], left_on="p_ts", right_on="c_ts",
+        payload=["f_id", "f_ts"],
+    ).select("purchase_id", "f_id", "f_ts")
+    j = back.join(fwd, "purchase_id")
+    b_gap = F.unix_micros("p_ts") - F.unix_micros("b_ts")
+    f_gap = F.unix_micros("f_ts") - F.unix_micros("p_ts")
+    nearest = (
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(-1))
+        .when(F.col("f_id").isNull(), F.col("b_id"))
+        .when(F.col("b_id").isNull(), F.col("f_id"))
+        .when(b_gap <= f_gap, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+    )
+    gap = (
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(-1))
+        .when(F.col("f_id").isNull(), b_gap)
+        .when(F.col("b_id").isNull(), f_gap)
+        .otherwise(F.least(b_gap, f_gap))
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        nearest.alias("nearest_click_id"),
+        gap.alias("gap_us"),
+    ).orderBy("purchase_id")
