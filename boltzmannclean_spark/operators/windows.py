@@ -327,3 +327,61 @@ def window_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_peers"),
         F.sum(dec("c_acctbal")).over(w).cast("double").alias("peer_bal_sum"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "window_running_drawdown",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id, t_us, v,
+         MAX(v) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM s
+)
+SELECT user_id,
+       COUNT(*) AS n_points,
+       CAST(MAX(peak) AS DOUBLE) AS max_peak,
+       CAST(MAX(peak - v) AS DOUBLE) AS max_drawdown
+FROM r
+GROUP BY user_id
+HAVING COUNT(*) >= 5
+ORDER BY user_id
+""",
+    tags=("window", "running-extrema", "drawdown"),
+)
+def window_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per user purchase series: cumulative MAX
+    over the ordered series, drawdown = peak − current, reported as the
+    worst gap — the peak-to-trough pattern from finance applied to any
+    metric stream. Running extrema are order-determined (unique (ts,
+    event_id) order) and values stay DECIMAL until the final render,
+    so the answer is partition-invariant. One user_id shuffle for the
+    window and the rollup."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    s = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us"),
+        dec("value").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = s.withColumn("peak", F.max("v").over(w))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.max("peak").cast("double").alias("max_peak"),
+            F.max(F.col("peak") - F.col("v")).cast("double").alias("max_drawdown"),
+        )
+        .where(F.col("n_points") >= 5)
+        .orderBy("user_id")
+    )
