@@ -87,6 +87,19 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
     )
 
 
+def image_features_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed feature rows (``feature array<double>``) — used by the
+    pytest invariant checks. The *registered* query renders the array as
+    a CSV string because the external harness canonicalizes results with
+    a pandas sort over every output column, which cannot order
+    list-valued cells (CORRECTNESS_r02: "unhashable type: 'list'")."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        extract_image_features, schema=FEATURE_SCHEMA
+    )
+
+
 @register(
     "multimodal_features",
     oracle=None,  # Pandas-UDF decode path; schema/invariants in pytest
@@ -94,13 +107,19 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → mapInPandas (Arrow) stub-decode + feature
-    extraction → typed feature rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = with_media_columns(docs)
-    feats = media.select("doc_id", "payload").mapInPandas(
-        extract_image_features, schema=FEATURE_SCHEMA
-    )
-    return feats.orderBy("doc_id")
+    extraction → feature rows (vector rendered as a sortable CSV string;
+    see ``image_features_typed`` for the array-typed variant)."""
+    feats = image_features_typed(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "mean_intensity",
+        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
+            "feature_csv"
+        ),
+    ).orderBy("doc_id")
 
 
 @register(

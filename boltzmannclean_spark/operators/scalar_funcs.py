@@ -782,7 +782,8 @@ def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_regexp",
     oracle="""
 SELECT event_id,
-       regexp_extract_all(props, '[0-9]+') AS digit_runs,
+       COALESCE(list_aggregate(regexp_extract_all(props, '[0-9]+'),
+                               'string_agg', ','), '') AS digit_runs_csv,
        LEN(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
        regexp_matches(props, '"k": [0-9]{2}\\}') AS has_2digit_k,
        regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
@@ -801,7 +802,11 @@ def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
     return ev.select(
         "event_id",
-        F.regexp_extract_all("props", F.lit("[0-9]+"), 0).alias("digit_runs"),
+        # CSV render, not a raw array: the harness's pandas sort-canon
+        # cannot order list cells (see tests/test_oracle_parity.py gate).
+        F.concat_ws(",", F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).alias(
+            "digit_runs_csv"
+        ),
         F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).alias(
             "n_digit_runs"
         ),

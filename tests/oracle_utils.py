@@ -35,15 +35,32 @@ def _canon_cell(v):
         # deterministic doubles (see functions/exact.py); the driver's
         # value-hash is assumed at least this strict.
         return ("f", v.hex())
-    if isinstance(v, (list, tuple)):
-        return ("arr", tuple(_canon_cell(x) for x in v))
     return (type(v).__name__[:1], str(v))
 
 
-def canonical_rows(df_pandas):
+def driver_sort_canon(df_pandas, name: str = "?"):
+    """Replicate the external harness's canonicalization exactly: pandas
+    ``sort_values`` over every output column. Array/map/struct-typed cells
+    make pandas raise ``TypeError: unhashable type`` there — round 2's
+    only driver failure (``multimodal_features``) passed the *old* local
+    canon because it accepted lists. Local green must imply driver green,
+    so this is now the gate for every registered query, oracle or not."""
     cols = sorted(df_pandas.columns)
+    try:
+        return df_pandas[cols].sort_values(by=cols, kind="mergesort")
+    except TypeError as e:  # unhashable cell (list/dict/ndarray)
+        raise AssertionError(
+            f"[{name}] output not canonicalizable by the driver's pandas "
+            f"sort (non-atomic column?): {e}. Render arrays/maps as "
+            f"strings in the registered output."
+        ) from e
+
+
+def canonical_rows(df_pandas, name: str = "?"):
+    canon = driver_sort_canon(df_pandas, name=name)
+    cols = list(canon.columns)
     rows = []
-    for _, row in df_pandas[cols].iterrows():
+    for _, row in canon.iterrows():
         rows.append(tuple(_canon_cell(row[c]) for c in cols))
     return sorted(rows)
 
@@ -55,7 +72,7 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "?
         f"[{name}] column mismatch: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
     )
     assert len(sp) == len(du), f"[{name}] row count: spark={len(sp)} duckdb={len(du)}"
-    sp_rows, du_rows = canonical_rows(sp), canonical_rows(du)
+    sp_rows, du_rows = canonical_rows(sp, name=name), canonical_rows(du, name=name)
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(sp_rows, du_rows)) if a != b
     ]

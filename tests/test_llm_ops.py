@@ -26,14 +26,22 @@ def test_decode_image_fake_deterministic():
 
 
 def test_multimodal_features_schema_and_rows(spark, oracle_sf_dir):
-    df = QUERIES["multimodal_features"].spark_fn(spark, oracle_sf_dir)
-    rows = df.collect()
+    from boltzmannclean_spark.operators.multimodal import image_features_typed
+
+    rows = image_features_typed(spark, oracle_sf_dir).orderBy("doc_id").collect()
     assert len(rows) == 500
     r = rows[0]
     assert r.width == 4 and r.height == 4
     assert r.n_bytes == 16
     assert len(r.feature) == 4
     assert 0.0 <= r.mean_intensity <= 255.0
+    # The registered variant renders the vector as a CSV string so the
+    # harness's pandas sort-canonicalization can order it.
+    reg = QUERIES["multimodal_features"].spark_fn(spark, oracle_sf_dir).collect()
+    assert len(reg) == 500
+    parts = reg[0].feature_csv.split(",")
+    assert len(parts) == 4
+    assert [float(p) for p in parts] == list(rows[0].feature)
 
 
 def test_ann_lsh_recall_vs_brute_force(spark, oracle_sf_dir):
