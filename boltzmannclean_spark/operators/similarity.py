@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from boltzmannclean_spark.functions.topk import topk_per_key
 from boltzmannclean_spark.functions.vectors import as_double, cosine, dot, norm
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
@@ -60,7 +61,11 @@ ORDER BY query_id, rk
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast query vectors against the
-    corpus, window top-k per query."""
+    corpus, then salted two-stage top-k per query — with only N_QUERY
+    keys, a plain per-query window would land the whole scored corpus
+    on N_QUERY tasks (the round-2 bench regression); the salted local
+    stage keeps all 32 cores busy and the final window ranks only
+    n_salt * k survivors per query."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", "label", as_double("embedding").alias("e")
@@ -81,12 +86,13 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("query_id", "rk")
-    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")
 
 
 # Deterministic pseudo-random hyperplanes: coefficient for (plane p, dim i)
@@ -203,12 +209,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("query_id", "rk")
-    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")
 
 
 # IVF-style ANN: coarse centroids are the vectors with vec_id % CENT_MOD
@@ -263,17 +270,44 @@ ORDER BY query_id, rk
 """
 
 
+def _assign_cells(n: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment without a per-vector window.
+
+    The naive form — crossJoin(broadcast(cent)) then ``row_number() OVER
+    (PARTITION BY vec_id)`` — forces an Exchange of the fanned-out
+    corpus (k× the data) just to pick each vector's argmax. A grouped
+    ``max_by`` computes the same nearest centroid with MAP-SIDE partial
+    aggregation: each task reduces its fan-out back to one row per
+    vector before the shuffle, so the Exchange carries ~corpus rows
+    regardless of k. Ties break to the smallest centroid_id via the
+    (ccos, -centroid_id) ordering struct, matching the oracle's
+    ``ORDER BY ccos DESC, centroid_id``."""
+    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    return (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "e", "nrm", "centroid_id", ccos.alias("ccos"))
+        .groupBy("vec_id", "label", "e", "nrm")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("centroid_id")
+        )
+    )
+
+
 @register("similarity_ann_ivf", oracle=IVF_ORACLE, tags=("similarity", "ivf", "ann"))
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid
     (broadcast centroid table — the IVF "coarse quantizer"), then search
     only the query's cell (nprobe=1) with exact cosine + top-k.
 
-    Scale path: the cell assignment is one broadcast pass (corpus × k
-    centroids, no shuffle); the candidate join is an equi-join on
-    centroid_id, so a query touches ~corpus/k vectors. Raising recall =
-    raising nprobe (join to the q's top-p centroids instead of 1) —
-    same plan shape, and the cell equi-join co-partitions at any scale."""
+    Scale path: the cell assignment is one broadcast pass with map-side
+    partial max_by (see _assign_cells — no k× shuffle); the candidate
+    join is an equi-join on centroid_id, so a query touches ~corpus/k
+    vectors. Raising recall = raising nprobe (join to the q's top-p
+    centroids instead of 1) — same plan shape, and the cell equi-join
+    co-partitions at any scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
         "nrm", norm(F.col("e"))
@@ -283,17 +317,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("nrm").alias("cnrm"),
     )
-    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), "centroid_id"
-    )
-    assigned = (
-        n.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", ccos)
-        .withColumn("crk", F.row_number().over(w_assign))
-        .where(F.col("crk") == 1)
-        .select("vec_id", "label", "e", "nrm", "centroid_id")
-    )
+    assigned = _assign_cells(n, cent)
     q = assigned.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -311,12 +335,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("query_id", "rk")
-    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")
 
 
 NPROBE = 2
@@ -382,7 +407,10 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged; only the query side fans out, so the plan is the same
     cell equi-join with a 2-rows-per-query probe table. Probed cells are
     distinct per query, so candidate pairs are already unique — no
-    dedup stage needed."""
+    dedup stage needed. Corpus assignment is the shared map-side max_by
+    kernel (_assign_cells); only the N_QUERY-row query side needs a
+    full centroid ranking, and that window runs over a table the size
+    of the query set, not the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
         "nrm", norm(F.col("e"))
@@ -392,23 +420,21 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("nrm").alias("cnrm"),
     )
+    assigned = _assign_cells(n, cent)
     ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
-    ranked = (
-        n.crossJoin(F.broadcast(cent))
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
+    probes = (
+        n.where(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
-        .withColumn("crk", F.row_number().over(w_assign))
-    )
-    assigned = ranked.where(F.col("crk") == 1).select(
-        "vec_id", "label", "e", "nrm", "centroid_id"
-    )
-    probes = ranked.where(
-        (F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERY)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        F.col("centroid_id").alias("qcent"),
+        .withColumn("crk", F.row_number().over(w_probe))
+        .where(F.col("crk") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("centroid_id").alias("qcent"),
+        )
     )
     scored = assigned.join(
         F.broadcast(probes),
@@ -421,12 +447,13 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("query_id", "rk")
-    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")
 
 
 # --- embedding aggregation / classification ---------------------------------
@@ -518,8 +545,10 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     label centroids in exact micro-units, then every vector scores all
     k centroids via a JVM-side zip_with/aggregate fold — no explode of
     the corpus, no shuffle beyond the 640-row centroid aggregate; the
-    k-row centroid table broadcasts. The integer distance makes the
-    argmin reproducible across engines and partitionings."""
+    k-row centroid table broadcasts. The argmin is a grouped min_by
+    (map-side partial aggregation — the k× fan-out never shuffles),
+    and the integer distance makes it reproducible across engines and
+    partitionings."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qvec"))
     qx = q.select("label", F.posexplode("qvec").alias("d", "qx"))
@@ -543,16 +572,16 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("dist_sq"),
     )
-    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cl")
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min_by(F.struct("cl", "dist_sq"), F.struct("dist_sq", "cl")).alias("b")
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
+        best.select(
             "vec_id",
             "label",
-            F.col("cl").alias("assigned_label"),
-            "dist_sq",
-            F.when(F.col("label") == F.col("cl"), 1).otherwise(0).alias("correct"),
+            F.col("b.cl").alias("assigned_label"),
+            F.col("b.dist_sq").alias("dist_sq"),
+            F.when(F.col("label") == F.col("b.cl"), 1).otherwise(0).alias("correct"),
         )
         .orderBy("vec_id")
     )
@@ -771,10 +800,15 @@ def impute_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("dist_sq"),
         F.element_at("c_vec", 1).alias("c0"),
     )
-    w = Window.partitionBy("m_id").orderBy("dist_sq", "c_id")
     imp = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KNN_K)
+        topk_per_key(
+            pairs,
+            keys=["m_id"],
+            order=[F.col("dist_sq"), F.col("c_id")],
+            k=KNN_K,
+            salt_col="c_id",
+            rank_col="rn",
+        )
         .groupBy("m_id")
         .agg(
             F.round(F.sum("c0") / float(KNN_K), 0).cast("long").alias(

@@ -172,3 +172,31 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in sh_plan, sh_plan
     b_plan = _plan(o.join(c.hint("broadcast"), cond))
     assert "BroadcastHashJoin" in b_plan, b_plan
+
+
+def test_ivf_assignment_partial_aggregates_before_shuffle(spark, sf_dir):
+    # Cell assignment must be a grouped max_by with map-side partial
+    # aggregation — never a row_number window over vec_id, which would
+    # Exchange the centroid-fanned corpus (k× the data). The only
+    # vec_id window allowed in the nprobe plan is the tiny query-side
+    # probe ranking; the corpus path must show partial max_by.
+    for name in ("similarity_ann_ivf", "embedding_nearest_centroid"):
+        plan = _plan(QUERIES[name].spark_fn(spark, sf_dir))
+        assert "windowspecdefinition(vec_id" not in plan, name + ":\n" + plan
+        assert "max_by" in plan or "min_by" in plan, name + ":\n" + plan
+        assert "partial_" in plan, name + " lost map-side partials:\n" + plan
+
+
+def test_similarity_topk_is_salted_two_stage(spark, sf_dir):
+    # Per-query top-k must not funnel the scored corpus into one task
+    # per query (N_QUERY=5): the salted local stage windows over
+    # (query_id, __salt) first, so the plan has TWO row_number windows
+    # and the bare query_id window only ranks the pruned survivors.
+    for name in (
+        "similarity_cosine_topk",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "similarity_ann_ivf_nprobe",
+    ):
+        plan = _plan(QUERIES[name].spark_fn(spark, sf_dir))
+        assert "__salt" in plan, name + " missing salted local top-k:\n" + plan
