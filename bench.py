@@ -3,8 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed once warm-up-free but after a shared session spin-up;
-timing covers plan + execution to a driver-side count/collect of the result.
+Methodology (stated explicitly so round-over-round numbers compare
+like-for-like): plan shapes are warmed once at sf0.001 (whole-stage
+codegen compilation, ~3.4s, is a one-time JVM cost, not engine
+throughput), then each query runs twice at the target SF. "value" is
+the best-of-2 total over ALL headline queries; "core9_total" is the
+best-of-2 total over the original round-1 nine (the cross-round
+comparable); "first_run_total" is the sum of FIRST samples — the
+conservative number including any residual first-touch cost, reported
+so a methodology change can never masquerade as an engine win.
 """
 
 from __future__ import annotations
@@ -19,9 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from boltzmannclean_spark.plans.registry import all_queries
 from boltzmannclean_spark.session import get_spark
 
-# Headline queries: the flagship plus the heaviest representatives of each
-# operator family (kept in sync as families land).
-HEADLINE = [
+# The original round-1 headline set: totals over these nine are directly
+# comparable across every round's BENCH_r{N}.json.
+CORE9 = [
     "pricing_summary",
     "project_filter",
     "join_revenue_by_nation",
@@ -31,6 +38,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_tfidf_top_term",
+]
+
+# Headline queries: the flagship plus the heaviest representatives of each
+# operator family (kept in sync as families land). Additions track the
+# families that now dominate the registry.
+HEADLINE = CORE9 + [
+    "events_sessionize",
+    "dedup_embedding_cosine",
+    "graph_pagerank_bipartite",
 ]
 
 
@@ -46,8 +62,7 @@ def main() -> None:
     # each headline plan shape. Each query runs once against the tiny
     # sf0.001 fixture (identical generated code, ~100x less data), so the
     # timed sf0.1 runs below measure steady-state engine throughput
-    # rather than one-time Janino compilation. Measured: ~3.4s of
-    # compile cost otherwise lands on the first timed pass.
+    # rather than one-time Janino compilation.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
         "sum(l_quantity)"
@@ -62,8 +77,10 @@ def main() -> None:
 
     # Best-of-2 per query: the minimum of two runs estimates the true
     # plan cost under co-tenant interference (standard practice for
-    # shared hosts); both samples go to stderr for transparency.
+    # shared hosts); both samples go to stderr for transparency and the
+    # first-sample sum is reported alongside the best-of total.
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for name in names:
         q = registry[name]
         samples = []
@@ -73,6 +90,7 @@ def main() -> None:
             n = df.count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        first_runs[name] = round(samples[0], 4)
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; samples "
             + ", ".join(f"{s:.3f}" for s in samples)
@@ -88,6 +106,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core9_total": round(
+                    sum(timings[n] for n in CORE9 if n in timings), 4
+                ),
+                "first_run_total": round(sum(first_runs.values()), 4),
+                "queries_first_run": first_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -432,12 +432,17 @@ ORDER BY p_brand
 
 @register(
     "subquery_scalar_agg",
+    # DuckDB's AVG(DECIMAL) returns DOUBLE while Spark's returns
+    # DECIMAL(16,6) rounded half-up — cast the oracle's scalar to
+    # Spark's type so a price landing between the two representations
+    # can't flip the > cut (same recipe as subquery_correlated).
     oracle="""
 SELECT p_brand,
        COUNT(*) AS n_above_avg,
        CAST(MIN(p_retailprice) AS DOUBLE) AS cheapest_above_avg
 FROM part
-WHERE p_retailprice > (SELECT AVG(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+WHERE p_retailprice > (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(12,2)))
+                                   AS DECIMAL(16,6)) FROM part)
   AND p_size < (SELECT MAX(p_size) FROM part)
 GROUP BY p_brand
 ORDER BY p_brand

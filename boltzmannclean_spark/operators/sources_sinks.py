@@ -349,17 +349,28 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     truncated the whole table first."""
     orders = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="bcs_dpo_") + "/orders_by_status"
+    # Scope the overwrite mode to this query: leaking `dynamic` onto the
+    # shared session would silently change the semantics of every later
+    # partitioned overwrite in the same process.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    orders.select("o_orderstatus", "o_totalprice").write.mode(
-        "overwrite"
-    ).partitionBy("o_orderstatus").parquet(path)
-    # Reload of one partition's worth of data: only status 'F' is
-    # overwritten (with a reduced row set), others must survive.
-    orders.where(
-        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
-    ).select("o_orderstatus", "o_totalprice").write.mode("overwrite").partitionBy(
-        "o_orderstatus"
-    ).parquet(path)
+    try:
+        orders.select("o_orderstatus", "o_totalprice").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderstatus").parquet(path)
+        # Reload of one partition's worth of data: only status 'F' is
+        # overwritten (with a reduced row set), others must survive.
+        orders.where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        ).select("o_orderstatus", "o_totalprice").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderstatus").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus")

@@ -249,19 +249,27 @@ ORDER BY doc_id
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf-style most-distinctive term per document (ratio-scored:
     tf × N/df — monotone in tf-idf without the cross-engine log).
-    Two aggregations + one broadcast join on the term dictionary."""
+    Two aggregations + one broadcast join on the term dictionary; the
+    corpus size N stays plan-side as a broadcast 1-row crossJoin (no
+    driver-side count, so the whole query is a single job)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "score"
+            ),
+        )
     )
     return (
         scored.groupBy("doc_id")
@@ -361,13 +369,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast dictionary join; float-cast because log10 is libm.
 
     Scale: the dictionary is Zipf-bounded (vocabulary ≪ corpus) so the
-    frequency table broadcasts; the token stream never shuffles twice."""
+    frequency table broadcasts; the token stream never shuffles twice.
+    The corpus token total stays plan-side (broadcast 1-row crossJoin)
+    — no driver-side collect, one job end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    n_total = freq.agg(F.sum("n")).collect()[0][0]
-    scored = toks.join(F.broadcast(freq), "tok").select(
-        "doc_id", F.log10(F.col("n").cast("double") / F.lit(float(n_total))).alias("lp")
+    tot = freq.agg(F.sum("n").cast("double").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log10(F.col("n").cast("double") / F.col("n_total")).alias("lp"),
+        )
     )
     return (
         scored.groupBy("doc_id")
@@ -748,18 +763,25 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams broadcast (eval sets are tiny vs the corpus); training docs
     stream through the hash join, so cost is one corpus pass at any
     scale. 5-grams build as per-row array expressions — no shuffle
-    until the per-doc hit count."""
+    until the per-doc hit count. Docs under 5 tokens yield NO grams:
+    unguarded, sequence(0, n-5) would step -1 for n < 5 (descending
+    sequence → negative subscripts, an INVALID_ARRAY_INDEX error under
+    ANSI mode) while the oracle's generate_series is simply empty —
+    guaranteed to matter on a real crawl even though fixtures start at
+    10 tokens."""
     docs = load_table(spark, sf_dir, "documents")
     g5 = docs.selectExpr(
         "doc_id",
-        "explode(array_distinct(transform("
+        "explode(CASE WHEN size(array_remove(split(text, ' '), '')) >= 5"
+        " THEN array_distinct(transform("
         " sequence(0, size(array_remove(split(text, ' '), '')) - 5),"
         " i -> concat_ws(' ',"
         "   array_remove(split(text, ' '), '')[i],"
         "   array_remove(split(text, ' '), '')[i+1],"
         "   array_remove(split(text, ' '), '')[i+2],"
         "   array_remove(split(text, ' '), '')[i+3],"
-        "   array_remove(split(text, ' '), '')[i+4]))) ) AS g",
+        "   array_remove(split(text, ' '), '')[i+4])))"
+        " ELSE array() END) AS g",
     )
     bench = (
         g5.where(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
@@ -883,11 +905,16 @@ def text_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     then-score loop entirely in one declarative plan; argmax breaks
     ties on (hits desc, lang) so predictions are shuffle-stable."""
     docs = load_table(spark, sf_dir, "documents")
+    # Texts under 3 chars yield no trigrams: unguarded, sequence(1, n-2)
+    # would descend for n < 3 (ANSI error / bogus partial trigrams) while
+    # the oracle's generate_series is empty.
     tri = docs.selectExpr(
         "doc_id",
         "lang",
-        "explode(array_distinct(transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3)))) AS g",
+        "explode(CASE WHEN length(text) >= 3"
+        " THEN array_distinct(transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3)))"
+        " ELSE array() END) AS g",
     )
     wp = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
     profile = (

@@ -76,61 +76,22 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
-    # -- never harness-verified (round 1 cap): streaming, UDFs, sources,
-    #    text, multimodal, imputation, IVF ANN --
-    "similarity_ann_ivf",
-    "text_quality",
-    "text_wordcount",
-    "text_langid",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_tfidf_top_term",
+    # -- round-2 red, fixed this round (array output rendered as CSV) --
     "multimodal_features",
-    "multimodal_doc_embedding",
-    "multimodal_frame_sample",
-    "impute_rbm_customer",
-    "impute_rbm_distributed_fit",
-    "impute_rbm_tuned",
-    "source_csv_scan",
-    "source_json_scan",
-    "source_inmemory_values",
-    "sink_parquet_roundtrip",
-    "udf_scalar_priority",
-    "udf_pandas_vectorized",
-    "udaf_grouped_agg_cents",
-    "grouped_map_nation_top",
-    "udtf_tokenize",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stateful_user_totals",
-    # -- fixed or re-oracled this round: need fresh harness rows --
-    "join_shipping_priority_topk",
-    "agg_stats_builtin",
-    "window_analytic",
-    "window_frames",
-    "func_math_transcendental",
-    "func_map_json",
-    "asof_purchase_last_click",
-    "dedup_embedding_cosine",
-    # -- new this round --
-    "join_right_supplier_counts",
-    "agg_approx_sketches",
-    "stream_transform_with_state",
-    "text_quality_filter",
-    "text_unigram_logprob",
-    "text_pii_redact",
-    "source_orc_roundtrip",
-    "sink_partitioned_pruning",
-    "stream_stream_join",
+    # -- plan or oracle changed this round: need fresh harness rows --
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "similarity_ann_ivf_nprobe",
-    "agg_pivot",
-    "agg_unpivot",
-    "subquery_correlated",
-    "sample_hash_reproducible",
-    "ts_gapfill_hourly",
+    "embedding_nearest_centroid",
+    "impute_knn_embedding",
+    "func_regexp",
+    "subquery_scalar_agg",
+    "text_decontaminate",
+    "text_char_ngram_langid",
+    # -- never harness-verified (r1∪r2 sampled 92 of 187); first 39 of
+    #    the remaining 95 in registry order — the other 50 are round 4's
+    #    window, exactly filling it --
     "dedup_connected_components",
     "window_time_range",
     "events_funnel",
@@ -145,6 +106,31 @@ _VERIFY_FIRST = (
     "func_map_higher_order",
     "stream_foreach_batch_sink",
     "func_generators",
+    "subquery_recursive_cte",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "relational_transpose",
+    "join_null_safe",
+    "join_existence_in",
+    "subquery_exists",
+    "join_volume_shipping",
+    "join_basket_affinity",
+    "agg_boolean_countif",
+    "ml_linreg_sufficient_stats",
+    "agg_percentile_disc",
+    "agg_listagg",
+    "agg_weighted_avg",
+    "window_ignore_nulls",
+    "window_value_range",
+    "window_running_drawdown",
+    "setop_symmetric_difference",
+    "func_encoding",
+    "func_collation",
+    "func_datetime_make",
+    "func_url_parse",
+    "asof_forward_next_click",
+    "asof_nearest_click",
+    "events_sessionize",
 )
 
 

@@ -352,25 +352,37 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # transformWithState requires the RocksDB state store provider.
+    # transformWithState requires the RocksDB state store provider —
+    # set it only for this stream's run and restore the prior provider,
+    # so other streaming queries on the shared session keep their
+    # configured (default HDFS-backed) state store.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    out = (
-        events_stream(spark, sf_dir)
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=UserTotals(),
-            outputStructType=(
-                "user_id bigint, n_events bigint, "
-                "total_value double, max_value double"
-            ),
-            outputMode="Update",
-            timeMode="None",
+    try:
+        out = (
+            events_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTotals(),
+                outputStructType=(
+                    "user_id bigint, n_events bigint, "
+                    "total_value double, max_value double"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
         )
-    )
-    return run_to_memory(out, output_mode="update").orderBy("user_id")
+        result = run_to_memory(out, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return result.orderBy("user_id")
 
 
 @register(
