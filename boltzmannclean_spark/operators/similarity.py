@@ -25,6 +25,33 @@ TOP_K = 10
 N_QUERY = 5
 N_PLANES = 4  # 16 sign buckets
 
+# --- shared exact-integer helpers -------------------------------------------
+#
+# Cross-engine float determinism: wherever a result depends on SUMS of
+# floats (centroids, distances-for-argmin, Gram matrices), values are
+# quantized to integer micro-units — round(x * 1e6) as BIGINT — summed
+# exactly (order-free), and compared/divided in integer arithmetic, so
+# the outcome is bit-identical in any engine at any parallelism.
+# Per-row IEEE arithmetic (dot products, cosine) needs no such recipe.
+
+MICRO = 1_000_000
+
+
+def _qvec(col):
+    """array<float> -> array<long> micro-unit quantization."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * MICRO, 0).cast("long"))
+
+
+def _sdiv_duck(num: str, den: str) -> str:
+    """Sign-safe integer division: DuckDB // floors but Spark div
+    truncates, so divide magnitudes (where both agree) and reapply the
+    sign."""
+    return f"CASE WHEN {num} < 0 THEN -((-({num})) // {den}) ELSE ({num}) // {den} END"
+
+
+def _sdiv_spark(num: str, den: str) -> str:
+    return f"CASE WHEN {num} < 0 THEN -((-({num})) div {den}) ELSE ({num}) div {den} END"
+
 
 SIM_TOPK_ORACLE = f"""
 WITH v AS (
@@ -218,13 +245,47 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-# IVF-style ANN: coarse centroids are the vectors with vec_id % CENT_MOD
-# == 0 (deterministic, no training step to replicate cross-engine);
-# every vector is assigned to its nearest centroid (cosine, ties by min
-# centroid id); a query scans ONLY its own cell (nprobe=1).
+# IVF ANN with a TRAINED coarse quantizer: centroids are initialized
+# from the seed vectors (vec_id % CENT_MOD == 0) and refined by
+# KMEANS_ITERS rounds of Lloyd's algorithm in exact integer micro-units
+# — assignment by exact integer squared-L2 (ties to the smallest
+# centroid id), update by sign-safe TRUNCATED integer mean — so both
+# engines iterate bit-identically and the final cells are oracle-exact.
+# A query then scans only its own cell (nprobe=1) with exact cosine.
 CENT_MOD = 100
+KMEANS_ITERS = 2
 
-IVF_ORACLE = f"""
+
+def _kmeans_iter_sql(k: int, prev: str) -> str:
+    """One unrolled Lloyd iteration: distances to the previous centroids,
+    argmin assignment, truncated-integer-mean update."""
+    return f"""
+d{k} AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+),
+a{k} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM d{k}
+  ) t WHERE rn = 1
+),
+c{k} AS (
+  SELECT a.cid, q.d,
+         {_sdiv_duck("CAST(SUM(q.qx) AS BIGINT)", "COUNT(*)")} AS cx
+  FROM q JOIN a{k} a ON q.vec_id = a.vec_id GROUP BY a.cid, q.d
+)"""
+
+
+def _ivf_trained_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for k in range(1, KMEANS_ITERS + 1):
+        iters.append(_kmeans_iter_sql(k, prev))
+        prev = f"c{k}"
+    return f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
@@ -234,30 +295,35 @@ n AS (
          sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
   FROM v
 ),
-cent AS (
-  SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM n
-  WHERE vec_id % {CENT_MOD} = 0
+q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
 ),
-assigned AS (
-  SELECT vec_id, label, e, nrm, centroid_id
-  FROM (
-    SELECT n.vec_id, n.label, n.e, n.nrm, cent.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY list_reduce(list_transform(range(1, len(n.e) + 1),
-                                                 i -> n.e[i] * cent.ce[i]),
-                                  (s, x) -> s + x) / (n.nrm * cent.cnrm) DESC,
-                      cent.centroid_id) AS crk
-    FROM n CROSS JOIN cent
-  ) t WHERE crk = 1
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(iters)},
+df AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM df
+  ) t WHERE rn = 1
+),
+cells AS (
+  SELECT n.vec_id, n.e, n.nrm, af.cid
+  FROM n JOIN af ON n.vec_id = af.vec_id
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
-                     (s, x) -> s + x) / (q.nrm * c.nrm) AS cosine
-  FROM assigned q JOIN assigned c
-    ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < {N_QUERY}
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
+                     (s, x) -> s + x) / (a.nrm * b.nrm) AS cosine
+  FROM cells a JOIN cells b
+    ON a.cid = b.cid AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERY}
 )
 SELECT query_id, neighbor_id, cosine, rk
 FROM (
@@ -268,6 +334,9 @@ FROM (
 WHERE rk <= {TOP_K}
 ORDER BY query_id, rk
 """
+
+
+IVF_ORACLE = _ivf_trained_oracle()
 
 
 def _assign_cells(n: DataFrame, cent: DataFrame) -> DataFrame:
@@ -296,38 +365,98 @@ def _assign_cells(n: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _int_dist(a, b):
+    """Exact squared-L2 between two array<long> micro-unit vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_cells(n: DataFrame) -> DataFrame:
+    """Train the IVF coarse quantizer and return final cell assignments.
+
+    KMEANS_ITERS rounds of Lloyd's algorithm entirely in exact integer
+    micro-units: assignment is a grouped min_by over a broadcast of the
+    (small) centroid table — map-side partial aggregation, never a k×
+    shuffle of the fanned corpus — and the update is one posexplode +
+    (cid, dim) aggregation per round, a shuffle of k×dims partial sums
+    per map partition (constant in corpus size). Empty cells simply
+    drop out of the update, deterministically in both engines."""
+    cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            n.select("vec_id", "qvec")
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "qvec",
+                "cid",
+                _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
+            )
+            .groupBy("vec_id", "qvec")
+            .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("qvec").alias("d", "qx"))
+            .groupBy("cid", "d")
+            .agg(F.sum("qx").alias("sx"), F.count(F.lit(1)).alias("m"))
+            .selectExpr("cid", "d", _sdiv_spark("sx", "m") + " AS cx")
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                    lambda s: s.cx,
+                ).alias("cvec")
+            )
+        )
+    return (
+        n.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            "nrm",
+            "cid",
+            _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
+        )
+        .groupBy("vec_id", "label", "e", "nrm")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+
+
 @register("similarity_ann_ivf", oracle=IVF_ORACLE, tags=("similarity", "ivf", "ann"))
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest coarse centroid
-    (broadcast centroid table — the IVF "coarse quantizer"), then search
-    only the query's cell (nprobe=1) with exact cosine + top-k.
+    """IVF ANN with a trained coarse quantizer: seeded fixed-iteration
+    k-means (exact integer micro-units, see _kmeans_cells) assigns every
+    vector to a data-distribution-aware cell; a query then searches only
+    its own cell (nprobe=1) with exact cosine + top-k.
 
-    Scale path: the cell assignment is one broadcast pass with map-side
-    partial max_by (see _assign_cells — no k× shuffle); the candidate
-    join is an equi-join on centroid_id, so a query touches ~corpus/k
-    vectors. Raising recall = raising nprobe (join to the q's top-p
-    centroids instead of 1) — same plan shape, and the cell equi-join
-    co-partitions at any scale."""
+    Scale path: training touches the corpus KMEANS_ITERS+1 times but
+    each pass is a broadcast + map-side partial aggregation (the
+    centroid table is k rows); the candidate join is an equi-join on
+    cid, so a query touches ~corpus/k vectors. Raising recall = raising
+    nprobe (probe the query's top-p cells) — same plan shape."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
-        "nrm", norm(F.col("e"))
-    )
-    cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cnrm"),
-    )
-    assigned = _assign_cells(n, cent)
-    q = assigned.where(F.col("vec_id") < N_QUERY).select(
+    n = emb.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("e"),
+        _qvec(F.col("embedding")).alias("qvec"),
+    ).withColumn("nrm", norm(F.col("e")))
+    cells = _kmeans_cells(n)
+    q = cells.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
-        F.col("centroid_id").alias("qcent"),
+        F.col("cid").alias("qcid"),
     )
-    scored = assigned.join(
+    scored = cells.join(
         F.broadcast(q),
-        (F.col("centroid_id") == F.col("qcent"))
-        & (F.col("vec_id") != F.col("query_id")),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -458,19 +587,9 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding aggregation / classification ---------------------------------
 #
-# Cross-engine float determinism: group averages of floats are merge-order
-# dependent, so centroids are computed in exact integer micro-units —
-# each float32 element is quantized to round(x * 1e6) as BIGINT, summed
-# exactly (order-free), and the centroid element is round(sum / n) back
-# in micro-units. Distances are then exact integer sums of squares, so
-# the argmin is bit-identical in any engine at any parallelism.
-
-MICRO = 1_000_000
-
-
-def _qvec(col):
-    """array<float> -> array<long> micro-unit quantization."""
-    return F.transform(col, lambda x: F.round(x.cast("double") * MICRO, 0).cast("long"))
+# Group averages of floats are merge-order dependent, so centroids are
+# computed in exact integer micro-units (see the shared helpers at the
+# top of this module): quantize, sum exactly, divide in integers.
 
 
 @register(
@@ -637,17 +756,6 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAM_DOWNSCALE = 1_000_000_000
 PCA_ITERS = 3
-
-
-def _sdiv_duck(num: str, den: str) -> str:
-    """Sign-safe integer division: DuckDB // floors but Spark div
-    truncates, so divide magnitudes (where both agree) and reapply the
-    sign."""
-    return f"CASE WHEN {num} < 0 THEN -((-({num})) // {den}) ELSE ({num}) // {den} END"
-
-
-def _sdiv_spark(num: str, den: str) -> str:
-    return f"CASE WHEN {num} < 0 THEN -((-({num})) div {den}) ELSE ({num}) div {den} END"
 
 
 def _pca_oracle() -> str:
