@@ -211,6 +211,48 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_partitioned_events_read",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("source", "partitioned", "pruning", "events"),
+)
+def source_partitioned_events_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END partition pruning on the events fact table: lay events
+    out date-partitioned (the canonical 100 TB layout for an append-only
+    event stream), then READ with a date-range predicate that resolves
+    against directory names — the scan's PartitionFilters skip every
+    day outside the range without opening a file (asserted in
+    tests/test_plans.py). This closes the loop the partitioned SINK test
+    only half-proves: the 100 TB events story is a pruned read path,
+    not just a partitioned write."""
+    events = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="bcs_evp_") + "/events_by_date"
+    events.withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)
+    lo = F.lit("2024-01-05").cast("date")
+    hi = F.lit("2024-01-07").cast("date")
+    return (
+        spark.read.parquet(path)
+        .where(F.col("event_date").between(lo, hi))
+        .groupBy(
+            F.col("event_date").cast("string").alias("event_date"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+@register(
     "sink_upsert_merge",
     oracle="""
 WITH target AS (

@@ -200,3 +200,14 @@ def test_similarity_topk_is_salted_two_stage(spark, sf_dir):
     ):
         plan = _plan(QUERIES[name].spark_fn(spark, sf_dir))
         assert "__salt" in plan, name + " missing salted local top-k:\n" + plan
+
+
+def test_partitioned_events_read_prunes_date_range(spark, sf_dir):
+    # The date-range predicate must land in PartitionFilters (directory
+    # pruning), not as a row-level data filter over all days.
+    df = QUERIES["source_partitioned_events_read"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters:" in plan, plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_date" in pf, pf
+    df.collect()
