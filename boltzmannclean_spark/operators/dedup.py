@@ -1013,3 +1013,53 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("canon_url")
     )
+
+
+@register(
+    "dedup_minhash_mllib",
+    oracle=None,  # MLlib's MinHash family is engine-specific; invariants
+    # (exact-Jaccard verification of every emitted pair, overlap with the
+    # SQL-composable pipeline) live in tests/test_llm_ops.py.
+    tags=("dedup", "minhash", "lsh", "mllib"),
+)
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup — the idiomatic-Spark alternate to the
+    SQL-composable pipeline (SURVEY §2.B names both): tokens →
+    HashingTF binary vectors → MinHashLSH(numHashTables=8, fixed seed)
+    → approxSimilarityJoin at Jaccard distance ≤ 0.1 (the same
+    similarity ≥ 0.9 cut as the SQL pipeline's
+    MINHASH_JACCARD_THRESHOLD).
+
+    approxSimilarityJoin is the same LSH shape as the hand-built
+    pipeline — explode hash tables, equi-join on (table, hash), then
+    verify candidates with the EXACT distance — so output pairs are
+    precision-1.0 and only recall is approximate. Seeded, so results
+    are deterministic; rows-only at the harness because the hash family
+    is JVM-internal. Scale: identical banding economics to
+    dedup_minhash_lsh (candidates ~ colliding pairs, never the cross
+    product); HashingTF at 2^18 features keeps collisions ~0 for this
+    vocabulary while bounding vector width."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="toks")
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(tok.transform(docs)).select("doc_id", "features")
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = mh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(
+            feats, feats, 1.0 - MINHASH_JACCARD_THRESHOLD, distCol="jaccard_dist"
+        )
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist").cast("double").alias("jaccard_dist"),
+        )
+    )
+    return pairs.orderBy("doc_a", "doc_b")

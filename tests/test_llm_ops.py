@@ -142,3 +142,29 @@ def test_ivf_recall_vs_bruteforce(spark, oracle_sf_dir):
     assert ivf, "IVF returned nothing"
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.15, f"IVF recall {recall:.2f} suspiciously low"
+
+
+def test_minhash_mllib_pairs_are_true_near_dups(spark, oracle_sf_dir):
+    """MLlib approxSimilarityJoin verifies candidates with the exact
+    distance over hashed binary vectors, so every emitted pair must be
+    a genuine near-dup under true token-set Jaccard too (tiny slack for
+    HashingTF collisions, which can only nudge the hashed estimate)."""
+    from pyspark.sql import functions as F
+
+    pairs = QUERIES["dedup_minhash_mllib"].spark_fn(spark, oracle_sf_dir)
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    jac = (
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb"))
+    )
+    checked = (
+        pairs.join(a, "doc_a").join(b, "doc_b").select(jac.alias("true_jaccard"))
+    )
+    n_pairs = checked.count()
+    assert n_pairs > 0, "expected near-dup pairs in this corpus"
+    low = checked.where(F.col("true_jaccard") < 0.88).count()
+    assert low == 0, f"{low}/{n_pairs} emitted pairs below true-Jaccard floor"
