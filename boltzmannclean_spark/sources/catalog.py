@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -30,24 +31,44 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a µs TIMESTAMP plus a long ``ts_ns`` twin,
+    whatever physical type the parquet footer carried.
+
+    The driver's testdata has shipped two layouts: TIMESTAMP(NANOS)
+    (readable only as long ns via the nanosAsLong conf) and plain
+    timestamp[us] (which Spark infers as TIMESTAMP_NTZ). Branching on the
+    actual scan schema keeps every downstream operator on the exact same
+    TIMESTAMP(µs) semantics in both cases.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # Legacy layout: long ns-since-epoch. Integer division keeps full
+        # precision (double would lose it at 1e18); DuckDB's
+        # TIMESTAMP_NS -> µs truncates identically.
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # Current layout: timestamp[us], inferred TIMESTAMP_NTZ. Cast to the
+    # session-zoned TIMESTAMP the operators were written against (session
+    # tz is UTC, so instants match DuckDB's naive read bit-for-bit).
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType())).withColumn(
+        "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast(T.LongType())
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark refuses the read
-        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on. Our own
-        # get_spark() sets it, but callers (e.g. an external harness) may
-        # hand us a bare session — set it defensively; it is a runtime-
-        # settable SQL conf.
+        # Older testdata carries events.ts as parquet TIMESTAMP(NANOS);
+        # Spark refuses that read (PARQUET_TYPE_ILLEGAL) unless nanosAsLong
+        # is on. Harmless for the current timestamp[us] layout — set it
+        # defensively; it is a runtime-settable SQL conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long ns-since-epoch (see session.py nanosAsLong).
-        # Integer division keeps full precision (double would lose it at
-        # 1e18); DuckDB's TIMESTAMP_NS -> µs truncates identically.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = normalize_events_ts(df)
     return df
 
 

@@ -19,22 +19,8 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# events.parquet carries ts as TIMESTAMP(NANOS); with the session's
-# nanosAsLong conf the scan yields a long, converted to a µs timestamp
-# exactly like sources/catalog.load_table does for the batch path.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.catalog import normalize_events_ts
 
 _sink_ids = itertools.count()
 
@@ -46,19 +32,19 @@ def events_stream(
     # The file source wants a directory; pathGlobFilter narrows the scan
     # to the events file (in production this is a Kafka topic / a
     # date-partitioned landing directory).
-    # Same defensive conf as sources/catalog.load_table: the LongType ts
-    # in EVENTS_SCHEMA only materializes from TIMESTAMP(NANOS) parquet
-    # when nanosAsLong is on, and the caller's session may not set it.
+    # Same defensive conf as sources/catalog.load_table: older testdata
+    # carries ts as TIMESTAMP(NANOS), readable only with nanosAsLong on.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    # readStream needs a static schema; probe the parquet footer with a
+    # batch read (driver-side metadata only) so the stream schema tracks
+    # whichever ts layout (long-ns vs timestamp[us]) the testdata has.
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema).option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(reader.parquet(sf_dir))
 
 
 def run_to_memory(

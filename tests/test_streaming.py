@@ -11,7 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.plans.registry import all_queries
-from boltzmannclean_spark.streaming.core import EVENTS_SCHEMA, run_to_memory
+from boltzmannclean_spark.sources.catalog import normalize_events_ts
+from boltzmannclean_spark.streaming.core import run_to_memory
 
 from .oracle_utils import assert_matches_oracle
 
@@ -52,13 +53,16 @@ def _write_event_files(spark, sf_dir, tmp_path, n_files=3):
 
 
 def _stream_events(spark, path, max_files=1):
+    # Probe the footer with a batch read so the stream schema tracks
+    # whichever ts layout (long-ns vs timestamp[us]) the fixture has.
+    schema = spark.read.parquet(path).schema
     df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .option("latestFirst", "false")
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 def test_multibatch_incremental_matches_batch(spark, sf_dir, tmp_path):
@@ -78,8 +82,7 @@ def test_multibatch_incremental_matches_batch(spark, sf_dir, tmp_path):
         r.ws_us: r.n_events for r in run_to_memory(agg).collect()
     }
     batch = (
-        spark.read.parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_events_ts(spark.read.parquet(path))
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.unix_micros("window.start").alias("ws_us"), "n_events")
@@ -101,8 +104,8 @@ def test_watermark_drops_late_data(spark, tmp_path):
         pdf = pd.DataFrame(
             {
                 "event_id": range(len(rows)),
-                # int64 ns-since-epoch, matching the nanosAsLong read of
-                # the real events table (EVENTS_SCHEMA has ts: long)
+                # int64 ns-since-epoch — exercises the legacy long-ns
+                # branch of normalize_events_ts
                 "ts": [int(pd.Timestamp(t).value) for t in rows],
                 "user_id": [1] * len(rows),
                 "event_type": ["click"] * len(rows),

@@ -9,9 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from boltzmannclean_spark.streaming.core import EVENTS_SCHEMA
-
-
 def _run_stream(spark, land, ckpt, totals):
     """Drain all currently-available files (availableNow) into `totals`
     via an update-mode foreachBatch merge; returns rows seen this run."""
@@ -23,7 +20,8 @@ def _run_stream(spark, land, ckpt, totals):
             totals[r.user_id] = (r.n_events, r.cents)
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        # Footer-probed schema: tracks whichever ts layout landed.
+        spark.readStream.schema(spark.read.parquet(land).schema)
         .parquet(land)
         .groupBy("user_id")
         .agg(
