@@ -670,3 +670,101 @@ def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy(F.desc("together"), "part_a", "part_b")
     )
+
+
+# Bloom pre-filter geometry: 2^16 bits (1024 longs ≈ 8 KB broadcast) and
+# 4 hash probes. False positives only cost wasted probe rows — the real
+# equi-join afterwards removes them, so output semantics are exact and
+# the oracle is the plain join SQL.
+BLOOM_BITS = 1 << 16
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4
+
+
+@register(
+    "join_bloom_semireduction",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY date_trunc('month', o_orderdate)
+ORDER BY order_month
+""",
+    tags=("join", "bloom", "semireduction"),
+)
+def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom filter: revenue per
+    month for URGENT orders, with the lineitem scan pre-filtered by an
+    8 KB Bloom filter built from the urgent order keys before the real
+    join runs.
+
+    This is the classic 100 TB pattern for a selective fact⋈fact join:
+    shipping the full urgent-key set to every lineitem task costs
+    O(|keys|) network per task, while the Bloom filter is a fixed 8 KB
+    broadcast whatever the key count, and it prunes the probe side down
+    to ~selectivity × |lineitem| rows BEFORE the join shuffle — the
+    shuffle that dominates the query. False positives pass the filter
+    but die in the real equi-join, so results are exact and the oracle
+    is the plain join (the Bloom stage is invisible to semantics; Spark
+    4's own runtime bloom-filter join applies the same rewrite when
+    statistics justify it — this operator is the explicit, always-on
+    form).
+
+    Build: urgent keys → explode 4 xxhash64 probes → (word, bit) →
+    bit_or-aggregated 1024-long words → map_from_entries on one row —
+    two tiny aggregations. Probe: 1-row broadcast crossJoin, 4 map
+    lookups + bitwise AND per lineitem row, all codegen'd builtins."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    hashes = [
+        f"pmod(xxhash64(o_orderkey, {i}), {BLOOM_BITS})" for i in range(BLOOM_K)
+    ]
+    words = (
+        urgent.select(
+            F.explode(F.array(*[F.expr(h) for h in hashes])).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos div 64 AS INT)").alias("word"),
+            F.expr("CAST(pmod(pos, 64) AS INT)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+    )
+
+    def member(col_name: str) -> F.Column:
+        tests = []
+        for i in range(BLOOM_K):
+            h = f"pmod(xxhash64({col_name}, {i}), {BLOOM_BITS})"
+            tests.append(
+                f"(coalesce(element_at(bloom, CAST({h} div 64 AS INT)), "
+                f"CAST(0 AS BIGINT)) "
+                f"& shiftleft(CAST(1 AS BIGINT), CAST(pmod({h}, 64) AS INT))) != 0"
+            )
+        return F.expr(" AND ".join(tests))
+
+    pruned = (
+        li.crossJoin(F.broadcast(bloom))
+        .where(member("l_orderkey"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("order_month")
+    )

@@ -13,7 +13,7 @@ arithmetic untouched (IEEE-deterministic), aggregates via exact decimal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.exact import dec
@@ -521,3 +521,69 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("c_mktsegment").alias("n_segments"),
     )
     return summary.transpose().orderBy("key")
+
+
+@register(
+    "relational_skyline",
+    oracle="""
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_retailprice, p_size, p_partkey
+""",
+    tags=("relational", "skyline", "dominance"),
+)
+def relational_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over part: rows where no other part is
+    both cheaper-or-equal AND larger-or-equal with one strict — minimize
+    p_retailprice, maximize p_size.
+
+    The naive formulation is an O(N²) self-anti-join (the oracle SQL says
+    exactly that, as an independent derivation). The distributed plan is
+    a segmented prefix-max instead: (1) per-price max size — one hash
+    aggregation; (2) per-100-unit price bucket max — second tiny
+    aggregation; (3) prefix-max across the bucket domain — a window over
+    ~hundreds of bucket rows, the only single-partition step, bounded by
+    the price domain / 100 regardless of row count; (4) within-bucket
+    running max partitioned by bucket — parallel; (5) equi-join the
+    surviving (price, max_size) pairs back to part. No step is quadratic
+    and nothing driver-side, so the same plan holds when part is 10⁹
+    rows: the frontier condition `size > max(size over all strictly
+    cheaper rows)` is evaluated with two shuffles and a domain-sized
+    window."""
+    part = load_table(spark, sf_dir, "part")
+    pp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("ms"))
+    ppb = pp.withColumn("bkt", F.floor(F.col("p_retailprice") / F.lit(100.0)))
+    bmax = ppb.groupBy("bkt").agg(F.max("ms").alias("bm"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.select("bkt", F.max("bm").over(wb).alias("pre"))
+    wp = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_prices = (
+        ppb.join(bpre, "bkt")
+        .withColumn("run_in", F.max("ms").over(wp))
+        .withColumn(
+            "max_lt",
+            F.greatest(
+                F.coalesce(F.col("pre"), F.lit(-1)),
+                F.coalesce(F.col("run_in"), F.lit(-1)),
+            ),
+        )
+        .where(F.col("ms") > F.col("max_lt"))
+        .select(F.col("p_retailprice").alias("sp"), F.col("ms"))
+    )
+    return (
+        part.join(
+            sky_prices,
+            (part.p_retailprice == sky_prices.sp) & (part.p_size == sky_prices.ms),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )

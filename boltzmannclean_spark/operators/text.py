@@ -944,3 +944,142 @@ def text_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_train_test_split",
+    oracle="""
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM b
+GROUP BY 1
+ORDER BY split
+""",
+    tags=("sample", "split", "curation"),
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-free key
+    hash — the standard way to split a training corpus so membership is
+    (a) reproducible across runs and engines, (b) stable under corpus
+    growth (a doc's split never changes when other docs arrive), and
+    (c) computable row-local with no shuffle before the final tiny
+    aggregation. The bucket is the first 16 bits of md5(doc_id) mod 100
+    — portable arithmetic both engines evaluate identically (Spark
+    `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return (
+        docs.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+N_NEGATIVES = 4  # negatives drawn per anchor document
+
+
+@register(
+    "pairs_negative_sampling",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+anchors AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 10 = 0),
+draws AS (
+  SELECT anchor_id, k,
+         ('0x' || substring(md5(anchor_id::VARCHAR || ':' || k::VARCHAR), 1, 12))::BIGINT
+           % n.n_docs AS neg_id
+  FROM anchors
+  CROSS JOIN (SELECT CAST(UNNEST(range(0, {N_NEGATIVES})) AS INTEGER) AS k)
+  CROSS JOIN n
+)
+SELECT d.anchor_id, d.k, d.neg_id, doc.lang AS neg_lang, doc.n_chars AS neg_n_chars
+FROM draws d JOIN documents doc ON doc.doc_id = d.neg_id
+WHERE d.neg_id <> d.anchor_id
+ORDER BY anchor_id, k
+""",
+    tags=("curation", "contrastive", "sampling"),
+)
+def pairs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    every anchor document draws N_NEGATIVES pseudo-random negatives via
+    a hash ring — neg_id = md5(anchor:k) mod corpus size — then joins
+    the negatives' metadata. Accidental self-pairs are dropped (the
+    standard cheap fix; a re-roll would also be deterministic but costs
+    a second pass for a ~1/N event).
+
+    Scale shape: the corpus size is a 1-row broadcast (no driver
+    collect); the k-fan-out is an executor-side explode of anchor rows
+    only; the negatives lookup is a plain equi-join on doc_id, which at
+    100 TB rides whatever bucketing the documents table already has.
+    Works because doc_id is dense 0..N-1 (asserted by the join itself:
+    a sparse id space would silently drop draws — the row count oracle
+    would catch it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    draws = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "n_docs",
+            F.explode(F.array(*[F.lit(k) for k in range(N_NEGATIVES)])).alias("k"),
+        )
+        .select(
+            "anchor_id",
+            "k",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_docs"),
+            ).alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("lang").alias("neg_lang"),
+        F.col("n_chars").alias("neg_n_chars"),
+    )
+    return draws.join(neg, "neg_id").select(
+        "anchor_id", "k", "neg_id", "neg_lang", "neg_n_chars"
+    ).orderBy("anchor_id", "k")

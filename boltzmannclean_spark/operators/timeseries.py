@@ -102,3 +102,67 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ffill_value"
         ),
     ).orderBy("user_id", "hour_us")
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(nxt - us) AS BIGINT) AS span_us,
+       CAST(SUM((nxt - us) * cents) AS DOUBLE)
+         / CAST(SUM(nxt - us) AS DOUBLE) / 100.0 AS twa_value
+FROM t
+WHERE nxt IS NOT NULL
+GROUP BY user_id
+HAVING SUM(nxt - us) > 0
+ORDER BY user_id
+""",
+    tags=("timeseries", "time-weighted", "window"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (TimescaleDB
+    `time_weight('LOCF')`-style): each observation is weighted by how
+    long it was the latest one, i.e. the µs gap to the next event; the
+    final open-ended observation carries no weight.
+
+    One window (lead over the per-user timeline — the same shuffle the
+    aggregation needs anyway, so the whole plan is ONE exchange on
+    user_id) plus a hash aggregation. Determinism: weights are exact µs
+    bigints, values exact integer cents (2-dp money data), so both
+    Σ(weight·cents) and Σweight aggregate in exact integer arithmetic in
+    any order at any parallelism; the only float ops are two final IEEE
+    divisions of identical operands. Ties on ts are ordered by event_id
+    in both engines. Users with a zero total span (all events at one
+    instant) are dropped by the HAVING in both plans."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (dec("value") * 100).cast("long").alias("cents"),
+    ).withColumn("nxt", F.lead("us").over(w))
+    return (
+        t.where(F.col("nxt").isNotNull())
+        .withColumn("dt", F.col("nxt") - F.col("us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("span_us"),
+            (
+                F.sum(F.col("dt") * F.col("cents")).cast("double")
+                / F.sum("dt").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+        )
+        .where(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )
