@@ -79,16 +79,26 @@ def main() -> None:
     # plan cost under co-tenant interference (standard practice for
     # shared hosts); both samples go to stderr for transparency and the
     # first-sample sum is reported alongside the best-of total.
+    # Per-query fault isolation: a single failing query must cost ONE
+    # entry, never the whole bench line (round 3 lost every number to one
+    # AnalysisException). Failures are reported in "failed" so a partial
+    # total is never mistaken for a full one.
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in names:
         q = registry[name]
         samples = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = q.spark_fn(spark, sf_dir)
-            n = df.count()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = q.spark_fn(spark, sf_dir)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(samples), 4)
         first_runs[name] = round(samples[0], 4)
         print(
@@ -99,22 +109,19 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "core9_total": round(
-                    sum(timings[n] for n in CORE9 if n in timings), 4
-                ),
-                "first_run_total": round(sum(first_runs.values()), 4),
-                "queries_first_run": first_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    report = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "core9_total": round(sum(timings[n] for n in CORE9 if n in timings), 4),
+        "first_run_total": round(sum(first_runs.values()), 4),
+        "queries_first_run": first_runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        report["failed"] = failed
+    print(json.dumps(report))
     spark.stop()
 
 

@@ -727,3 +727,123 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+WITH c AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(q * q AS HUGEINT)) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(p * p AS HUGEINT)) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(d * d AS HUGEINT)) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(q * p AS HUGEINT)) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(q * d AS HUGEINT)) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(p * d AS HUGEINT)) AS DOUBLE) AS spd
+  FROM c
+)
+SELECT col_x, col_y,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+       n AS n_rows
+FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         n, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, sqp AS sxy FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n, sq, sd, sqq, sdd, sqd FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', n, sp, sd, spp, sdd, spd FROM s
+)
+ORDER BY col_x, col_y
+""",
+    tags=("aggregate", "statistics", "correlation"),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem measures
+    from ONE pass of sufficient statistics — the way a 100 TB profiler
+    computes all pairwise correlations: a single partial+final hash
+    aggregation of 10 sums, then a 1-row driver-free expansion into the
+    pair rows. Determinism: inputs become exact integer cents (per-row,
+    engine-identical), per-row products stay within int64, sums are
+    exact wide-integer (decimal(38,0) / HUGEINT), and the correlation
+    formula is evaluated in the same double-op order in both engines —
+    bit-identical without any tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        (dec("l_quantity") * 100).cast("long").alias("q"),
+        (dec("l_extendedprice") * 100).cast("long").alias("p"),
+        (dec("l_discount", 4, 2) * 100).cast("long").alias("d"),
+    )
+
+    def wide(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        wide(F.col("q")).alias("sq"),
+        wide(F.col("p")).alias("sp"),
+        wide(F.col("d")).alias("sd"),
+        wide(F.col("q") * F.col("q")).alias("sqq"),
+        wide(F.col("p") * F.col("p")).alias("spp"),
+        wide(F.col("d") * F.col("d")).alias("sdd"),
+        wide(F.col("q") * F.col("p")).alias("sqp"),
+        wide(F.col("q") * F.col("d")).alias("sqd"),
+        wide(F.col("p") * F.col("d")).alias("spd"),
+    )
+    pairs = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("col_x"),
+                    F.lit("l_extendedprice").alias("col_y"),
+                    F.col("n").alias("n"),
+                    F.col("sq").alias("sx"),
+                    F.col("sp").alias("sy"),
+                    F.col("sqq").alias("sxx"),
+                    F.col("spp").alias("syy"),
+                    F.col("sqp").alias("sxy"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("col_x"),
+                    F.lit("l_discount").alias("col_y"),
+                    F.col("n").alias("n"),
+                    F.col("sq").alias("sx"),
+                    F.col("sd").alias("sy"),
+                    F.col("sqq").alias("sxx"),
+                    F.col("sdd").alias("syy"),
+                    F.col("sqd").alias("sxy"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("col_x"),
+                    F.lit("l_discount").alias("col_y"),
+                    F.col("n").alias("n"),
+                    F.col("sp").alias("sx"),
+                    F.col("sd").alias("sy"),
+                    F.col("spp").alias("sxx"),
+                    F.col("sdd").alias("syy"),
+                    F.col("spd").alias("sxy"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return pairs.select(
+        "col_x",
+        "col_y",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr"),
+        F.col("n").alias("n_rows"),
+    ).orderBy("col_x", "col_y")

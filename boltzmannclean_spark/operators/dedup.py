@@ -1063,3 +1063,75 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+SEG_TOKENS = 10  # fixed-width token segments ("pseudo-paragraphs")
+
+
+@register(
+    "dedup_segments_exact",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id, seg_idx, seg FROM (
+    SELECT doc_id,
+           UNNEST(range(0, len(string_split(text, ' ')) // {SEG_TOKENS})) AS seg_idx,
+           string_split(text, ' ') AS toks
+    FROM documents
+  ) t, LATERAL (
+    SELECT array_to_string(
+             list_slice(toks, seg_idx * {SEG_TOKENS} + 1,
+                              seg_idx * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+  )
+)
+SELECT md5(seg) AS seg_hash,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc_id
+FROM segs
+GROUP BY md5(seg)
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY seg_hash
+""",
+    tags=("dedup", "sub-document", "segments"),
+)
+def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (Lee et al. 2022 'Deduplicating Training
+    Data...' at segment granularity): split every document into fixed
+    10-token segments, hash each, and report segments that recur across
+    documents — the passages a training pipeline would drop or down-
+    weight even when whole-document dedup passes. The fixture corpus has
+    no paragraph breaks, so the splitter is a fixed token window; on a
+    real crawl the same plan runs off a paragraph/sentence splitter.
+
+    Scale shape: tokenize + segment entirely inside one projection
+    (transform over a sequence — executor-side, no fan-out join), ONE
+    shuffle on the 16-byte segment hash with map-side partial
+    aggregation, and output bounded by actually-duplicated segments.
+    This is exact-dedup cost O(corpus tokens), the cheap screen that
+    runs before any MinHash pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # Integral sequence bound; docs shorter than one segment are skipped
+    # BEFORE sequence() — Spark's sequence(0, -1) would descend, not be
+    # empty like DuckDB's range(0, 0).
+    segs = toks.where(F.size("toks") >= SEG_TOKENS).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.expr(f"sequence(0, size(toks) div {SEG_TOKENS} - 1)"),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("seg"),
+    )
+    return (
+        segs.groupBy(F.md5("seg").alias("seg_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("seg_hash")
+    )

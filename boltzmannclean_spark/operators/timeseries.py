@@ -166,3 +166,73 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("span_us") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS h, epoch_us(ts) AS us, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY epoch_us(ts), event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT epoch_us(h) AS hour_us,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+FROM t
+GROUP BY h
+ORDER BY hour_us
+""",
+    tags=("timeseries", "ohlc", "rollup"),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over the event stream — the hypertable
+    rollup shape (TimescaleDB `time_bucket` + first/last/min/max).
+
+    Open/close are first/last `value` by (ts, event_id) — selected via
+    two row_numbers over the SAME (hour) partitioning the aggregation
+    shuffles on, so the whole plan is one exchange; the deterministic
+    event_id tiebreak makes the pick identical in both engines. High/
+    low/count are plain aggregates; volume sums in exact decimal. At
+    100 TB the hour key is low-cardinality relative to rows — the
+    window is per-bucket parallel and the agg partial-aggregates
+    map-side; for finer buckets the same plan just has more groups."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("h").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("h").orderBy(F.col("us").desc(), F.col("event_id").desc())
+    return (
+        t.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("volume"),
+        )
+        .select(
+            F.unix_micros("h").alias("hour_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+        .orderBy("hour_us")
+    )

@@ -60,6 +60,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The engine's cross-engine determinism contract (timestamp literals,
+    # unix_micros, the NTZ→LTZ events cast) assumes a UTC session — our
+    # get_spark() pins it, but the external harness hands us ITS session.
+    # Runtime-settable, idempotent, and required for DuckDB's naive
+    # timestamps to mean the same instants: set defensively on every load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Older testdata carries events.ts as parquet TIMESTAMP(NANOS);
         # Spark refuses that read (PARQUET_TYPE_ILLEGAL) unless nanosAsLong

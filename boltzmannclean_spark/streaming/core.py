@@ -32,9 +32,11 @@ def events_stream(
     # The file source wants a directory; pathGlobFilter narrows the scan
     # to the events file (in production this is a Kafka topic / a
     # date-partitioned landing directory).
-    # Same defensive conf as sources/catalog.load_table: older testdata
-    # carries ts as TIMESTAMP(NANOS), readable only with nanosAsLong on.
+    # Same defensive confs as sources/catalog.load_table: older testdata
+    # carries ts as TIMESTAMP(NANOS), readable only with nanosAsLong on,
+    # and the determinism contract assumes a UTC session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # readStream needs a static schema; probe the parquet footer with a
     # batch read (driver-side metadata only) so the stream schema tracks
     # whichever ts layout (long-ns vs timestamp[us]) the testdata has.
