@@ -523,6 +523,48 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.transpose().orderBy("key")
 
 
+def skyline_frontier(
+    df: DataFrame, minimize: str, maximize: str, bucket_width: float = 100.0
+) -> DataFrame:
+    """Generic 2-D skyline kernel: rows of ``df`` not dominated under
+    (minimize ``minimize``, maximize ``maximize``). Segmented prefix-max
+    plan: (1) per-`minimize`-value max of `maximize` — one hash agg;
+    (2) per-bucket max — second tiny agg; (3) prefix-max across the
+    bucket DOMAIN — the only single-partition window, domain/width
+    sized, independent of row count; (4) within-bucket running max —
+    parallel; (5) equi-join survivors back. Nothing quadratic, nothing
+    driver-side; holds at 10⁹ rows."""
+    pp = df.groupBy(F.col(minimize).alias("_mv")).agg(
+        F.max(maximize).alias("_ms")
+    )
+    ppb = pp.withColumn("_bkt", F.floor(F.col("_mv") / F.lit(bucket_width)))
+    bmax = ppb.groupBy("_bkt").agg(F.max("_ms").alias("_bm"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.select("_bkt", F.max("_bm").over(wb).alias("_pre"))
+    wp = (
+        Window.partitionBy("_bkt")
+        .orderBy("_mv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_keys = (
+        ppb.join(bpre, "_bkt")
+        .withColumn("_run_in", F.max("_ms").over(wp))
+        .withColumn(
+            "_max_lt",
+            F.greatest(
+                F.coalesce(F.col("_pre"), F.lit(float("-inf"))),
+                F.coalesce(F.col("_run_in"), F.lit(float("-inf"))),
+            ),
+        )
+        .where(F.col("_ms") > F.col("_max_lt"))
+        .select("_mv", "_ms")
+    )
+    return df.join(
+        sky_keys,
+        (df[minimize] == sky_keys._mv) & (df[maximize] == sky_keys._ms),
+    ).drop("_mv", "_ms")
+
+
 @register(
     "relational_skyline",
     oracle="""
@@ -540,50 +582,14 @@ ORDER BY p_retailprice, p_size, p_partkey
 def relational_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) over part: rows where no other part is
     both cheaper-or-equal AND larger-or-equal with one strict — minimize
-    p_retailprice, maximize p_size.
-
-    The naive formulation is an O(N²) self-anti-join (the oracle SQL says
-    exactly that, as an independent derivation). The distributed plan is
-    a segmented prefix-max instead: (1) per-price max size — one hash
-    aggregation; (2) per-100-unit price bucket max — second tiny
-    aggregation; (3) prefix-max across the bucket domain — a window over
-    ~hundreds of bucket rows, the only single-partition step, bounded by
-    the price domain / 100 regardless of row count; (4) within-bucket
-    running max partitioned by bucket — parallel; (5) equi-join the
-    surviving (price, max_size) pairs back to part. No step is quadratic
-    and nothing driver-side, so the same plan holds when part is 10⁹
-    rows: the frontier condition `size > max(size over all strictly
-    cheaper rows)` is evaluated with two shuffles and a domain-sized
-    window."""
+    p_retailprice, maximize p_size. The oracle SQL is the independent
+    O(N²) NOT EXISTS derivation; the distributed plan is the segmented
+    prefix-max kernel (``skyline_frontier``), property-tested against a
+    brute-force dominance check on random inputs in
+    tests/test_skyline_property.py."""
     part = load_table(spark, sf_dir, "part")
-    pp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("ms"))
-    ppb = pp.withColumn("bkt", F.floor(F.col("p_retailprice") / F.lit(100.0)))
-    bmax = ppb.groupBy("bkt").agg(F.max("ms").alias("bm"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    bpre = bmax.select("bkt", F.max("bm").over(wb).alias("pre"))
-    wp = (
-        Window.partitionBy("bkt")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sky_prices = (
-        ppb.join(bpre, "bkt")
-        .withColumn("run_in", F.max("ms").over(wp))
-        .withColumn(
-            "max_lt",
-            F.greatest(
-                F.coalesce(F.col("pre"), F.lit(-1)),
-                F.coalesce(F.col("run_in"), F.lit(-1)),
-            ),
-        )
-        .where(F.col("ms") > F.col("max_lt"))
-        .select(F.col("p_retailprice").alias("sp"), F.col("ms"))
-    )
     return (
-        part.join(
-            sky_prices,
-            (part.p_retailprice == sky_prices.sp) & (part.p_size == sky_prices.ms),
-        )
+        skyline_frontier(part, "p_retailprice", "p_size")
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )
