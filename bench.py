@@ -47,6 +47,11 @@ HEADLINE = CORE9 + [
     "events_sessionize",
     "dedup_embedding_cosine",
     "graph_pagerank_bipartite",
+    # round-4 families
+    "relational_skyline",
+    "join_bloom_semireduction",
+    "agg_corr_matrix",
+    "ts_ohlc_bars",
 ]
 
 

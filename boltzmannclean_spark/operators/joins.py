@@ -737,8 +737,17 @@ def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
     )
+    # Dense long[1024] instead of a map: Spark's map element_at is a
+    # LINEAR scan of the entries (O(words) per probe — measured 3.3s at
+    # sf0.1); array element_at is O(1). The fill runs once on the 1-row
+    # build side (1024 map lookups total, then the map is dropped).
     bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+            f"w -> coalesce(element_at(m, w), CAST(0 AS BIGINT)))"
+        ).alias("bloom")
     )
 
     def member(col_name: str) -> F.Column:
@@ -746,8 +755,7 @@ def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(BLOOM_K):
             h = f"pmod(xxhash64({col_name}, {i}), {BLOOM_BITS})"
             tests.append(
-                f"(coalesce(element_at(bloom, CAST({h} div 64 AS INT)), "
-                f"CAST(0 AS BIGINT)) "
+                f"(element_at(bloom, CAST({h} div 64 AS INT) + 1) "
                 f"& shiftleft(CAST(1 AS BIGINT), CAST(pmod({h}, 64) AS INT))) != 0"
             )
         return F.expr(" AND ".join(tests))

@@ -211,3 +211,41 @@ def test_partitioned_events_read_prunes_date_range(spark, sf_dir):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "event_date" in pf, pf
     df.collect()
+
+
+def test_ohlc_and_twa_single_hash_exchange(spark, sf_dir):
+    """ts_ohlc_bars / ts_time_weighted_avg claim their windows ride the
+    aggregation's own exchange: exactly ONE hash exchange in the plan
+    (plus the final output-order range exchange)."""
+    for name in ("ts_ohlc_bars", "ts_time_weighted_avg"):
+        plan = _plan(QUERIES[name].spark_fn(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, f"{name}:\n{plan}"
+
+
+def test_skyline_is_not_quadratic(spark, sf_dir):
+    """relational_skyline must stay the segmented prefix-max plan — no
+    nested-loop/cartesian self-join (the naive O(N²) formulation), and a
+    bounded number of exchanges."""
+    plan = _plan(QUERIES["relational_skyline"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_bloom_semireduction_filters_before_join(spark, sf_dir):
+    """The Bloom membership test (xxhash64 probes) must sit in a Filter
+    on the lineitem side BEFORE the real equi-join, and the bloom build
+    side must reach the probe as a broadcast, never a shuffle."""
+    plan = _plan(QUERIES["join_bloom_semireduction"].spark_fn(spark, sf_dir))
+    assert "xxhash64" in plan and "Filter" in plan, plan
+    join_pos = plan.find("BroadcastHashJoin")
+    probe_pos = plan.find("xxhash64")
+    assert join_pos != -1 and probe_pos != -1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_corr_matrix_no_shuffle(spark, sf_dir):
+    """agg_corr_matrix reduces to a single global aggregation: no hash
+    exchange at all (partial aggregates feed one SinglePartition merge)."""
+    plan = _plan(QUERIES["agg_corr_matrix"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
