@@ -480,6 +480,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("band_key")
         )
+        # Both sides of the candidate self-join read the signatures;
+        # without pinning, the whole crossJoin+aggregation subtree runs
+        # TWICE. localCheckpoint materializes the (corpus × bands)-sized
+        # signature table once — node-count data, safe at any scale.
+        .localCheckpoint()
     )
     a = bits.alias("a")
     b = bits.alias("b")
