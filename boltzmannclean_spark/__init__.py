@@ -19,3 +19,36 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def clean(
+    dataframe,
+    numerical_columns=(),
+    categorical_columns=(),
+    tune_rbm: bool = False,
+    **rbm_kwargs,
+):
+    """Drop-in equivalent of upstream ``boltzmannclean.clean``: impute
+    missing values in ``dataframe`` with an RBM trained on the observed
+    cells, returning a new DataFrame with the same schema.
+
+    Differences from upstream are exactly the Spark ones: ``dataframe``
+    is a pyspark DataFrame (not pandas), the fit samples/distributes
+    according to ``RBMImputer`` defaults, and the transform runs as an
+    Arrow-batched ``mapInPandas`` with broadcast weights — a linear,
+    shuffle-free pass, so the same call serves a 100 TB table.
+
+    >>> import boltzmannclean_spark as bcs
+    >>> cleaned = bcs.clean(df, numerical_columns=["a"],
+    ...                     categorical_columns=["b"], tune_rbm=True)
+    """
+    from boltzmannclean_spark.ml.imputer import RBMImputer
+
+    imputer = RBMImputer(
+        numerical_columns=list(numerical_columns),
+        categorical_columns=list(categorical_columns),
+        **rbm_kwargs,
+    )
+    if tune_rbm:
+        imputer = imputer.tune(dataframe)
+    return imputer.fit(dataframe).transform(dataframe)

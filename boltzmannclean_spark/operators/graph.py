@@ -195,3 +195,117 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("node_type", "degree")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT p, COUNT(*) AS d FROM (
+    SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
+  ) GROUP BY p
+),
+oriented AS (
+  SELECT CASE WHEN (d1.d, pairs.p1) < (d2.d, pairs.p2)
+              THEN pairs.p1 ELSE pairs.p2 END AS src,
+         CASE WHEN (d1.d, pairs.p1) < (d2.d, pairs.p2)
+              THEN pairs.p2 ELSE pairs.p1 END AS dst
+  FROM pairs
+  JOIN deg d1 ON d1.p = pairs.p1
+  JOIN deg d2 ON d2.p = pairs.p2
+),
+wedges AS (
+  SELECT e1.src AS apex,
+         LEAST(e1.dst, e2.dst) AS v,
+         GREATEST(e1.dst, e2.dst) AS w
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedges JOIN pairs ON pairs.p1 = wedges.v AND pairs.p2 = wedges.w
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+         CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT stats.n_edges, stats.n_wedges, tri.n_triangles,
+       CAST(3 * tri.n_triangles AS DOUBLE)
+         / CAST(stats.n_wedges AS DOUBLE) AS clustering_coeff
+FROM stats CROSS JOIN tri
+""",
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient of the part
+    co-purchase graph (parts are adjacent when they share an order),
+    via DEGREE-ORIENTED wedge counting (Schank–Wagner / the standard
+    MapReduce formulation): orient every edge from its lower-(degree,
+    id) endpoint to the higher one, build wedges only from each
+    vertex's OUT-edges, and close them against the undirected edge
+    set. Every triangle has exactly one apex in the orientation order,
+    so it is counted once, and per-vertex wedge cost is outdeg² with
+    outdeg = O(√|E|) — the property that makes this tractable on a
+    heavy-tailed 100 TB co-occurrence graph where naive Σdeg² explodes
+    on hub parts. Pair building is Σ basket² (bounded by order size,
+    as in join_basket_affinity). All joins are equi-joins; the only
+    driver-free scalars ride the 1-row CROSS JOIN idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("p"))
+        .unionAll(pairs.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("p").alias("p1"), F.col("d").alias("da"))
+    d2 = deg.select(F.col("p").alias("p2"), F.col("d").alias("db"))
+    first_lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        pairs.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(first_lower, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(first_lower, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = (
+        e1.join(e2, "src")
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.least("x", "y").alias("p1"), F.greatest("x", "y").alias("p2")
+        )
+    )
+    tri = wedges.join(pairs, ["p1", "p2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    ).crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_edges"))))
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("clustering_coeff"),
+    )

@@ -144,3 +144,23 @@ def test_tune_selects_config(spark, holed):
     ).tune(holed, param_grid=[{"n_hidden": 4}, {"n_hidden": 12}])
     assert imp.rbm_kwargs["n_hidden"] in (4, 12)
     assert np.isfinite(imp.best_rmse_)
+
+
+def test_top_level_clean_matches_upstream_api(holed):
+    """boltzmannclean_spark.clean() is the drop-in for upstream
+    boltzmannclean.clean(dataframe, numerical_columns,
+    categorical_columns, tune_rbm): one call, imputed DataFrame out,
+    schema preserved, no missing values left in the imputed columns."""
+    import boltzmannclean_spark as bcs
+
+    out = bcs.clean(
+        holed,
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=8,
+        max_epochs=5,
+        seed=42,
+    )
+    assert out.schema == holed.schema
+    assert out.where(F.col("c_acctbal").isNull()).count() == 0
+    assert out.where(F.col("c_mktsegment").isNull()).count() == 0
