@@ -21,6 +21,19 @@ INVARIANT_QUERIES = (
     "graph_pagerank_bipartite",
     "embedding_nearest_centroid",
     "events_sessionize",
+    # round-4 exact-arithmetic additions: wide-integer sufficient stats,
+    # cents×µs weights, row_number-picked open/close, segmented
+    # prefix-max frontier, bloom-pruned exact join, wedge counting,
+    # hash-ring draws and md5 bucketing.
+    "agg_corr_matrix",
+    "ts_time_weighted_avg",
+    "ts_ohlc_bars",
+    "relational_skyline",
+    "join_bloom_semireduction",
+    "graph_triangle_count",
+    "pairs_negative_sampling",
+    "sample_train_test_split",
+    "dedup_segments_exact",
 )
 
 
