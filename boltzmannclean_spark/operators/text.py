@@ -1083,3 +1083,50 @@ def pairs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return draws.join(neg, "neg_id").select(
         "anchor_id", "k", "neg_id", "neg_lang", "neg_n_chars"
     ).orderBy("anchor_id", "k")
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle="""
+WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+d AS (
+  SELECT lang, n_chars,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h48
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM d CROSS JOIN m
+WHERE h48 * m.mx * 4 < n_chars * 281474976710656
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("sample", "weighted", "curation"),
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional (Poisson/Bernoulli) sampling with inclusion
+    probability p_i = n_chars_i / (4·max_chars) — the length-weighted
+    draw a token-budget curation pass uses, made reproducible and
+    engine-exact: the uniform is the first 48 bits of md5(doc_id), the
+    comparison is pure int64 arithmetic (no floats, no RNG state), so
+    membership is identical at any parallelism and in both engines.
+    2^48 = 281474976710656; all products stay below 2^63 for corpus
+    documents (n_chars ≤ ~10⁶ with the 4× divisor). Row-local until
+    the tiny per-lang aggregation; the max weight is a 1-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("n_chars").alias("mx"))
+    h48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(m))
+        .where(h48 * F.col("mx") * 4 < F.col("n_chars") * F.lit(281474976710656))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -535,3 +535,60 @@ def stream_trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("user_id")
+
+
+@register(
+    "stream_ohlc_hourly",
+    oracle=f"""
+SELECT
+  epoch_us(ts) - epoch_us(ts) % {_US_HOUR} AS hour_us,
+  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("streaming", "ohlc", "window", "watermark"),
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly OHLC candles: the hypertable rollup
+    (ts_ohlc_bars) as a watermarked streaming aggregation. Open/close
+    use min_by/max_by on a zero-padded (epoch-µs, event_id) string key
+    — lexicographic order equals numeric order, is deterministic under
+    ties, and unlike the batch row_number formulation it works inside a
+    streaming agg (no window functions over streams). State per
+    (hour) group is O(1): five scalars plus the two pick keys —
+    watermark-evictable, horizontally partitioned by the group key."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("volume"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("hour_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+    return run_to_memory(agg).orderBy("hour_us")
