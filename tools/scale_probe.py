@@ -1,0 +1,121 @@
+"""Scale-up probe: does each headline plan scale LINEARLY with input?
+
+Synthesizes an N× copy of the sf0.1 fact tables (keys offset per copy so
+cardinalities scale realistically: new orders, new lineitems, same
+dimensions — exactly how a bigger TPC-H SF behaves), then times a set of
+representative queries at 1× and N× and prints the time ratio per query.
+A ratio ≈ N means the plan is linear in input (shuffle-bound at worst);
+a ratio ≫ N exposes a super-linear stage (quadratic candidate blowup,
+driver-side collection, single-partition bottleneck) that sf0.1 alone
+cannot reveal.
+
+Usage: python tools/scale_probe.py [factor] [query ...]
+Writes the synthetic copies under /tmp/bcs_scale/ (removed and rebuilt
+per run unless already present with the right factor).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.plans.registry import all_queries
+from boltzmannclean_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = "/tmp/bcs_scale"
+
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "join_revenue_by_nation",
+    "events_sessionize",
+    "dedup_exact",
+    "text_tfidf_top_term",
+    "ts_ohlc_bars",
+    "agg_corr_matrix",
+    "join_bloom_semireduction",
+]
+
+# (table, key columns to offset per copy) — facts grow, dims stay.
+FACTS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_scaled(spark, factor: int) -> str:
+    out = f"{SCALE_DIR}/x{factor}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for name in DIMS:
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    for name, keys in FACTS.items():
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        # Offset keys per copy so joins/groupings keep realistic
+        # cardinality (10x orders, not 10 duplicates of each order).
+        # Offsets are multiples of a power of ten above the key range,
+        # preserving key arithmetic (doc_id density is per-copy).
+        copies = []
+        for i in range(factor):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * 10_000_000_000))
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionAll(c)
+        big.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    q = all_queries()[name]
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    return min(samples)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    spark = get_spark("scale-probe")
+    scaled = build_scaled(spark, factor)
+    report = {"factor": factor, "base": BASE, "queries": {}}
+    for name in names:
+        try:
+            t1 = time_query(spark, name, BASE)
+            tn = time_query(spark, name, scaled)
+            report["queries"][name] = {
+                "t_1x": round(t1, 3),
+                f"t_{factor}x": round(tn, 3),
+                "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            }
+            print(f"# {name}: {t1:.2f}s -> {tn:.2f}s (x{tn / t1:.1f})",
+                  file=sys.stderr)
+        except Exception as exc:
+            report["queries"][name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
