@@ -939,3 +939,58 @@ def impute_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "similarity_ann_brp_mllib",
+    oracle=None,  # MLlib's random-projection hash family is JVM-internal;
+    # invariants (exact-distance verification, recall vs brute force)
+    # live in tests/test_llm_ops.py.
+    tags=("similarity", "ann", "mllib", "euclidean"),
+)
+def similarity_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN — the idiomatic-Spark
+    alternate to the hand-built LSH/IVF variants, on EUCLIDEAN distance
+    (completing the MLlib pairing with dedup_minhash_mllib's Jaccard).
+    approxNearestNeighbors serves one query at a time (driver-looped —
+    fine for interactive lookup, not batch); the batch path used here
+    is approxSimilarityJoin(queries, corpus, radius): same bucketed
+    equi-join economics as the SQL-composable variants — candidates are
+    bucket-colliders, verified with the exact distance, so precision is
+    1.0 and only recall is approximate. Seeded and deterministic;
+    rows-only at the harness because the hash family is JVM-internal."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", array_to_vector(as_double("embedding")).alias("features")
+    )
+    q = v.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("features").alias("qf")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = brp.fit(v)
+    qf = q.withColumnRenamed("qf", "features")
+    pairs = (
+        model.approxSimilarityJoin(qf, v, 12.0, distCol="euclid_dist")
+        .where(F.col("datasetA.query_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.query_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("euclid_dist").cast("double").alias("euclid_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("euclid_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "euclid_dist", "rk")
+        .orderBy("query_id", "rk")
+    )

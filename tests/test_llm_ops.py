@@ -168,3 +168,51 @@ def test_minhash_mllib_pairs_are_true_near_dups(spark, oracle_sf_dir):
     assert n_pairs > 0, "expected near-dup pairs in this corpus"
     low = checked.where(F.col("true_jaccard") < 0.88).count()
     assert low == 0, f"{low}/{n_pairs} emitted pairs below true-Jaccard floor"
+
+
+def test_brp_mllib_distances_exact_and_recall(spark, oracle_sf_dir):
+    """MLlib BucketedRandomProjectionLSH: (a) every emitted euclidean
+    distance must equal the exact distance between the two vectors
+    (approxSimilarityJoin verifies candidates exactly, so precision is
+    1.0); (b) top-10 recall vs the exact euclidean ranking must be
+    materially above random."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from boltzmannclean_spark.functions.vectors import as_double
+
+    out = QUERIES["similarity_ann_brp_mllib"].spark_fn(spark, oracle_sf_dir)
+    rows = out.collect()
+    assert rows, "BRP ANN returned nothing"
+
+    emb = {
+        r.vec_id: r.e
+        for r in spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+        .select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .collect()
+    }
+    for r in rows:
+        exact = math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(emb[r.query_id], emb[r.neighbor_id]))
+        )
+        assert abs(exact - r.euclid_dist) < 1e-9, (r, exact)
+
+    # exact top-10 per query by euclidean distance
+    qids = sorted({r.query_id for r in rows})
+    brute = set()
+    for q in qids:
+        ranked = sorted(
+            (
+                (
+                    sum((a - b) ** 2 for a, b in zip(emb[q], emb[v])),
+                    v,
+                )
+                for v in emb
+                if v != q
+            ),
+        )[:10]
+        brute |= {(q, v) for _, v in ranked}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.15, f"BRP recall {recall:.2f} suspiciously low"
