@@ -847,3 +847,144 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr"),
         F.col("n").alias("n_rows"),
     ).orderBy("col_x", "col_y")
+
+
+# Count-min sketch geometry: 4 rows × 256 buckets of int64 counters —
+# 8 KB total, mergeable by elementwise +, built with ONE aggregation.
+CMS_K = 4
+CMS_W = 256
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+WITH h AS (
+  SELECT user_id,
+         CAST(UNNEST(range(0, {CMS_K})) AS INTEGER) AS k
+  FROM events
+),
+cells AS (
+  SELECT k,
+         ('0x' || substring(md5(k::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+           % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM h
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT user_id, COUNT(*) AS true_count
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT t.user_id, t.true_count, MIN(c.cnt) AS cms_estimate
+  FROM truth t
+  JOIN cells c
+    ON c.bucket = ('0x' || substring(md5(c.k::VARCHAR || ':' || t.user_id::VARCHAR), 1, 8))::BIGINT
+                  % {CMS_W}
+  GROUP BY t.user_id, t.true_count
+)
+SELECT user_id, true_count, CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est
+WHERE cms_estimate >= 100
+ORDER BY user_id
+""",
+    tags=("aggregate", "sketch", "count-min"),
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, built entirely from deterministic
+    SQL primitives so the sketch itself is oracle-exact (unlike opaque
+    binary sketches): 4 md5-derived hash rows × 256 counters — an 8 KB
+    summary whatever the stream size, mergeable across partitions/days
+    by elementwise addition (the counter build IS a partial+final hash
+    agg). Estimates are min-over-rows, always ≥ the true count
+    (one-sided error ≤ 2N/w with prob 1-2^-k); emitted hitters are
+    those whose ESTIMATE clears the threshold — the standard CMS
+    screen, here joined back to true counts so the overestimate is
+    visible and testable. The query side reuses the same md5 buckets as
+    an equi-join, so probing n keys costs one broadcast-sized join, not
+    n sketch lookups."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(k) for k in range(CMS_K)])).alias("k"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(CMS_W),
+    )
+    cells = (
+        h.select("k", bucket.alias("bucket"))
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    probe = truth.select(
+        "user_id",
+        "true_count",
+        F.explode(F.array(*[F.lit(k) for k in range(CMS_K)])).alias("k"),
+    ).select(
+        "user_id",
+        "true_count",
+        "k",
+        bucket.alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["k", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .where(F.col("cms_estimate") >= 100)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_hll_mergeable_rollup",
+    oracle=None,  # Datasketches HLL binaries are engine-specific;
+    # the mergeability equality + error-bound invariants live in
+    # tests/test_approx.py.
+    tags=("aggregate", "sketch", "hll", "mergeable"),
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pattern for distinct counts over
+    100 TB cubes: build per-(event_type, day) HLL sketches of distinct
+    users ONCE, then answer the coarser (event_type) level by UNIONING
+    the daily sketches instead of rescanning raw events. HLL register
+    state is an order-independent max, so union-of-dailies equals the
+    sketch built directly from raw rows EXACTLY (asserted in tests),
+    and a day's sketch is reusable by any rollup that includes the day
+    — the pre-aggregation contract that exact distinct counts cannot
+    offer. Emits both estimates side by side with the per-level day
+    count; 12 KB of sketch per group regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    return (
+        rolled.join(direct, "event_type")
+        .select("event_type", "n_days", "est_union", "est_direct", "exact_distinct")
+        .orderBy("event_type")
+    )

@@ -37,3 +37,21 @@ def test_approx_sketches_within_bounds(spark, oracle_sf_dir):
         assert abs(float(a.approx_median_price) - float(e.median_price)) <= 0.10 * float(
             e.median_price
         ), flag
+
+
+def test_hll_rollup_union_equals_direct(spark, sf_dir):
+    """HLL register state is an order-independent max, so the union of
+    per-day sketches must estimate EXACTLY what the directly-built
+    sketch estimates, and both must sit within the family's error bound
+    of the exact distinct count."""
+    from boltzmannclean_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["agg_hll_mergeable_rollup"].spark_fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.est_union == r.est_direct, r
+        assert abs(r.est_union - r.exact_distinct) <= max(
+            2, 0.05 * r.exact_distinct
+        ), r
