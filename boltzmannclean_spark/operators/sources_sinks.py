@@ -749,3 +749,57 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "source_file_metadata",
+    oracle="""
+SELECT 'orders' AS table_name,
+       'orders.parquet' AS file_name,
+       COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS min_row_index,
+       COUNT(*) - 1 AS max_row_index,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS row_index_checksum
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'lineitem.parquet', COUNT(*), CAST(0 AS BIGINT),
+       COUNT(*) - 1, CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+FROM lineitem
+ORDER BY table_name, file_name
+""",
+    tags=("source", "metadata", "observability"),
+)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file scan manifest from the hidden ``_metadata`` struct
+    (file_path / row_index) — the observability surface a 100 TB job
+    uses to audit WHICH files a query actually read, row coverage per
+    file, and (via the row-index checksum Σ0..n-1) that no row group
+    was silently skipped. Costs one metadata-only scan per table: the
+    projection touches no data columns, so the reader serves it from
+    footers + row indexes. The oracle predicts the manifest from the
+    single-file fixture's invariants alone (row_index must be the dense
+    0..n-1 with checksum n(n-1)/2), so the scan's observation is checked
+    against an independent derivation."""
+
+    def manifest(name: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file_name"),
+                F.col("_metadata.row_index").alias("ri"),
+            )
+            .groupBy("file_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("ri").alias("min_row_index"),
+                F.max("ri").alias("max_row_index"),
+                F.sum("ri").alias("row_index_checksum"),
+            )
+            .select(F.lit(name).alias("table_name"), "*")
+        )
+
+    return manifest("orders").unionAll(manifest("lineitem")).orderBy(
+        "table_name", "file_name"
+    )
