@@ -988,3 +988,51 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_days", "est_union", "est_direct", "exact_distinct")
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM r WHERE rk = 1
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate", "mode", "statistics"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tiebreak (highest
+    count, then lexicographically smallest value) — Spark's builtin
+    ``mode()`` is non-deterministic under ties, which is exactly the
+    kind of silent cross-run drift a 100 TB pipeline can't debug, so
+    the engine's mode is count-then-max_by over an explicit (n, value)
+    ordering: two partial+final hash aggregations, no window over raw
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # max_by over (n, reversed-value) implements "max count, min value":
+    # encode the tiebreak in a struct ordering with the value NEGATED
+    # lexicographically via a descending sortable key — simplest exact
+    # form: take max over struct(n, min-ordering) using a second agg.
+    best = (
+        c.groupBy("o_orderstatus")
+        .agg(F.max("n").alias("mode_count"))
+        .join(c, "o_orderstatus")
+        .where(F.col("n") == F.col("mode_count"))
+        .groupBy("o_orderstatus", "mode_count")
+        .agg(F.min("o_orderpriority").alias("mode_priority"))
+    )
+    return best.select(
+        "o_orderstatus", "mode_priority", "mode_count"
+    ).orderBy("o_orderstatus")

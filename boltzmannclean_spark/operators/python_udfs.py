@@ -346,3 +346,50 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udf.register("discount_cents", discount_cents)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(SQL_UDF_QUERY)
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       upper(substring(c_mktsegment, 1, 3)) || ':' ||
+         CAST(length(c_mktsegment) AS VARCHAR) AS segment_code
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("udf", "arrow", "4.x"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``@udf(useArrow=True)``,
+    3.5+/4.x): same row-wise author experience as a classic Python UDF
+    but the exchange with the worker is Arrow-batched instead of
+    pickled row-at-a-time — the migration path for legacy row UDFs
+    that can't be rewritten as pandas_udf wholesale. Applied here on a
+    post-aggregation 5-row domain (the engine's standing rule: Python
+    never touches the fact-table hot path; the aggregation below it is
+    all JVM)."""
+
+    @udf("string", useArrow=True)
+    def segment_code(seg: str) -> str:
+        return f"{seg[:3].upper()}:{len(seg)}"
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+            ).alias("n_negative"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_negative",
+            segment_code("c_mktsegment").alias("segment_code"),
+        )
+        .orderBy("c_mktsegment")
+    )
