@@ -1021,10 +1021,11 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # max_by over (n, reversed-value) implements "max count, min value":
-    # encode the tiebreak in a struct ordering with the value NEGATED
-    # lexicographically via a descending sortable key — simplest exact
-    # form: take max over struct(n, min-ordering) using a second agg.
+    # "Max count, then min value" in three tiny post-aggregation steps
+    # over the (status, priority, n) counts (≤ 15 rows): take max(n)
+    # per status, join back to keep only the tied-for-max rows, then
+    # min(priority) breaks the tie. All work after the first aggregate
+    # is on group-count-sized data.
     best = (
         c.groupBy("o_orderstatus")
         .agg(F.max("n").alias("mode_count"))

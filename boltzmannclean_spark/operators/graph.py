@@ -3,13 +3,16 @@ iteration on the customer↔supplier bipartite graph induced by orders.
 
 Scale design: each iteration is the canonical distributed PageRank
 shape — join ranks to edges on src, aggregate contributions on dst.
-The rank×degree vector is NODE-count sized (≪ edge count in any dense
-graph, and bounded by |customers|+|suppliers| here), so it broadcasts:
-the per-iteration edge join is exchange-free and only the dst
-aggregation shuffles — one shuffle per iteration, map-side combined.
-For web-scale node counts where the rank vector outgrows broadcast,
-bucket edges by src and swap the broadcast for a co-partitioned
-shuffle join; the iteration body is otherwise unchanged. Node ids are
+The rank vector is NODE-count sized, which means it GROWS with the
+data: it is never broadcast (a billion-node graph would OOM every
+executor). The rank⋈edges join is a shuffle join on src — the rank
+side re-shuffles each iteration (node-count rows, the small side of
+the join), while the edge side is cached and AQE may co-locate or
+locally read it; the dst aggregation is the second, map-side-combined
+shuffle. Two narrow-key shuffles per iteration, both sized by the
+graph itself — the shape that survives 100× (per SCALING.md's
+iterative-family contract: anything that grows with data volume is
+left to AQE, never forced broadcast). Node ids are
 LONGS (customers even, suppliers odd), not strings — long hash/compare
 keeps the shuffle narrow; the 'c:'/'s:' labels are rendered only on
 the top-25 output. The edge list is cached across iterations (reused
@@ -79,16 +82,10 @@ LIMIT {TOP_N}
 """
 
 
-@register(
-    "graph_pagerank_bipartite",
-    oracle=_pagerank_oracle(),
-    tags=("graph", "pagerank", "iterative"),
-)
-def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration PageRank (damping 0.85) over the customer↔supplier
-    graph; returns the top-25 nodes by rank. See module docstring for
-    the integer-arithmetic determinism and per-iteration shuffle
-    design."""
+def _pagerank_state(spark: SparkSession, sf_dir: str):
+    """Build the iteration state: cached (src, dst, src_degree) edge
+    list, uniform initial rank vector, 1-row node count. Shared by the
+    registered operator and the plan-gate / mass-conservation tests."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     eo = (
@@ -111,33 +108,55 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # Degree rides ON the cached edge list: the one structure every
     # iteration scans is (src, dst, src_degree), built with a single
-    # shuffle and pinned once. The per-iteration rank vector and the
-    # 1-row node count are localCheckpoint'ed (node-count sized), so
-    # broadcasting them is a read of pinned partitions, not a re-run
-    # of upstream aggregations — each iteration is exactly one pass
-    # over cached edges plus one map-side-combined shuffle to dst.
+    # shuffle and pinned once. The per-iteration rank vector is
+    # localCheckpoint'ed so each iteration re-reads pinned partitions
+    # instead of re-running all prior iterations; only the 1-row node
+    # count is broadcast (truly constant-sized). Each iteration is one
+    # pass over cached edges + two narrow shuffles (rank to src, then
+    # contributions to dst, map-side combined).
     ed = edges.join(deg, "src").select("src", "dst", "d").cache()
     nodes = ed.select("src").distinct().localCheckpoint()
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).localCheckpoint()
     r = nodes.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"), F.expr(f"{RSCALE} div n_nodes").alias("r")
     )
+    return ed, r, n
+
+
+def _pagerank_step(ed: DataFrame, r: DataFrame, n: DataFrame) -> DataFrame:
+    """One power-iteration step: rank⋈edges SHUFFLE join on src (the
+    rank vector is node-count sized — it grows with the graph and must
+    never be broadcast), then a map-side-combined aggregation to dst,
+    then the damping mix against the 1-row (and therefore broadcastable)
+    node count. Exposed as a helper so the plan gate in
+    tests/test_plans.py can assert the no-broadcast contract on the
+    exact iteration body the operator runs."""
+    contrib = (
+        ed.join(r.hint("shuffle_hash"), ed.src == F.col("node"))
+        .groupBy("dst")
+        .agg(F.sum(F.expr("r div d")).alias("contrib"))
+    )
+    return contrib.crossJoin(F.broadcast(n)).select(
+        F.col("dst").alias("node"),
+        F.expr(
+            f"(15 * ({RSCALE} div n_nodes) + 85 * contrib) div 100"
+        ).alias("r"),
+    )
+
+
+@register(
+    "graph_pagerank_bipartite",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the customer↔supplier
+    graph; returns the top-25 nodes by rank. See module docstring for
+    the integer-arithmetic determinism and per-iteration shuffle
+    design."""
+    ed, r, n = _pagerank_state(spark, sf_dir)
     for _ in range(N_ITER):
-        contrib = (
-            ed.join(F.broadcast(r), ed.src == F.col("node"))
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div d")).alias("contrib"))
-        )
-        r = (
-            contrib.crossJoin(F.broadcast(n))
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    f"(15 * ({RSCALE} div n_nodes) + 85 * contrib) div 100"
-                ).alias("r"),
-            )
-            .localCheckpoint()
-        )
+        r = _pagerank_step(ed, r, n).localCheckpoint()
     return (
         r.selectExpr(
             "CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node div 2 AS STRING)"

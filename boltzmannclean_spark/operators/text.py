@@ -1091,14 +1091,14 @@ def pairs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
 d AS (
   SELECT lang, n_chars,
-         ('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h48
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT AS h24
   FROM documents
 )
 SELECT lang,
        COUNT(*) AS n_sampled,
        CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM d CROSS JOIN m
-WHERE h48 * m.mx * 4 < n_chars * 281474976710656
+WHERE h24 * m.mx * 4 < n_chars * 16777216
 GROUP BY lang
 ORDER BY lang
 """,
@@ -1108,21 +1108,25 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional (Poisson/Bernoulli) sampling with inclusion
     probability p_i = n_chars_i / (4·max_chars) — the length-weighted
     draw a token-budget curation pass uses, made reproducible and
-    engine-exact: the uniform is the first 48 bits of md5(doc_id), the
+    engine-exact: the uniform is the first 24 bits of md5(doc_id), the
     comparison is pure int64 arithmetic (no floats, no RNG state), so
     membership is identical at any parallelism and in both engines.
-    2^48 = 281474976710656; all products stay below 2^63 for corpus
-    documents (n_chars ≤ ~10⁶ with the 4× divisor). Row-local until
+    Overflow headroom (the round-4 advisor caught a 48-bit hash
+    overflowing at n_chars ≥ 8192): h24 ≤ 2^24, so the left product is
+    ≤ 2^26·max_chars and the right is n_chars·2^24 — both stay below
+    2^63 for any n_chars up to ~10¹¹, far beyond real documents, and
+    Spark's non-ANSI silent wrap can never flip membership. The 2^-24
+    probability granularity is noise at corpus scale. Row-local until
     the tiny per-lang aggregation; the max weight is a 1-row
     broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     m = docs.agg(F.max("n_chars").alias("mx"))
-    h48 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    h24 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("long")
     return (
         docs.crossJoin(F.broadcast(m))
-        .where(h48 * F.col("mx") * 4 < F.col("n_chars") * F.lit(281474976710656))
+        .where(h24 * F.col("mx") * 4 < F.col("n_chars") * F.lit(16777216))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),

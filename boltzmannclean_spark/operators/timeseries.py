@@ -136,12 +136,16 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window (lead over the per-user timeline — the same shuffle the
     aggregation needs anyway, so the whole plan is ONE exchange on
     user_id) plus a hash aggregation. Determinism: weights are exact µs
-    bigints, values exact integer cents (2-dp money data), so both
-    Σ(weight·cents) and Σweight aggregate in exact integer arithmetic in
-    any order at any parallelism; the only float ops are two final IEEE
-    divisions of identical operands. Ties on ts are ordered by event_id
-    in both engines. Users with a zero total span (all events at one
-    instant) are dropped by the HAVING in both plans."""
+    bigints, values exact integer cents (2-dp money data), and
+    Σ(weight·cents) accumulates in DECIMAL(38,0) — DuckDB promotes this
+    sum to HUGEINT, and a LongType sum would wrap silently at scale
+    (µs gaps × cents exceeds 2^63 per ROW for multi-day gaps on large
+    values; the round-4 advisor caught this) — so both sides are exact
+    integer arithmetic in any order at any parallelism; the only float
+    ops are two final IEEE divisions of identical exact operands. Ties
+    on ts are ordered by event_id in both engines. Users with a zero
+    total span (all events at one instant) are dropped by the HAVING
+    in both plans."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     t = ev.select(
@@ -158,7 +162,9 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum("dt").alias("span_us"),
             (
-                F.sum(F.col("dt") * F.col("cents")).cast("double")
+                F.sum(
+                    F.col("dt").cast("decimal(20,0)") * F.col("cents")
+                ).cast("double")
                 / F.sum("dt").cast("double")
                 / F.lit(100.0)
             ).alias("twa_value"),

@@ -216,3 +216,40 @@ def test_brp_mllib_distances_exact_and_recall(spark, oracle_sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(brute & got) / len(brute)
     assert recall >= 0.15, f"BRP recall {recall:.2f} suspiciously low"
+
+
+def test_embedding_dedup_headline_pruning_is_effective(spark, oracle_sf_dir):
+    # Round-4 verdict finding #2: the REGISTERED parameterization must
+    # prune. At 12 bands x 8 bits the candidate set must be a small
+    # fraction of all pairs; the old 3-bit demo bands admitted ~35% of
+    # all pairs and are relegated to the _recall_demo entry.
+    from boltzmannclean_spark.functions.vectors import as_double
+    from boltzmannclean_spark.operators.dedup import (
+        DUP_BANDS,
+        DUP_ROWS,
+        _cosine_band_candidates,
+    )
+    from boltzmannclean_spark.sources.catalog import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    n = emb.select("vec_id", as_double("embedding").alias("e"))
+    n_vec = n.count()
+    all_pairs = n_vec * (n_vec - 1) // 2
+    n_cand = _cosine_band_candidates(spark, n, DUP_BANDS, DUP_ROWS).count()
+    frac = n_cand / all_pairs
+    assert frac < 0.10, (
+        f"headline banding admits {n_cand}/{all_pairs} = {frac:.1%} of all "
+        "pairs - pruning is not production-shaped"
+    )
+
+
+def test_embedding_dedup_demo_finds_pairs(spark, oracle_sf_dir):
+    # The recall-demo parameterization must keep exercising the
+    # exact-cosine verification path with NON-empty output (the
+    # headline threshold 0.9 is empty on this synthetic corpus).
+    q = all_queries()
+    rows = q["dedup_embedding_cosine_recall_demo"].spark_fn(
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.cosine >= 0.35 for r in rows)

@@ -106,6 +106,70 @@ def test_pagerank_no_cartesian_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_pagerank_rank_join_is_never_broadcast(spark, sf_dir):
+    # The rank vector is node-count sized — it GROWS with the graph,
+    # so the rank⋈edges join must be a shuffle join (a forced broadcast
+    # is a guaranteed OOM at billions of nodes). Gate the exact
+    # iteration body the operator runs: the only broadcast allowed is
+    # the 1-row n_nodes nested-loop join.
+    from boltzmannclean_spark.operators.graph import (
+        _pagerank_state,
+        _pagerank_step,
+    )
+
+    ed, r, n = _pagerank_state(spark, sf_dir)
+    plan = _plan(_pagerank_step(ed, r, n))
+    # The rank join is the one on `node`. Other joins (edges⋈degree in
+    # state-building) are left to cost/AQE and may broadcast at tiny SF
+    # — that's size-based, not forced, and flips to shuffle at scale.
+    rank_join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "node#" in ln
+    ]
+    assert rank_join_lines, plan
+    for ln in rank_join_lines:
+        assert "BroadcastHashJoin" not in ln, ln
+        assert "ShuffledHashJoin" in ln or "SortMergeJoin" in ln, ln
+
+
+def test_pagerank_conserves_rank_mass(spark, sf_dir):
+    # Dangling-node guard: in the bipartite build every dst also
+    # appears as src (edges are emitted in both directions), so no
+    # rank mass can leak into a node that never redistributes it —
+    # assert that structurally. Then assert Sigma-rank stays within the
+    # integer-truncation envelope each iteration: each edge's
+    # `r div d` loses < 1 micro-unit, each node's damping div loses
+    # < 1, and 15% of the budget is re-injected exactly — so
+    # RSCALE - (n_edges + n_nodes) <= Sigma-r' <= RSCALE whenever
+    # Sigma-r == RSCALE-ish. A fixed loop that silently dropped
+    # dangling mass would fail this immediately.
+    from boltzmannclean_spark.operators.graph import (
+        N_ITER,
+        RSCALE,
+        _pagerank_state,
+        _pagerank_step,
+    )
+    from pyspark.sql import functions as F
+
+    ed, r, n = _pagerank_state(spark, sf_dir)
+    dangling = (
+        ed.select("dst")
+        .distinct()
+        .join(ed.select("src").distinct(), F.col("dst") == F.col("src"), "left_anti")
+        .count()
+    )
+    assert dangling == 0, f"{dangling} dst-only nodes would leak rank mass"
+    n_edges = ed.count()
+    n_nodes = n.collect()[0]["n_nodes"]
+    loss_bound = n_edges + n_nodes
+    for _ in range(N_ITER):
+        r = _pagerank_step(ed, r, n).localCheckpoint()
+        total = r.agg(F.sum("r").alias("t")).collect()[0]["t"]
+        assert RSCALE - loss_bound * (N_ITER + 1) <= total <= RSCALE, (
+            f"rank mass {total} outside envelope [{RSCALE - loss_bound}, {RSCALE}]"
+        )
+
+
 def test_zorder_files_cover_bounded_rectangles(spark, sf_dir, tmp_path):
     # A Z-ordered write must give each FILE a bounded min/max rectangle
     # in both keys (that's what makes footer pruning work on either

@@ -44,13 +44,22 @@ DEFAULT_QUERIES = [
 ]
 
 # (table, key columns to offset per copy) — facts grow, dims stay.
+# Only SELF-referential keys are offset (orderkeys, event/doc/vec ids,
+# user ids): an offset FK into an UNSCALED dimension (o_custkey →
+# customer, l_suppkey → supplier, …) would dangle, silently shrinking
+# every dim-joining probe's output at Nx input and understating real
+# scaling (round-4 advisor finding). Dim FKs keep their base domain, so
+# dim joins fan out N× like a real bigger-SF dataset.
 FACTS = {
-    "orders": ["o_orderkey", "o_custkey"],
+    "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+# Columns sharing a key DOMAIN must share one stride, or cross-table
+# joins (orders ⋈ lineitem on orderkey) dangle between copies.
+DOMAINS = {"o_orderkey": "orderkey", "l_orderkey": "orderkey"}
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
@@ -64,17 +73,29 @@ def build_scaled(spark, factor: int) -> str:
     for name in DIMS:
         df = spark.read.parquet(f"{BASE}/{name}.parquet")
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    # Offset keys per copy so joins/groupings keep realistic
+    # cardinality (10x orders, not 10 duplicates of each order).
+    # The offset stride is (max_key + 1) per key DOMAIN: copy i's keys
+    # continue the base domain contiguously, so DENSE key spaces stay
+    # dense (pairs_negative_sampling documents doc_id ∈ 0..N-1; a
+    # power-of-ten stride broke that — round-4 advisor), and columns
+    # in a shared domain (o_orderkey / l_orderkey) get the SAME stride
+    # so cross-copy joins stay intact.
+    domain_max: dict[str, int] = {}
     for name, keys in FACTS.items():
         df = spark.read.parquet(f"{BASE}/{name}.parquet")
-        # Offset keys per copy so joins/groupings keep realistic
-        # cardinality (10x orders, not 10 duplicates of each order).
-        # Offsets are multiples of a power of ten above the key range,
-        # preserving key arithmetic (doc_id density is per-copy).
+        for k in keys:
+            dom = DOMAINS.get(k, k)
+            mx = df.agg(F.max(k)).collect()[0][0]
+            domain_max[dom] = max(domain_max.get(dom, 0), mx)
+    for name, keys in FACTS.items():
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        strides = {k: domain_max[DOMAINS.get(k, k)] + 1 for k in keys}
         copies = []
         for i in range(factor):
             c = df
             for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * 10_000_000_000))
+                c = c.withColumn(k, F.col(k) + F.lit(i * strides[k]))
             copies.append(c)
         big = copies[0]
         for c in copies[1:]:
