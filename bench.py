@@ -52,6 +52,8 @@ HEADLINE = CORE9 + [
     "join_bloom_semireduction",
     "agg_corr_matrix",
     "ts_ohlc_bars",
+    # round-5: skew-resistant windowed family
+    "events_sessionize_skew",
 ]
 
 

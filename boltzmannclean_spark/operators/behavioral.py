@@ -1047,3 +1047,117 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "events_sessionize_skew",
+    oracle=f"""
+WITH e AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS uid,
+         event_id, epoch_us(ts) AS t_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN t_us - LAG(t_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY uid ORDER BY t_us, event_id)
+),
+runs AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY uid ORDER BY t_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT uid, CAST(sid AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+       MAX(t_us) - MIN(t_us) AS duration_us
+FROM runs
+GROUP BY uid, sid
+ORDER BY uid, session_idx
+""",
+    tags=("behavioral", "sessionize", "skew"),
+)
+def events_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant sessionization, demonstrated on a SYNTHESIZED hot
+    key: every user_id divisible by 3 is collapsed onto uid -1, putting
+    ~1/3 of ALL events on one key — the bot-traffic shape that turns a
+    plain per-user window (events_sessionize) into a single straggler
+    task, since window state cannot be salted the way join keys can.
+
+    Mitigation is BUCKETED two-stage sessionization (the windowed-family
+    analogue of a salted join): stage 1 sessionizes within (uid, utc-day)
+    — the hot key shards across days, bounding any window partition by
+    one key-day of events — and stage 2 merges sessions that span a
+    bucket boundary (gap ≤ 30 min across midnight) with the SAME islands
+    idiom over session-level rows, which are smaller than event rows by
+    the mean session length. Two narrow exchanges replace one skewed
+    one; the residual stage-2 skew is bounded by the hot key's session
+    count, the honest worst case being gap-alternating traffic (≈ n/2
+    sessions). AQE's skew handling splits shuffle-read side only, so it
+    cannot fix a skewed window partition — the bucketing has to be in
+    the plan shape. The oracle is the UNBUCKETED single-pass islands
+    computation: boundary-merge equivalence is exactly what it checks.
+    All arithmetic is integer µs — bit-exact at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    ).withColumn("day", F.expr(f"t_us div {DAY_US}"))
+    w1 = Window.partitionBy("uid", "day").orderBy("t_us", "event_id")
+    runs = (
+        e.withColumn(
+            "brk",
+            F.when(
+                F.col("t_us") - F.lag("t_us").over(w1) > SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "lidx",
+            F.sum("brk").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sess1 = runs.groupBy("uid", "day", "lidx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("t_us").alias("s_us"),
+        F.max("t_us").alias("e_us"),
+    )
+    # Stage 2 over SESSION rows: session starts are unique per uid
+    # (distinct (t_us, event_id) within a day), so the order is total.
+    w2 = Window.partitionBy("uid").orderBy("s_us")
+    merged = sess1.withColumn(
+        "brk2",
+        F.when(
+            F.col("s_us") - F.lag("e_us").over(w2) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("brk2").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        merged.groupBy("uid", "sid")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.min("s_us").alias("start_us"),
+            F.max("e_us").alias("end_us"),
+            (F.max("e_us") - F.min("s_us")).alias("duration_us"),
+        )
+        .select(
+            "uid",
+            F.col("sid").cast("long").alias("session_idx"),
+            "n_events",
+            "start_us",
+            "end_us",
+            "duration_us",
+        )
+        .orderBy("uid", "session_idx")
+    )

@@ -72,6 +72,23 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     assert pre_sort.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_sessionize_skew_buckets_the_hot_key(spark, sf_dir):
+    # The skew-resistant sessionizer must key its event-scale window on
+    # (uid, day) — sharding the synthesized hot key across day buckets —
+    # and only the session-level stage may partition on uid alone. A
+    # regression to a plain uid window silently reintroduces the
+    # straggler task this operator exists to avoid.
+    df = QUERIES["events_sessionize_skew"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "hashpartitioning(uid" in plan, plan
+    bucketed = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(uid" in ln and "day" in ln
+    ]
+    assert bucketed, "no (uid, day)-bucketed exchange found:\n" + plan
+
+
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     # The corpus side must stream: centroid table broadcast, no corpus
     # cartesian product and no corpus-wide explode on the scoring path.
