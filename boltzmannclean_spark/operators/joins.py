@@ -776,3 +776,76 @@ def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+BUCKETS_COLOCATED = 8
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("join", "bucketed", "colocated"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈dim join — the pattern for tables that
+    are joined on the same key every day at 100 TB: both sides are
+    written ONCE as managed tables bucketed (and sorted) on the join
+    key, after which every subsequent join on that key needs NO
+    exchange on either side — the sort-merge join reads co-located
+    buckets directly, verified by the plan gate in tests/test_plans.py
+    (zero Exchange nodes above the bucketed scans). The one-time
+    bucketed write costs the shuffle the first query would have paid;
+    every later join amortizes it to zero. The oracle checks the same
+    join/aggregate over the raw parquet, proving bucketing changed the
+    physical plan, not the answer. Money sums use the exact-decimal
+    recipe (functions/exact.py)."""
+    from boltzmannclean_spark.functions.exact import dec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/bcs_warehouse"
+    ).removeprefix("file:")
+    for df, name, key in (
+        (orders, "bcs_colocated_orders", "o_custkey"),
+        (customer, "bcs_colocated_customer", "c_custkey"),
+    ):
+        # The derby metastore and the warehouse dir have independent
+        # lifetimes across sessions; drop BOTH so a stale location from
+        # an earlier process can never fail the write.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.bucketBy(BUCKETS_COLOCATED, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    ob = spark.table("bcs_colocated_orders")
+    cb = spark.table("bcs_colocated_customer")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -593,3 +593,80 @@ def relational_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )
+
+
+BOTTOMK_K = 40
+
+
+@register(
+    "sample_bottomk_mergeable",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents
+),
+global_k AS (
+  SELECT doc_id, lang, h,
+         ROW_NUMBER() OVER (ORDER BY h) AS rk
+  FROM hashed QUALIFY rk <= {BOTTOMK_K}
+),
+per_lang AS (
+  SELECT doc_id, lang, h
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS lrk
+        FROM hashed)
+  WHERE lrk <= {BOTTOMK_K}
+),
+merged_k AS (
+  SELECT doc_id, h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+  FROM per_lang QUALIFY rk <= {BOTTOMK_K}
+)
+SELECT g.rk AS rank, g.doc_id, g.lang,
+       (g.doc_id = m.doc_id) AS merge_agrees
+FROM global_k g JOIN merged_k m ON g.rk = m.rk
+ORDER BY rank
+""",
+    tags=("sample", "bottomk", "mergeable"),
+)
+def sample_bottomk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable uniform sample via the BOTTOM-K (KMV) sketch: the k
+    rows with the smallest md5(doc_id) are a uniform random sample that
+    is also a MERGEABLE sketch — bottom-k of a union equals bottom-k of
+    the per-partition bottom-ks, which is what lets a 100 TB pipeline
+    keep a live uniform sample per shard/day and combine them without
+    resampling (reservoir sampling, by contrast, does not distribute).
+    The query PROVES the merge law on real data: it computes the global
+    bottom-k directly AND via per-language bottom-ks merged, and emits
+    rank-by-rank agreement (`merge_agrees` must be all-true). Both
+    paths are deterministic (md5 total order, no RNG), so the oracle
+    replicates them exactly. Scale: each path is one partial top-k
+    (per-partition heaps via window-on-sorted, k rows out per
+    partition) — never a global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    wg = Window.orderBy("h")
+    global_k = (
+        hashed.withColumn("rank", F.row_number().over(wg))
+        .where(F.col("rank") <= BOTTOMK_K)
+    )
+    wl = Window.partitionBy("lang").orderBy("h")
+    per_lang = (
+        hashed.withColumn("lrk", F.row_number().over(wl))
+        .where(F.col("lrk") <= BOTTOMK_K)
+        .drop("lrk")
+    )
+    merged_k = (
+        per_lang.withColumn("rank", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rank") <= BOTTOMK_K)
+        .select("rank", F.col("doc_id").alias("m_doc_id"))
+    )
+    return (
+        global_k.join(merged_k, "rank")
+        .select(
+            "rank",
+            "doc_id",
+            "lang",
+            (F.col("doc_id") == F.col("m_doc_id")).alias("merge_agrees"),
+        )
+        .orderBy("rank")
+    )

@@ -803,3 +803,85 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest("orders").unionAll(manifest("lineitem")).orderBy(
         "table_name", "file_name"
     )
+
+
+@register(
+    "source_text_logs",
+    oracle="""
+WITH rendered AS (
+  SELECT user_id::VARCHAR || ' - - [' || epoch_us(ts)::VARCHAR || '] "GET /'
+         || event_type || '/' || event_id::VARCHAR || ' HTTP/1.1" '
+         || (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)::VARCHAR
+         || ' ' || CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)::VARCHAR
+           AS line
+  FROM events
+),
+parsed AS (
+  SELECT regexp_extract(line, '^(\\d+) - - \\[(\\d+)\\] "GET /([a-z]+)/(\\d+) HTTP/1\\.1" (\\d+) (\\d+)$', 1)::BIGINT AS user_id,
+         regexp_extract(line, '^(\\d+) - - \\[(\\d+)\\] "GET /([a-z]+)/(\\d+) HTTP/1\\.1" (\\d+) (\\d+)$', 3) AS path_type,
+         regexp_extract(line, '^(\\d+) - - \\[(\\d+)\\] "GET /([a-z]+)/(\\d+) HTTP/1\\.1" (\\d+) (\\d+)$', 5)::BIGINT AS status,
+         regexp_extract(line, '^(\\d+) - - \\[(\\d+)\\] "GET /([a-z]+)/(\\d+) HTTP/1\\.1" (\\d+) (\\d+)$', 6)::BIGINT AS bytes
+  FROM rendered
+)
+SELECT path_type, status,
+       COUNT(*) AS n_requests,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes
+FROM parsed
+GROUP BY path_type, status
+ORDER BY path_type, status
+""",
+    tags=("source", "text", "logs", "regexp"),
+)
+def source_text_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text log ingestion — the unstructured-source path every crawl
+    / server-log pipeline starts from: render Apache-combined-style
+    lines from `events` (timestamps as epoch-µs so no locale/strftime
+    divergence), write them through the TEXT sink, re-scan with
+    `spark.read.text`, parse with one regexp into typed columns, and
+    aggregate. The oracle performs the identical render→regexp→aggregate
+    round trip in DuckDB, so the REGEXP SEMANTICS (anchors, classes,
+    capture groups) are what is being cross-checked, not just the
+    aggregate. Scale: text scan is splittable by line, the regexp is a
+    codegen'd JVM expression per line (no Python), and malformed lines
+    die in the `status IS NOT NULL` guard rather than failing the job —
+    the PERMISSIVE posture a 100 TB log ingest needs."""
+    ev = load_table(spark, sf_dir, "events")
+    rendered = ev.select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(" - - ["),
+            F.unix_micros("ts").cast("string"),
+            F.lit('] "GET /'),
+            F.col("event_type"),
+            F.lit("/"),
+            F.col("event_id").cast("string"),
+            F.lit(' HTTP/1.1" '),
+            F.when(F.col("event_type") == "error", F.lit(500))
+            .otherwise(F.lit(200))
+            .cast("string"),
+            F.lit(" "),
+            (dec("value") * 100).cast("long").cast("string"),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="bcs_logs_") + "/access_log"
+    rendered.write.mode("overwrite").text(path)
+    pat = (
+        r'^(\d+) - - \[(\d+)\] "GET /([a-z]+)/(\d+) HTTP/1\.1" (\d+) (\d+)$'
+    )
+    parsed = spark.read.text(path).select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 3).alias("path_type"),
+        F.regexp_extract("value", pat, 5).cast("long").alias("status"),
+        F.regexp_extract("value", pat, 6).cast("long").alias("bytes"),
+    )
+    return (
+        parsed.where(F.col("status").isNotNull())
+        .groupBy("path_type", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .orderBy("path_type", "status")
+    )

@@ -1134,3 +1134,108 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+DSIR_BUCKETS = 64
+DSIR_TOP = 50
+
+
+@register(
+    "curation_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang, t.tok
+  FROM documents d,
+       UNNEST(string_split(lower(d.text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(tok), 1, 6))::BIGINT % {DSIR_BUCKETS} AS b,
+         COUNT(*) AS c
+  FROM toks GROUP BY doc_id, lang, b
+),
+raw_b AS (SELECT b, CAST(SUM(c) AS BIGINT) AS raw_c FROM bucketed GROUP BY b),
+tgt_b AS (SELECT b, CAST(SUM(c) AS BIGINT) AS tgt_c
+          FROM bucketed WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT SUM(raw_c) FROM raw_b) AS raw_total,
+         (SELECT SUM(tgt_c) FROM tgt_b) AS tgt_total
+),
+w AS (
+  SELECT raw_b.b,
+         COALESCE(tgt_b.tgt_c, 0) * tot.raw_total
+           - raw_b.raw_c * tot.tgt_total AS wt
+  FROM raw_b LEFT JOIN tgt_b ON raw_b.b = tgt_b.b CROSS JOIN tot
+)
+SELECT doc_id, ANY_VALUE(lang) AS lang,
+       CAST(CAST(SUM(c * wt) AS DECIMAL(38,0)) AS BIGINT) AS importance
+FROM bucketed JOIN w ON bucketed.b = w.b
+GROUP BY doc_id
+ORDER BY importance DESC, doc_id
+LIMIT {DSIR_TOP}
+""",
+    tags=("curation", "dsir", "importance", "text"),
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance scoring in the DSIR family (Xie et al.
+    2023: importance resampling over hashed n-gram features): every doc
+    gets a score from {DSIR_BUCKETS}-bucket hashed unigram counts,
+    weighted by how much each bucket is over-represented in a TARGET
+    domain (here lang='en') vs the raw corpus — the top-scoring docs
+    are the ones to up-sample when fitting a target-domain mixture.
+    DSIR's log-likelihood-ratio weights are replaced by the integer
+    surrogate w_b = tgt_b·raw_total − raw_b·tgt_total (same sign and
+    ordering intent, but EXACT: no transcendental whose last-bit
+    rounding differs across engines), and the per-doc score Σ c_b·w_b
+    accumulates in DECIMAL(38,0), matching DuckDB's HUGEINT promotion.
+    Scale: tokenize+hash is a row-local projection; per-doc-bucket
+    counts are one aggregation; the weight table is {DSIR_BUCKETS} rows
+    broadcast back; top-{DSIR_TOP} is TakeOrdered, never a global sort.
+    The doc_id tiebreak makes the cut deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucketed = toks.groupBy(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    raw_b = bucketed.groupBy("b").agg(F.sum("c").alias("raw_c"))
+    tgt_b = (
+        bucketed.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c").alias("tgt_c"))
+    )
+    tot = raw_b.agg(F.sum("raw_c").alias("raw_total")).crossJoin(
+        tgt_b.agg(F.sum("tgt_c").alias("tgt_total"))
+    )
+    w = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.coalesce(F.col("tgt_c"), F.lit(0)) * F.col("raw_total")
+                - F.col("raw_c") * F.col("tgt_total")
+            ).alias("wt"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum((F.col("c") * F.col("wt")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("importance"),
+        )
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(DSIR_TOP)
+    )

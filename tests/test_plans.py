@@ -72,6 +72,29 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     assert pre_sort.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
+    # Both sides are bucketed on the join key, so with broadcast
+    # disabled (simulating both sides too big to broadcast — the case
+    # bucketing exists for) the sort-merge join must consume the
+    # bucketed scans directly: no Exchange on either join key. At tiny
+    # SF the cost model broadcasts instead, which is also exchange-free;
+    # the gate pins the big-table behavior.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["join_bucketed_colocated"].spark_fn(spark, sf_dir)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"))
+    assert join_pos >= 0, plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_sessionize_skew_buckets_the_hot_key(spark, sf_dir):
     # The skew-resistant sessionizer must key its event-scale window on
     # (uid, day) — sharding the synthesized hot key across day buckets —
