@@ -994,3 +994,200 @@ def similarity_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "euclid_dist", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# Product quantization (Jégou et al. 2011): split the 64-dim space into
+# PQ_M blocks of PQ_DSUB dims; per block, train a PQ_K-code codebook by
+# Lloyd iterations in exact integer micro-units (same recipe as the IVF
+# coarse quantizer, with the block id as an extra grouping key), encode
+# every vector as PQ_M small codes, and answer queries by ADC —
+# Asymmetric Distance Computation: a per-query lookup table of exact
+# block distances to every code, summed over blocks per neighbor. All
+# distances are exact integer sums, so both engines agree bit-for-bit.
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def _pq_iter_sql(k: int, prev: str) -> str:
+    """One unrolled per-block Lloyd iteration (block id `b` rides along
+    every key of the IVF iteration shape)."""
+    return f"""
+pd{k} AS (
+  SELECT q.vec_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM pq q JOIN {prev} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+),
+pa{k} AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                 ORDER BY dist, cid) AS rn
+    FROM pd{k}
+  ) t WHERE rn = 1
+),
+pc{k} AS (
+  SELECT a.cid, q.b, q.d,
+         {_sdiv_duck("CAST(SUM(q.qx) AS BIGINT)", "COUNT(*)")} AS cx
+  FROM pq q JOIN pa{k} a ON q.vec_id = a.vec_id AND q.b = a.b
+  GROUP BY a.cid, q.b, q.d
+)"""
+
+
+def _pq_oracle() -> str:
+    iters = []
+    prev = "pc0"
+    for k in range(1, PQ_ITERS + 1):
+        iters.append(_pq_iter_sql(k, prev))
+        prev = f"pc{k}"
+    return f"""
+WITH pq AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1) // {PQ_DSUB} AS b,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_DSUB} AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(iters)},
+pdf AS (
+  SELECT q.vec_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM pq q JOIN {prev} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+),
+codes AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                 ORDER BY dist, cid) AS rn
+    FROM pdf
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, b, cid, dist AS pdist
+  FROM pdf WHERE vec_id < {N_QUERY}
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON c.b = l.b AND c.cid = l.cid
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+def _pq_subvectors(n: DataFrame) -> DataFrame:
+    """(vec_id, qvec) -> one row per (vec_id, block) with the block's
+    PQ_DSUB-dim integer sub-vector. A row-local explode — no shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.slice("qvec", b * PQ_DSUB + 1, PQ_DSUB).alias("qsub"),
+            )
+            for b in range(PQ_M)
+        ]
+    )
+    return n.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.b").alias("b"), F.col("s.qsub").alias("qsub")
+    )
+
+
+def _pq_train(sub: DataFrame) -> DataFrame:
+    """Per-block codebooks via PQ_ITERS Lloyd rounds in exact integer
+    micro-units. Assignment is a grouped min_by over the broadcast
+    codebook (map-side partial agg; the fan-out never shuffles); the
+    update shuffles only (block, code, dim) partial sums — constant in
+    corpus size. Seeds are the first PQ_K vectors' sub-vectors, so both
+    engines start identically and every round is bit-identical."""
+    cent = sub.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "b", F.col("qsub").alias("cvec")
+    )
+    for _ in range(PQ_ITERS):
+        assigned = (
+            sub.join(F.broadcast(cent), "b")
+            .select(
+                "vec_id",
+                "b",
+                "qsub",
+                "cid",
+                _int_dist(F.col("qsub"), F.col("cvec")).alias("dist"),
+            )
+            .groupBy("vec_id", "b", "qsub")
+            .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+        )
+        cent = (
+            assigned.select("b", "cid", F.posexplode("qsub").alias("d", "qx"))
+            .groupBy("b", "cid", "d")
+            .agg(F.sum("qx").alias("sx"), F.count(F.lit(1)).alias("m"))
+            .selectExpr("b", "cid", "d", _sdiv_spark("sx", "m") + " AS cx")
+            .groupBy("b", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                    lambda s: s.cx,
+                ).alias("cvec")
+            )
+        )
+    return cent
+
+
+@register(
+    "similarity_ann_pq_adc",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (Jégou et al. 2011) —
+    the COMPRESSION leg of a 100 TB vector store: each 64-dim float
+    vector is stored as PQ_M=8 one-byte codes (64× smaller than
+    float64), and a query scans codes, not vectors. Per-block codebooks
+    (PQ_K=16 codes) are trained by integer-exact Lloyd rounds
+    (the IVF recipe with the block id as an extra key); ADC sums each
+    query's precomputed exact block-distance LUT over a neighbor's
+    codes. LUT is (queries × PQ_M × PQ_K) rows broadcast; the scan
+    is a code-table equi-join + sum — at scale this composes with IVF
+    (restrict the scan to probed cells) without changing shape. Every
+    distance is an exact integer sum, so codebooks, codes, LUT, and
+    ADC totals are all bit-identical to the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    sub = _pq_subvectors(n).localCheckpoint()
+    cent = _pq_train(sub)
+    dists = (
+        sub.join(F.broadcast(cent), "b")
+        .select(
+            "vec_id",
+            "b",
+            "cid",
+            _int_dist(F.col("qsub"), F.col("cvec")).alias("dist"),
+        )
+    )
+    codes = dists.groupBy("vec_id", "b").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+    )
+    lut = dists.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "b", "cid", F.col("dist").alias("pdist")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["b", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.col("adc_dist"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")

@@ -253,3 +253,36 @@ def test_embedding_dedup_demo_finds_pairs(spark, oracle_sf_dir):
     ).collect()
     assert len(rows) > 0
     assert all(r.cosine >= 0.35 for r in rows)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, oracle_sf_dir):
+    # PQ approximates squared-L2; its top-10 must overlap the exact
+    # integer-L2 top-10 far above chance (10/499 ~ 2%).
+    from boltzmannclean_spark.operators.similarity import (
+        MICRO,
+        N_QUERY,
+    )
+
+    rows = all_queries()["similarity_ann_pq_adc"].spark_fn(
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) == N_QUERY * 10
+    emb = {
+        r.vec_id: [round(float(x) * MICRO) for x in r.embedding]
+        for r in spark.read.parquet(
+            f"{oracle_sf_dir}/embeddings.parquet"
+        ).collect()
+    }
+    brute = set()
+    for q in range(N_QUERY):
+        ranked = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(emb[q], emb[v])), v)
+                for v in emb
+                if v != q
+            ),
+        )[:10]
+        brute |= {(q, v) for _, v in ranked}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.15, f"PQ-ADC recall {recall:.2f} vs exact L2"
