@@ -13,7 +13,7 @@ are exercised in the rows-only query + pytest bounds instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.exact import dec
@@ -1037,3 +1037,116 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "o_orderstatus", "mode_priority", "mode_count"
     ).orderBy("o_orderstatus")
+
+
+QH_BIN_CENTS = 10_000  # $100 histogram bins
+QH_PCTS = (50, 90, 99)
+
+
+@register(
+    "agg_quantile_mergeable",
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+           // {QH_BIN_CENTS} AS bin
+  FROM orders
+),
+hg AS (
+  SELECT o_orderstatus, bin, COUNT(*) AS n FROM c GROUP BY 1, 2
+),
+merged AS (
+  SELECT bin, CAST(SUM(n) AS BIGINT) AS n FROM hg GROUP BY bin
+),
+direct AS (
+  SELECT bin, COUNT(*) AS n FROM c GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM direct),
+cum_m AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM merged
+),
+cum_d AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM direct
+),
+pcts AS (SELECT UNNEST([{", ".join(str(p) for p in QH_PCTS)}]) AS p),
+qm AS (
+  SELECT p, MIN(bin) AS mbin
+  FROM pcts CROSS JOIN tot JOIN cum_m
+    ON cum_m.cum * 100 >= p * tot.t
+  GROUP BY p
+),
+qd AS (
+  SELECT p, MIN(bin) AS dbin
+  FROM pcts CROSS JOIN tot JOIN cum_d
+    ON cum_d.cum * 100 >= p * tot.t
+  GROUP BY p
+)
+SELECT qd.p AS percentile,
+       qd.dbin * {QH_BIN_CENTS} AS direct_bin_lo_cents,
+       qm.mbin * {QH_BIN_CENTS} AS merged_bin_lo_cents,
+       (qd.dbin = qm.mbin) AS merge_agrees
+FROM qd JOIN qm ON qd.p = qm.p
+ORDER BY percentile
+""",
+    tags=("aggregate", "quantile", "mergeable", "histogram"),
+)
+def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via fixed-bin histograms — the pre-aggregation
+    contract that makes percentile CUBES possible at 100 TB: per-group
+    ($100-bin) histograms roll up by simple ADDITION, and any quantile
+    is read off the merged cumulative histogram, so per-day/per-segment
+    sketches combine without touching raw rows again (exact percentiles
+    don't merge; t-digest merges approximately and non-deterministically
+    — fixed bins merge EXACTLY at bin resolution). The query PROVES the
+    merge law on real data: p50/p90/p99 bins computed from per-status
+    histograms summed together must equal the bins from a direct global
+    histogram (`merge_agrees` all-true). The quantile rule — smallest
+    bin with cum·100 ≥ p·total — is pure integer arithmetic, bit-exact
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderstatus",
+        F.expr(
+            f"CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            f" div {QH_BIN_CENTS}"
+        ).alias("bin"),
+    )
+    hg = c.groupBy("o_orderstatus", "bin").agg(F.count(F.lit(1)).alias("n"))
+    merged = hg.groupBy("bin").agg(F.sum("n").alias("n"))
+    direct = c.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = direct.agg(F.sum("n").alias("t"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pcts = spark.range(len(QH_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in QH_PCTS]), (F.col("id") + 1).cast("int")
+        ).alias("p")
+    )
+
+    def quantiles(hist: DataFrame, out: str) -> DataFrame:
+        # Bin count is bounded by the value domain / bin width, NOT the
+        # corpus (≪ data), so the single-partition cumsum window is over
+        # a domain-sized table — the same bounded-window argument as
+        # relational_skyline.
+        cum = hist.select("bin", F.sum("n").over(wcum).alias("cum"))
+        return (
+            pcts.crossJoin(F.broadcast(tot))
+            .join(cum, F.col("cum") * 100 >= F.col("p") * F.col("t"))
+            .groupBy("p")
+            .agg(F.min("bin").alias(out))
+        )
+    qd = quantiles(direct, "dbin")
+    qm = quantiles(merged, "mbin")
+    return (
+        qd.join(qm, "p")
+        .select(
+            F.col("p").alias("percentile"),
+            (F.col("dbin") * QH_BIN_CENTS).alias("direct_bin_lo_cents"),
+            (F.col("mbin") * QH_BIN_CENTS).alias("merged_bin_lo_cents"),
+            (F.col("dbin") == F.col("mbin")).alias("merge_agrees"),
+        )
+        .orderBy("percentile")
+    )

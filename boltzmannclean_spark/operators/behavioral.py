@@ -1161,3 +1161,175 @@ def events_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("uid", "session_idx")
     )
+
+
+@register(
+    "events_pattern_vshape",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+steps AS (
+  SELECT user_id, event_id, t_us,
+         CASE WHEN c > LAG(c) OVER w THEN 1
+              WHEN c < LAG(c) OVER w THEN -1 ELSE 0 END AS s
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+m AS (
+  SELECT user_id, t_us,
+         (LAG(s, 3) OVER w = -1 AND LAG(s, 2) OVER w = -1
+          AND LAG(s, 1) OVER w = 1 AND s = 1) AS hit
+  FROM steps WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+)
+SELECT user_id,
+       COUNT(*) FILTER (hit) AS n_matches,
+       MIN(CASE WHEN hit THEN t_us END) AS first_match_us
+FROM m
+GROUP BY user_id
+HAVING COUNT(*) FILTER (hit) > 0
+ORDER BY user_id
+""",
+    tags=("behavioral", "pattern", "sequence"),
+)
+def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection without the SQL
+    extension Spark lacks: find V-shapes (two consecutive drops followed
+    by two consecutive rises) in each user's value series. Steps are
+    classified by exact integer cents comparison, the 4-step pattern is
+    a LAG-chain conjunction, and everything — step signs, the lag chain,
+    the final per-user aggregate — reuses ONE user_id exchange (the
+    windowed-family contract this repo plan-gates). Fixed-length
+    patterns compile to lag chains like this one; variable-length
+    patterns (A+ B+) compile to the islands idiom (events_sessionize).
+    Emits users with ≥1 match, their match count, and the first match
+    time — all integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        (dec("value") * 100).cast("long").alias("c"),
+    )
+    steps = s.withColumn(
+        "s",
+        F.when(F.col("c") > F.lag("c").over(w), 1)
+        .when(F.col("c") < F.lag("c").over(w), -1)
+        .otherwise(0),
+    )
+    hit = (
+        (F.lag("s", 3).over(w) == -1)
+        & (F.lag("s", 2).over(w) == -1)
+        & (F.lag("s", 1).over(w) == 1)
+        & (F.col("s") == 1)
+    )
+    return (
+        steps.withColumn("hit", hit)
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("hit")).alias("n_matches"),
+            F.min(F.when(F.col("hit"), F.col("t_us"))).alias(
+                "first_match_us"
+            ),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
+
+
+CUSUM_THRESHOLD_CENTS = 5000
+
+
+@register(
+    "events_cusum_alarm",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+base AS (
+  SELECT user_id, event_id, t_us,
+         c - first_value(c) OVER w AS d
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p1 AS (
+  SELECT user_id, event_id, t_us,
+         SUM(d) OVER w AS p
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pfx AS (
+  SELECT user_id, t_us, p,
+         MIN(p) OVER w2 AS minp
+  FROM p1
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cs AS (
+  SELECT user_id, t_us,
+         p - LEAST(minp, 0) AS cusum
+  FROM pfx
+)
+SELECT user_id,
+       COUNT(*) FILTER (cusum >= {CUSUM_THRESHOLD_CENTS}) AS n_alarms,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum_cents,
+       MIN(CASE WHEN cusum >= {CUSUM_THRESHOLD_CENTS} THEN t_us END)
+         AS first_alarm_us
+FROM cs
+GROUP BY user_id
+HAVING COUNT(*) FILTER (cusum >= {CUSUM_THRESHOLD_CENTS}) > 0
+ORDER BY user_id
+""",
+    tags=("behavioral", "cusum", "changepoint"),
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms per user: the classic control-chart
+    recursion s_i = max(0, s_{{i-1}} + d_i) looks window-inexpressible,
+    but the identity s_i = P_i − min(0, min_{{j≤i}} P_j) (P = prefix sum
+    of deviations) turns it into a prefix sum plus a RUNNING MIN OF THE
+    RUNNING SUM — two stacked frames on the same user_id ordering, so
+    the whole detector still costs one exchange, no recursion, no UDF.
+    Deviations are exact integer cents from each user's first observed
+    value (level-shift detection); an alarm fires when the CUSUM
+    statistic reaches {CUSUM_THRESHOLD_CENTS} cents. Emits alarming
+    users with alarm count, peak statistic, and first alarm time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        (dec("value") * 100).cast("long").alias("c"),
+    )
+    base = s.withColumn(
+        "d", F.col("c") - F.first("c").over(wrun)
+    )
+    pfx = base.withColumn("p", F.sum("d").over(wrun)).withColumn(
+        "minp", F.min("p").over(wrun)
+    )
+    cusum = F.col("p") - F.least(F.col("minp"), F.lit(0))
+    alarmed = pfx.select(
+        "user_id", "t_us", cusum.alias("cusum")
+    )
+    return (
+        alarmed.groupBy("user_id")
+        .agg(
+            F.count_if(
+                F.col("cusum") >= CUSUM_THRESHOLD_CENTS
+            ).alias("n_alarms"),
+            F.max("cusum").alias("max_cusum_cents"),
+            F.min(
+                F.when(
+                    F.col("cusum") >= CUSUM_THRESHOLD_CENTS, F.col("t_us")
+                )
+            ).alias("first_alarm_us"),
+        )
+        .where(F.col("n_alarms") > 0)
+        .orderBy("user_id")
+    )

@@ -242,3 +242,147 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us")
     )
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         arg_max(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), event_id)
+           AS cents
+  FROM events WHERE user_id < {N_USERS}
+  GROUP BY user_id, epoch_us(ts)
+),
+b AS (
+  SELECT user_id, MIN(t_us) AS t0, MAX(t_us) AS t1 FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         UNNEST(generate_series(t0 - (t0 % 3600000000) + 3600000000,
+                                t1 - (t1 % 3600000000), 3600000000)) AS t_us
+  FROM b
+),
+u AS (
+  SELECT user_id, t_us, cents, 0 AS is_grid FROM obs
+  UNION ALL
+  SELECT user_id, t_us, NULL AS cents, 1 AS is_grid FROM grid
+),
+filled AS (
+  SELECT user_id, t_us, is_grid,
+         last_value(cents IGNORE NULLS) OVER wp AS vp,
+         last_value(CASE WHEN cents IS NOT NULL THEN t_us END IGNORE NULLS)
+           OVER wp AS tp,
+         first_value(cents IGNORE NULLS) OVER wn AS vn,
+         first_value(CASE WHEN cents IS NOT NULL THEN t_us END IGNORE NULLS)
+           OVER wn AS tn
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t_us, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY t_us, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t_us AS hour_us,
+       CASE WHEN tn IS NULL OR tn = tp THEN CAST(vp AS DOUBLE) / 100.0
+            ELSE (CAST(vp AS DOUBLE)
+                  + CAST((vn - vp) * (t_us - tp) AS DOUBLE)
+                    / CAST(tn - tp AS DOUBLE)) / 100.0 END AS interp_value
+FROM filled
+WHERE is_grid = 1
+ORDER BY user_id, hour_us
+""",
+    tags=("timeseries", "interpolate", "resample"),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling by LINEAR interpolation (TimescaleDB
+    `interpolate()` / pandas `resample().interpolate()`): each interior
+    grid hour gets the line between its surrounding observations,
+    v = vp + (vn−vp)·(t−tp)/(tn−tp). The union-of-grid-and-observations
+    trick computes every (prev, next) pair with TWO frames over ONE
+    per-user exchange — no as-of self-join, no fan-out: observations
+    sort before a coinciding grid point, so an exact hit degenerates to
+    tp = t (the formula's zero-numerator case) and the tn IS NULL guard
+    covers a grid point at the user's final observation. Grids are
+    per-user interior (first full hour after the user's first event to
+    the last full hour before their final one), so no extrapolation
+    NULLs reach the output. Exactness: values in integer cents,
+    timestamps in integer µs; the interpolation itself is IEEE ops on
+    identical exact int64 operands — (vn−vp)·dt stays below 2^63 up to
+    multi-year gaps on 2-dp values (wider spans would move the product
+    to DECIMAL like ts_time_weighted_avg). Same-µs duplicate events
+    resolve by max event_id (arg_max) in both engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < N_USERS)
+    obs = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            (dec("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "t_us")
+        .agg(F.max_by("c", "event_id").alias("cents"))
+    )
+    hour = 3_600_000_000
+    bounds = obs.groupBy("user_id").agg(
+        F.min("t_us").alias("t0"), F.max("t_us").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("t0") - F.col("t0") % hour + hour,
+                F.col("t1") - F.col("t1") % hour,
+                F.lit(hour),
+            )
+        ).alias("t_us"),
+    )
+    u = obs.select(
+        "user_id", "t_us", "cents", F.lit(0).alias("is_grid")
+    ).unionAll(
+        grid.select(
+            "user_id",
+            "t_us",
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("cents").isNotNull(), F.col("t_us"))
+    filled = u.select(
+        "user_id",
+        "t_us",
+        "is_grid",
+        F.last("cents", ignorenulls=True).over(wp).alias("vp"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("tp"),
+        F.first("cents", ignorenulls=True).over(wn).alias("vn"),
+        F.first(t_obs, ignorenulls=True).over(wn).alias("tn"),
+    )
+    interp = (
+        F.when(
+            F.col("tn").isNull() | (F.col("tn") == F.col("tp")),
+            F.col("vp").cast("double") / 100.0,
+        ).otherwise(
+            (
+                F.col("vp").cast("double")
+                + (
+                    (F.col("vn") - F.col("vp")) * (F.col("t_us") - F.col("tp"))
+                ).cast("double")
+                / (F.col("tn") - F.col("tp")).cast("double")
+            )
+            / 100.0
+        )
+    )
+    return (
+        filled.where(F.col("is_grid") == 1)
+        .select("user_id", F.col("t_us").alias("hour_us"), interp.alias("interp_value"))
+        .orderBy("user_id", "hour_us")
+    )
