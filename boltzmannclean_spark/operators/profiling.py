@@ -300,3 +300,75 @@ def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value", "lo", "hi")
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY 1
+),
+dev AS (
+  SELECT c.event_type, c.cents, ABS(c.cents - med.med) AS ad, med.med
+  FROM c JOIN med ON c.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       COUNT(*) AS n,
+       CAST(ANY_VALUE(dev.med) AS BIGINT) AS median_cents,
+       CAST(ANY_VALUE(mad.mad) AS BIGINT) AS mad_cents,
+       COUNT(*) FILTER (dev.ad > 3 * mad.mad) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+""",
+    tags=("profiling", "outliers", "robust", "mad"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    estimator that survives what breaks z-scores (events_zscore uses
+    moments, which the outliers themselves inflate; median/MAD have a
+    50% breakdown point). Values in exact integer cents; medians via
+    percentile_disc (an actual data element, so cross-engine exact,
+    matching DuckDB quantile_disc); the outlier test |x−med| > 3·MAD is
+    an integer comparison — no division, no floats anywhere. Three
+    small aggregations on event_type with the per-type medians
+    broadcast back; everything shuffles a handful of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", (dec("value") * 100).cast("long").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+        .cast("long")
+        .alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("med").alias("median_cents"),
+            F.any_value("mad").alias("mad_cents"),
+            F.count_if(F.col("ad") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -12,6 +12,8 @@ the result.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -392,4 +394,46 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             segment_code("c_mktsegment").alias("segment_code"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "udf_pandas_iterator",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * 1.1 AS taxed_net
+FROM lineitem
+WHERE l_quantity >= 49
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("udf", "pandas", "iterator"),
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (`Iterator[pd.Series] -> Iterator[...]`)
+    — the variant whose POINT is per-partition setup amortization: the
+    body runs once per partition, loads its "model" (here a constant
+    tax rate standing in for a real tokenizer/ONNX session/codebook)
+    BEFORE the batch loop, and then streams Arrow batches through it.
+    With a plain scalar pandas UDF that setup would re-run per batch;
+    at 100 TB with a 2 GB model, per-batch loading is the difference
+    between a working pipeline and one that spends its time
+    deserializing. Arithmetic is per-row IEEE on identical operands —
+    bit-identical to the JVM expression and the oracle."""
+    @pandas_udf("double")
+    def taxed_net(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        tax_rate = 1.1  # expensive one-time setup lives HERE, not per batch
+        for price, discount in batches:
+            yield price * (1 - discount) * tax_rate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") >= 49)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            taxed_net("l_extendedprice", "l_discount").alias("taxed_net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
     )

@@ -885,3 +885,109 @@ def source_text_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("path_type", "status")
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_date::VARCHAR AS event_date,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+WHERE date_diff('day', DATE '1970-01-01', event_date) % 7 = 1
+GROUP BY event_date
+ORDER BY event_date
+""",
+    tags=("join", "dpp", "partition-pruning"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime companion to the static
+    pruning in sink_partitioned_pruning: the fact table is written
+    partitioned by event_date, and the filter lives on a DIMENSION
+    (a date table with a derived day-of-week column), not on the
+    partition column itself — so compile-time pruning is impossible.
+    Catalyst inserts a dynamicpruning subquery: the dim side runs
+    first, its surviving join keys become an IN-filter on the fact
+    scan's PartitionFilters, and only matching date directories are
+    read (plan-gated in tests/test_plans.py). This is how a 100 TB
+    date-partitioned fact avoids full scans under every calendar-dim
+    join. Day-of-week is computed as days-since-epoch mod 7 — pure
+    integer arithmetic, identical in both engines (DOW builtins
+    disagree on week start)."""
+    ev = load_table(spark, sf_dir, "events")
+    dated = ev.select(
+        F.col("ts").cast("date").alias("event_date"),
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="bcs_dpp_") + "/events_by_date"
+    dated.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    dates = dated.select("event_date").distinct().withColumn(
+        "dow", F.datediff("event_date", F.lit("1970-01-01").cast("date")) % 7
+    )
+    return (
+        fact.join(F.broadcast(dates.where(F.col("dow") == 1)), "event_date")
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "source_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+""",
+    tags=("source", "observe", "metrics"),
+)
+def source_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (`df.observe`) — in-flight data-quality
+    metrics collected DURING a pass instead of by a second scan: a
+    100 TB ingest wants row counts, null counts, and control totals as
+    a side effect of the load it is already doing, not as another read.
+    The observed aggregates piggyback on the action (here a count());
+    the metrics row is then surfaced as a DataFrame and cross-checked
+    against a direct SQL aggregation, proving the side-channel reports
+    the same numbers a dedicated scan would. The money total uses the
+    exact-decimal recipe inside the observe expression itself."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("ingest_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias(
+            "n_null_price"
+        ),
+        F.sum(dec("o_totalprice", 14)).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    observed.count()  # the action the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_price"],
+                float(m["total_price"]),
+                m["min_key"],
+                m["max_key"],
+            )
+        ],
+        "n_rows BIGINT, n_null_price BIGINT, total_price DOUBLE, "
+        "min_key BIGINT, max_key BIGINT",
+    )

@@ -72,6 +72,15 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     assert pre_sort.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    # The filter is on the dim's derived column, so only a runtime
+    # dynamicpruning subquery can restrict the fact scan's partitions;
+    # its presence in the scan's PartitionFilters is the whole point.
+    df = QUERIES["join_dynamic_partition_pruning"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
     # Both sides are bucketed on the join key, so with broadcast
     # disabled (simulating both sides too big to broadcast — the case
