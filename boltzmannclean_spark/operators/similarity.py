@@ -1191,3 +1191,155 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         salt_col="neighbor_id",
     ).orderBy("query_id", "rk")
+
+
+def _ivfpq_oracle() -> str:
+    """IVF coarse quantizer CTEs (q/c*/af) + PQ codebook CTEs
+    (pq/pc*/codes/lut), then ADC scoring restricted to the query's IVF
+    cell — both trainings unrolled exactly as in their standalone
+    oracles."""
+    ivf_iters, prev = [], "c0"
+    for k in range(1, KMEANS_ITERS + 1):
+        ivf_iters.append(_kmeans_iter_sql(k, prev))
+        prev = f"c{k}"
+    ivf_final = prev
+    pq_iters, prev = [], "pc0"
+    for k in range(1, PQ_ITERS + 1):
+        pq_iters.append(_pq_iter_sql(k, prev))
+        prev = f"pc{k}"
+    pq_final = prev
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(ivf_iters)},
+df AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM q JOIN {ivf_final} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM df
+  ) t WHERE rn = 1
+),
+pq AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1) // {PQ_DSUB} AS b,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_DSUB} AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(pq_iters)},
+pdf AS (
+  SELECT q.vec_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM pq q JOIN {pq_final} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+),
+codes AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                 ORDER BY dist, cid) AS rn
+    FROM pdf
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, b, cid, dist AS pdist
+  FROM pdf WHERE vec_id < {N_QUERY}
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN lut l ON c.b = l.b AND c.cid = l.cid
+  JOIN af an ON an.vec_id = c.vec_id
+  JOIN af aq ON aq.vec_id = l.query_id AND aq.cid = an.cid
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "similarity_ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack — IVF × PQ composed (FAISS's IVFPQ
+    index): the IVF coarse quantizer restricts each query to its own
+    cell (~corpus/k candidates), and PQ's ADC scores only those
+    candidates from 1-byte codes instead of raw vectors. The two
+    prunings multiply: scan cost drops by the cell factor AND each
+    candidate costs a LUT lookup-sum instead of a 64-dim dot product,
+    which is why a billion-vector store fits and answers. Spark shape:
+    both quantizer trainings are the standalone operators' plans
+    (broadcast codebooks, map-side argmin, constant-size shuffles);
+    the scan is codes ⋈ broadcast LUT with the cell equi-join as the
+    candidate filter. Everything is exact integer arithmetic end to
+    end, so the composed pipeline stays bit-identical to the oracle's
+    doubly-unrolled derivation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_full = emb.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("e"),
+        _qvec(F.col("embedding")).alias("qvec"),
+    ).withColumn("nrm", norm(F.col("e")))
+    cells = _kmeans_cells(n_full).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    sub = _pq_subvectors(
+        emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    ).localCheckpoint()
+    cent = _pq_train(sub)
+    dists = sub.join(F.broadcast(cent), "b").select(
+        "vec_id",
+        "b",
+        "cid",
+        _int_dist(F.col("qsub"), F.col("cvec")).alias("dist"),
+    )
+    codes = dists.groupBy("vec_id", "b").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+    )
+    lut = dists.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        "b",
+        "cid",
+        F.col("dist").alias("pdist"),
+    )
+    qcells = cells.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qc_query"), F.col("cell").alias("qcell")
+    )
+    scored = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(lut), ["b", "cid"])
+        .join(
+            F.broadcast(qcells),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("query_id") == F.col("qc_query"))
+            & (F.col("vec_id") != F.col("qc_query")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.col("adc_dist"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")

@@ -65,8 +65,24 @@ def canonical_rows(df_pandas, name: str = "?"):
     return sorted(rows)
 
 
+def assert_path_free(df_pandas, name: str, sf_dir: str):
+    """No output cell may embed the input dir or an absolute testdata
+    path: the driver runs at a different path/SF and would hash-mismatch
+    (round-4 verdict #3 — e.g. a file-manifest query leaking
+    `/root/testdata/sf0.01/...`)."""
+    for col in df_pandas.columns:
+        if df_pandas[col].dtype == object:
+            for v in df_pandas[col].head(200):
+                if isinstance(v, str):
+                    assert sf_dir not in v and "/root/testdata" not in v, (
+                        f"[{name}] column {col} embeds an input path "
+                        f"({v!r}) — relativize the output"
+                    )
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
     sp = spark_df.toPandas()
+    assert_path_free(sp, name, sf_dir)
     du = run_oracle(oracle_sql, sf_dir)
     assert sorted(sp.columns) == sorted(du.columns), (
         f"[{name}] column mismatch: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"

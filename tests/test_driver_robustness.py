@@ -7,16 +7,20 @@ parity — each a past or potential local-vs-driver drift source:
 
 1. ATOMIC output cells — the driver canonicalizes with a pandas
    sort_values over every column; list/map/struct cells raise there.
-   (Gated per-query inside assert_matches_oracle/driver_sort_canon;
-   re-asserted here for rows-only entries which skip the oracle path.)
-2. PATH/SF-FREE output — any cell or column embedding the input path
-   (e.g. a file-manifest query leaking `/root/testdata/sf0.01/...`)
-   would hash differently when the driver runs from its own location
-   or at another SF. Outputs must be relativized.
+   (Gated per-query in tests/test_oracle_parity.py's
+   _assert_atomic_schema, over the full registry.)
+2. PATH/SF-FREE output — any cell embedding the input path (e.g. a
+   file-manifest query leaking `/root/testdata/sf0.01/...`) would hash
+   differently when the driver runs from its own location or SF.
+   (Gated per-query inside oracle_utils.assert_path_free, called from
+   BOTH the oracle and rows-only parity paths — it rides the collects
+   the parity suite already pays for, so the full registry is covered
+   without a second sweep.)
 3. DETERMINISM for rows-only entries — oracle-exact queries prove
    determinism by matching DuckDB; rows-only ones (sketches, MLlib
    RNG, stochastic imputers) must at least produce a stable row count
-   and canonicalizable output across two runs in one session.
+   and canonicalizable output across two runs in one session. That is
+   THIS file's job (10 queries × 2 runs — cheap).
 """
 
 from __future__ import annotations
@@ -27,29 +31,7 @@ import __spark_entry__ as m
 from tests.oracle_utils import driver_sort_canon
 
 QUERIES = m.queries()
-ORACLES = m.oracle_sql()
-ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
-
-
-def _string_cells(pdf):
-    for col in pdf.columns:
-        if pdf[col].dtype == object:
-            for v in pdf[col].head(200):
-                if isinstance(v, str):
-                    yield col, v
-
-
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_output_is_path_and_sf_free(spark, sf_dir, name):
-    pdf = QUERIES[name](spark, sf_dir).limit(500).toPandas()
-    for col, v in _string_cells(pdf):
-        assert sf_dir not in v, (
-            f"{name}.{col} embeds the input dir ({v!r}): the driver runs "
-            "from a different path/SF and would hash-mismatch"
-        )
-        assert "/root/testdata" not in v, (
-            f"{name}.{col} embeds an absolute testdata path ({v!r})"
-        )
+ROWS_ONLY = sorted(set(QUERIES) - set(m.oracle_sql()))
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -12,7 +12,11 @@ from boltzmannclean_spark.plans.registry import all_queries
 
 from pyspark.sql import types as T
 
-from .oracle_utils import assert_matches_oracle, driver_sort_canon
+from .oracle_utils import (
+    assert_matches_oracle,
+    assert_path_free,
+    driver_sort_canon,
+)
 
 QUERIES = all_queries()
 ORACLE_CASES = sorted(name for name, q in QUERIES.items() if q.oracle is not None)
@@ -49,5 +53,6 @@ def test_rows_only_queries_run(spark, oracle_sf_dir, name):
     # Spark result before counting rows, so the sort must not throw.
     pdf = df.toPandas()
     driver_sort_canon(pdf, name=name)
+    assert_path_free(pdf, name, oracle_sf_dir)
     assert len(pdf) >= 0
     assert len(df.schema.fields) > 0

@@ -41,6 +41,10 @@ DEFAULT_QUERIES = [
     "ts_ohlc_bars",
     "agg_corr_matrix",
     "join_bloom_semireduction",
+    # round-5 representatives
+    "events_sessionize_skew",
+    "dedup_embedding_cosine",
+    "graph_pagerank_bipartite",
 ]
 
 # (table, key columns to offset per copy) — facts grow, dims stay.
