@@ -1241,3 +1241,136 @@ def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("seg_hash")
     )
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    oracle=f"""
+WITH sample AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+),
+toks AS (
+  SELECT doc_id, UNNEST(toks) AS sh FROM sample
+),
+minh AS (
+  SELECT doc_id,
+         {", ".join(
+             f"MIN(substring(md5('{s // 4}|' || sh), {1 + 8 * (s % 4)}, 8))"
+             f" AS mh{s}"
+             for s in range(N_SEEDS)
+         )}
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band, "
+      + " || ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+      + " AS band_key FROM minh"
+      for b in range(N_SEEDS // BAND_ROWS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+  WHERE 10 * len(list_intersect(a.toks, b.toks))
+        >= 9 * (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)))
+),
+tp AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT (SELECT COUNT(*) FROM sample) AS n_sample_docs,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+       (SELECT COUNT(*) FROM tp) AS n_true_positive,
+       (SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM tp)
+         AS n_false_positive,
+       (SELECT COUNT(*) FROM truth) - (SELECT COUNT(*) FROM tp)
+         AS n_false_negative
+""",
+    tags=("dedup", "minhash", "eval", "recall"),
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall/precision of the MinHash-LSH banding against
+    exact-Jaccard ground truth on a hash-chosen ~25% document sample —
+    the evaluation loop a production dedup pipeline runs before trusting
+    its banding parameters at full scale. Ground truth needs all-pairs
+    Jaccard, which is quadratic and must NEVER run on the corpus; on the
+    md5-chosen sample it is bounded by design (the estimate's variance,
+    not the corpus, sizes the sample). Signatures/bands are the exact
+    dedup_minhash_lsh derivation; the Jaccard threshold test is the
+    integer form 10·|∩| ≥ 9·|∪| (no float division). Output is one row
+    of confusion counts — recall = tp/(tp+fn) left to the reader so the
+    row stays pure integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    toks = sample.select("doc_id", F.explode("toks").alias("sh"))
+    minh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s // 4}|"), F.col("sh"))),
+                    1 + 8 * (s % 4),
+                    8,
+                )
+            ).alias(f"mh{s}")
+            for s in range(N_SEEDS)
+        ]
+    )
+    band_cols = [
+        F.concat(*[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        for b in range(N_SEEDS // BAND_ROWS)
+    ]
+    bands = minh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    va, vb = sample.alias("va"), sample.alias("vb")
+    inter = F.size(F.array_intersect(F.col("va.toks"), F.col("vb.toks")))
+    union = F.size(F.col("va.toks")) + F.size(F.col("vb.toks")) - inter
+    # All-pairs ONLY over the bounded sample (the point of the op).
+    truth = va.join(
+        vb, F.col("va.doc_id") < F.col("vb.doc_id")
+    ).where(10 * inter >= 9 * union).select(
+        F.col("va.doc_id").alias("d1"), F.col("vb.doc_id").alias("d2")
+    )
+    tp = cand.intersect(truth)
+    counts = (
+        sample.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_true_positive")))
+    )
+    return counts.select(
+        "n_sample_docs",
+        "n_true_pairs",
+        "n_candidate_pairs",
+        "n_true_positive",
+        (F.col("n_candidate_pairs") - F.col("n_true_positive")).alias(
+            "n_false_positive"
+        ),
+        (F.col("n_true_pairs") - F.col("n_true_positive")).alias(
+            "n_false_negative"
+        ),
+    )

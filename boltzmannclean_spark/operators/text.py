@@ -1239,3 +1239,82 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("importance"), "doc_id")
         .limit(DSIR_TOP)
     )
+
+
+HEAPS_BUCKET = 50
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+WITH toks AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+firsts AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_toks,
+         (SELECT COUNT(*) FROM firsts WHERE first_doc = toks.doc_id)
+           AS n_new_types
+  FROM toks GROUP BY doc_id
+),
+cum AS (
+  SELECT (doc_id // {HEAPS_BUCKET}) AS bucket,
+         SUM(n_toks) AS toks_in_bucket,
+         SUM(n_new_types) AS new_types_in_bucket
+  FROM per_doc GROUP BY 1
+)
+SELECT bucket,
+       CAST(SUM(toks_in_bucket) OVER w AS BIGINT) AS tokens_seen,
+       CAST(SUM(new_types_in_bucket) OVER w AS BIGINT) AS vocab_size
+FROM cum
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+ORDER BY bucket
+""",
+    tags=("text", "heaps", "vocabulary", "corpus-stats"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve — (tokens seen, distinct types
+    seen) sampled every {HEAPS_BUCKET} docs in doc_id order: the curve a
+    corpus build watches to decide whether more crawl still buys new
+    vocabulary (V ≈ K·nᵝ; a flattening curve means dedup/filtering
+    should tighten instead). "Running distinct" never materializes a
+    per-prefix state: each type is attributed to its FIRST document
+    (one groupBy), per-doc new-type counts aggregate per bucket, and a
+    cumulative window over the BUCKET table (corpus/{HEAPS_BUCKET}
+    rows — bounded, same argument as relational_skyline) yields the
+    curve. Pure integer counting, bit-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc_toks = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    per_doc_new = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    cum = (
+        per_doc_toks.join(per_doc_new, "doc_id", "left")
+        .groupBy(F.expr(f"doc_id div {HEAPS_BUCKET}").alias("bucket"))
+        .agg(
+            F.sum("n_toks").alias("toks_in_bucket"),
+            F.sum(F.coalesce("n_new_types", F.lit(0))).alias(
+                "new_types_in_bucket"
+            ),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cum.select(
+        "bucket",
+        F.sum("toks_in_bucket").over(w).alias("tokens_seen"),
+        F.sum("new_types_in_bucket").over(w).alias("vocab_size"),
+    ).orderBy("bucket")
