@@ -1318,3 +1318,125 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks_in_bucket").over(w).alias("tokens_seen"),
         F.sum("new_types_in_bucket").over(w).alias("vocab_size"),
     ).orderBy("bucket")
+
+
+MIX_BUDGET_TOKENS = 50_000
+MIX_CAP_PCT = 30  # no language may exceed 30% of the budget
+MIN_QUALITY_TOKENS = 15
+
+
+@register(
+    "pipeline_pretraining_mix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, md5(text) AS h,
+         LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents
+),
+kept AS (
+  SELECT t.doc_id, t.lang, t.n_toks
+  FROM toks t
+  JOIN (SELECT h, MIN(doc_id) AS keep FROM toks GROUP BY h) d
+    ON t.h = d.h AND t.doc_id = d.keep
+  WHERE t.n_toks >= {MIN_QUALITY_TOKENS}
+),
+per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs_kept,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_tokens_kept) AS BIGINT) AS t FROM per_lang),
+prop AS (
+  SELECT lang, n_docs_kept, n_tokens_kept,
+         {MIX_BUDGET_TOKENS} * n_tokens_kept // tot.t AS p
+  FROM per_lang CROSS JOIN tot
+),
+capped AS (
+  SELECT *, (p > {MIX_BUDGET_TOKENS * MIX_CAP_PCT} // 100) AS is_capped
+  FROM prop
+),
+pools AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN is_capped
+        THEN p - {MIX_BUDGET_TOKENS * MIX_CAP_PCT} // 100 END), 0) AS BIGINT)
+      AS excess,
+    CAST(COALESCE(SUM(CASE WHEN NOT is_capped THEN p END), 0) AS BIGINT)
+      AS uncapped_p
+  FROM capped
+)
+SELECT lang, n_docs_kept, n_tokens_kept,
+       CAST(CASE WHEN is_capped THEN {MIX_BUDGET_TOKENS * MIX_CAP_PCT} // 100
+            ELSE p + (pools.excess * p // NULLIF(pools.uncapped_p, 0))
+            END AS BIGINT) AS alloc_tokens,
+       is_capped
+FROM capped CROSS JOIN pools
+ORDER BY lang
+""",
+    tags=("curation", "pipeline", "mixture", "llm"),
+)
+def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-mix planning — the composed curation run
+    a data team executes before a training job: (1) drop low-quality
+    docs (< {MIN_QUALITY_TOKENS} tokens), (2) keep only exact-dedup
+    representatives (min doc_id per md5(text)), (3) count surviving
+    tokens per language, (4) allocate a {MIX_BUDGET_TOKENS}-token
+    budget proportionally with a {MIX_CAP_PCT}% per-language cap and
+    ONE round of redistributing the capped excess to uncapped
+    languages pro-rata (documented as one round, not a fixpoint — at
+    most one extra language can newly exceed the cap per round, and
+    the plan's reader should see the allocation rule, not iterate it).
+    Every stage is the registered standalone operator's logic; the
+    composition is the point — one declarative plan, three
+    aggregations, all integer arithmetic, bit-exact vs the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_toks"),
+    )
+    keep = toks.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    kept = toks.join(
+        keep,
+        (toks.h == keep.h) & (toks.doc_id == keep.keep),
+    ).where(F.col("n_toks") >= MIN_QUALITY_TOKENS)
+    per_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_toks").alias("n_tokens_kept"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens_kept").alias("t"))
+    cap = MIX_BUDGET_TOKENS * MIX_CAP_PCT // 100
+    prop = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.expr(f"{MIX_BUDGET_TOKENS} * n_tokens_kept div t").alias("p"),
+    )
+    capped = prop.withColumn("is_capped", F.col("p") > cap)
+    pools = capped.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("p") - cap)), F.lit(0)
+        ).alias("excess"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_capped"), F.col("p"))), F.lit(0)
+        ).alias("uncapped_p"),
+    )
+    return (
+        capped.crossJoin(F.broadcast(pools))
+        .select(
+            "lang",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.when(F.col("is_capped"), F.lit(cap))
+            .otherwise(
+                F.col("p")
+                + F.expr("excess * p div nullif(uncapped_p, 0)")
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            "is_capped",
+        )
+        .orderBy("lang")
+    )
