@@ -52,8 +52,9 @@ HEADLINE = CORE9 + [
     "join_bloom_semireduction",
     "agg_corr_matrix",
     "ts_ohlc_bars",
-    # round-5: skew-resistant windowed family
+    # round-5: skew-resistant windowed family + PQ compression leg
     "events_sessionize_skew",
+    "similarity_ann_pq_adc",
 ]
 
 

@@ -167,3 +167,140 @@ def impute_mean_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "impute_regression",
+    oracle="""
+WITH feat AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS y_true,
+         CAST(x.sq AS DOUBLE) AS x,
+         (o.o_orderkey % 7 = 3) AS masked
+  FROM orders o
+  JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        FROM lineitem GROUP BY l_orderkey) x
+    ON o.o_orderkey = x.l_orderkey
+),
+fit AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y_true AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2)))
+              AS DOUBLE) AS sxy
+  FROM feat WHERE NOT masked
+),
+beta AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+  FROM fit
+),
+ev AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n_masked,
+         CAST(SUM(CAST(y_true AS DECIMAL(18,2))) AS DOUBLE) AS msy,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS msx,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+              AS DOUBLE) AS msxx,
+         CAST(SUM(CAST(y_true AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2)))
+              AS DOUBLE) AS msyy,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2)))
+              AS DOUBLE) AS msxy
+  FROM feat WHERE masked GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_masked,
+       msy AS sum_actual,
+       n_masked * b0 + b1 * msx AS sum_imputed,
+       SQRT((n_masked * b0 * b0 + b1 * b1 * msxx + msyy
+             + 2 * b0 * b1 * msx - 2 * b0 * msy - 2 * b1 * msxy)
+            / n_masked) AS rmse
+FROM ev CROSS JOIN beta
+ORDER BY o_orderstatus
+""",
+    tags=("imputation", "regression", "ols"),
+)
+def impute_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression imputation with SELF-EVALUATION — the fourth leg of
+    the imputer family (mean/mode baseline, kNN, RBM, now OLS): mask
+    o_totalprice on a deterministic 1/7th of orders, fit ordinary least
+    squares of price on total line-item quantity over the UNMASKED
+    rows, impute the masked ones, and score the imputation against the
+    held-out truth — all in one declarative plan.
+
+    Float discipline: no per-row prediction is ever summed. Σŷ and the
+    masked-set squared error expand algebraically into the group's
+    exact-decimal moments (Σŷ = n·β₀ + β₁·Σx; Σ(ŷ−y)² = n·β₀² + β₁²Σx²
+    + Σy² + 2β₀β₁Σx − 2β₀Σy − 2β₁Σxy), so every emitted double is one
+    IEEE expression over identical exact operands in both engines —
+    order-independent at any parallelism, same recipe as
+    agg_stats_exact. The fit is a single partial+final aggregation
+    (4 sufficient statistics), the evaluation another; β is a 1-row
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sq = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq")
+    )
+    feat = o.join(sq, o.o_orderkey == sq.l_orderkey).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(14,2)").cast("double").alias("y"),
+        F.col("sq").cast("double").alias("x"),
+        (F.col("o_orderkey") % 7 == 3).alias("masked"),
+    )
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    fit = feat.where(~F.col("masked")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).cast("double").alias("sx"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x") * d("x")).cast("double").alias("sxx"),
+        F.sum(d("x") * d("y")).cast("double").alias("sxy"),
+    )
+    beta = fit.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("b1"),
+        (
+            (
+                F.col("sy")
+                - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.col("sx")
+            )
+            / F.col("n")
+        ).alias("b0"),
+    )
+    ev = feat.where(F.col("masked")).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_masked"),
+        F.sum(d("y")).cast("double").alias("msy"),
+        F.sum(d("x")).cast("double").alias("msx"),
+        F.sum(d("x") * d("x")).cast("double").alias("msxx"),
+        F.sum(d("y") * d("y")).cast("double").alias("msyy"),
+        F.sum(d("x") * d("y")).cast("double").alias("msxy"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(beta))
+        .select(
+            "o_orderstatus",
+            "n_masked",
+            F.col("msy").alias("sum_actual"),
+            (F.col("n_masked") * F.col("b0") + F.col("b1") * F.col("msx")).alias(
+                "sum_imputed"
+            ),
+            F.sqrt(
+                (
+                    F.col("n_masked") * F.col("b0") * F.col("b0")
+                    + F.col("b1") * F.col("b1") * F.col("msxx")
+                    + F.col("msyy")
+                    + 2 * F.col("b0") * F.col("b1") * F.col("msx")
+                    - 2 * F.col("b0") * F.col("msy")
+                    - 2 * F.col("b1") * F.col("msxy")
+                )
+                / F.col("n_masked")
+            ).alias("rmse"),
+        )
+        .orderBy("o_orderstatus")
+    )
