@@ -1150,3 +1150,61 @@ def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("percentile")
     )
+
+
+N_DEPTH_BUCKETS = 10  # equi-depth deciles per group
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderstatus, o_totalprice,
+         NTILE({N_DEPTH_BUCKETS}) OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT o_orderstatus, bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_sum
+FROM t
+GROUP BY o_orderstatus, bucket
+ORDER BY o_orderstatus, bucket
+""",
+    tags=("aggregate", "histogram", "equi-depth"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order totals, {N_DEPTH_BUCKETS}
+    buckets per order status: ntile over a per-group sort, then a hash
+    aggregation — the complement of ``agg_histogram_fixed``'s equal-width
+    bins and the optimizer-statistics shape (equi-depth bounds are what
+    a CBO stores). Ties broken by o_orderkey so bucket membership is
+    deterministic cross-engine.
+
+    Scale: ntile needs a per-GROUP total order, so the window partitions
+    on o_orderstatus — parallelism = group count, and a single group at
+    100 TB would sort on one reducer. That is inherent to EXACT
+    equi-depth; the production-scale path for a global histogram is the
+    mergeable KLL sketch already registered as ``agg_quantile_mergeable``
+    (approximate bounds, fully parallel). This operator is the exact
+    small-group form; the window+agg share one o_orderstatus exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(N_DEPTH_BUCKETS).over(w).alias("bucket"),
+    )
+    return (
+        t.groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(dec("o_totalprice")).cast("double").alias("bucket_sum"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )

@@ -1333,3 +1333,219 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_alarms") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "join_pit_scd2",
+    oracle=f"""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         CASE WHEN LAG(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+grp AS (
+  SELECT o_custkey, run_id, o_orderstatus AS status,
+         MIN(o_orderdate) AS vf
+  FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+),
+hist AS (
+  SELECT o_custkey AS custkey, CAST(run_id AS BIGINT) AS version, status,
+         epoch_us(vf) AS valid_from_us,
+         COALESCE(LEAD(epoch_us(vf)) OVER (PARTITION BY o_custkey
+                                           ORDER BY run_id),
+                  {SCD2_OPEN_END_US}) AS valid_to_us
+  FROM grp
+)
+SELECT o.o_orderkey, o.o_custkey,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       h.version AS pit_version, h.status AS pit_status,
+       (h.status = o.o_orderstatus) AS match_ok
+FROM orders o
+JOIN hist h
+  ON h.custkey = o.o_custkey
+ AND epoch_us(o.o_orderdate) >= h.valid_from_us
+ AND epoch_us(o.o_orderdate) <  h.valid_to_us
+ORDER BY o.o_orderkey
+""",
+    tags=("behavioral", "scd2", "point-in-time", "join"),
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: enrich every order
+    with the customer-status VERSION that was valid at its order date —
+    the leakage-safe way to attach slowly-changing attributes to
+    training examples (using today's dimension row would leak the
+    future). Reuses the registered SCD2 build
+    (``scd2_order_status_history``) and joins fact rows into the
+    half-open validity interval [valid_from, valid_to).
+
+    Plan: an equi-join on the entity key (custkey) with the interval
+    containment as a residual predicate. Per-key fan-out is the
+    customer's VERSION count — small and bounded by business reality,
+    never corpus-sized — so unlike a general range join this stays
+    linear: shuffle facts and versions on the same key, filter in place.
+    Intervals are disjoint by construction, so each fact matches exactly
+    one version (deterministic without any tie-break). ``match_ok``
+    audits the build: the PIT status must equal the order's own status
+    wherever one status-run covers the date (ties inside a date can
+    legitimately differ — that disagreement is the PIT-correctness
+    signal a feature-store backfill monitors)."""
+    hist = scd2_order_status_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("version").alias("pit_version"),
+        F.col("status").alias("pit_status"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "orderdate_us"
+        ),
+    )
+    return (
+        orders.join(
+            hist,
+            (orders.o_custkey == hist.custkey)
+            & (F.col("orderdate_us") >= F.col("valid_from_us"))
+            & (F.col("orderdate_us") < F.col("valid_to_us")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "orderdate_us",
+            "pit_version",
+            "pit_status",
+            (F.col("pit_status") == F.col("o_orderstatus")).alias("match_ok"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+OVERLAP_BIN_US = 3_600_000_000  # 1-hour bins for the interval-overlap join
+
+
+@register(
+    "sessions_overlap_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN t_us - LAG(t_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+runs AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+s AS (
+  SELECT user_id, session_idx, MIN(t_us) AS st, MAX(t_us) AS en
+  FROM runs GROUP BY user_id, session_idx
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       COUNT(*) AS n_overlaps,
+       MIN(GREATEST(a.st, b.st)) AS first_overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+GROUP BY a.user_id, b.user_id
+ORDER BY user_a, user_b
+""",
+    tags=("behavioral", "interval-join", "overlap"),
+)
+def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which pairs of users had concurrently
+    active sessions, and how many times — the co-presence signal behind
+    fraud rings, shared-account detection and collaboration graphs.
+
+    A naive overlap join (θ-join on a.st <= b.en AND b.st <= a.en) is a
+    cross product. The scale path used here is BINNED RANGE JOIN — the
+    standard distributed interval-join technique: explode each session
+    into the 1-hour bins it touches (``sequence`` — executor-side, no
+    driver loop), EQUI-join on the bin, deduplicate the (session,
+    session) candidates that met in several bins, then verify the exact
+    overlap predicate. Candidate volume is Σ per-bin-concurrency², i.e.
+    driven by true temporal density, not corpus size²; a globally hot
+    bin (everyone online at noon) is a skewed join key that AQE's
+    skew-split handles, and the bin width is the knob to keep per-bin
+    groups bounded (match it to median session length). Sessions come
+    from the same island-build as ``events_sessionize`` — one user_id
+    exchange — and the final pair aggregation shuffles only surviving
+    pairs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    runs = ev.withColumn(
+        "new_sess",
+        F.when(F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US, 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    s = (
+        runs.groupBy("user_id", "session_idx")
+        .agg(F.min("t_us").alias("st"), F.max("t_us").alias("en"))
+        .localCheckpoint()
+    )
+    binned = s.select(
+        "user_id",
+        "session_idx",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {OVERLAP_BIN_US}"),
+                F.expr(f"en div {OVERLAP_BIN_US}"),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_idx").alias("sess_a"),
+        F.col("st").alias("st_a"),
+        F.col("en").alias("en_a"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_idx").alias("sess_b"),
+        F.col("st").alias("st_b"),
+        F.col("en").alias("en_b"),
+        "bin",
+    )
+    pairs = (
+        a.join(b, "bin")
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("st_a") <= F.col("en_b"))
+            & (F.col("st_b") <= F.col("en_a"))
+        )
+        .select(
+            "user_a", "sess_a", "user_b", "sess_b", "st_a", "st_b"
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.min(F.greatest("st_a", "st_b")).alias("first_overlap_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )

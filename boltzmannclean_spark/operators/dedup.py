@@ -1374,3 +1374,57 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_negative"
         ),
     )
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS norm_text
+  FROM documents
+),
+grp AS (
+  SELECT md5(norm_text) AS norm_hash,
+         MIN(doc_id) AS keep_doc_id,
+         COUNT(*) AS n_copies
+  FROM norm
+  GROUP BY md5(norm_text)
+)
+SELECT norm_hash, keep_doc_id, n_copies
+FROM grp
+WHERE n_copies > 1
+ORDER BY keep_doc_id
+""",
+    tags=("dedup", "exact", "normalized"),
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-hash dedup (the C4 / RefinedWeb 'exact' recipe:
+    lowercase, strip non-alphanumerics, collapse whitespace, THEN md5)
+    — catches trivial reformattings that byte-exact dedup misses while
+    staying a single hash-groupBy. Normalization is per-row JVM regexp
+    (no shuffle); like ``dedup_exact``, only 16-byte digests ever
+    shuffle, never document bytes — the property that keeps this linear
+    and skew-free at 100 TB (identical docs all land on one reducer,
+    but the reducer only counts digests). Output: duplicate groups only
+    (n_copies > 1) with the kept (lowest) doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_doc_id")
+    )

@@ -670,3 +670,55 @@ def sample_bottomk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+N_FOLDS = 5  # group-aware cross-validation folds
+
+
+@register(
+    "sample_group_kfold",
+    oracle=f"""
+WITH folded AS (
+  SELECT o_custkey, o_totalprice,
+         ('0x' || substring(md5(o_custkey::VARCHAR), 1, 4))::BIGINT
+           % {N_FOLDS} AS fold
+  FROM orders
+)
+SELECT fold,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM folded
+GROUP BY fold
+ORDER BY fold
+""",
+    tags=("sample", "kfold", "cross-validation"),
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (sklearn ``GroupKFold`` semantics,
+    hash-deterministic): every order lands in the fold of its CUSTOMER,
+    so no customer ever spans train and eval — the grouping that
+    prevents entity leakage when cross-validating per-customer models.
+    Fold = first 16 bits of md5(custkey) mod {N_FOLDS}: row-local, no
+    shuffle before the {N_FOLDS}-row aggregation, reproducible across
+    engines/runs, and stable under data growth (a customer's fold never
+    changes when new orders arrive). Exact-decimal price sums keep the
+    per-fold totals bit-identical at any parallelism."""
+    orders = load_table(spark, sf_dir, "orders")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4), 16, 10
+        ).cast("long"),
+        F.lit(N_FOLDS),
+    )
+    return (
+        orders.select(fold.alias("fold"), "o_custkey", "o_totalprice")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("fold")
+    )

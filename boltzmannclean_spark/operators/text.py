@@ -1440,3 +1440,178 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+TOP_TERMS = 50  # inverted-index output rows (highest-df terms)
+POSTING_SAMPLE = 5  # leading doc ids kept per term in the index sample
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) x
+  GROUP BY doc_id, tok
+),
+idx AS (
+  SELECT tok,
+         COUNT(*) AS df,
+         CAST(SUM(tf) AS BIGINT) AS cf,
+         array_to_string(list_sort(list(doc_id))[1:{POSTING_SAMPLE}], ',')
+           AS posting_head
+  FROM tf GROUP BY tok
+)
+SELECT tok, df, cf, posting_head
+FROM idx
+ORDER BY df DESC, tok
+LIMIT {TOP_TERMS}
+""",
+    tags=("text", "index", "search"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, corpus
+    frequency, and the head of the sorted posting list — the core
+    structure behind keyword search / decontamination lookups over a
+    training corpus. Token explode is per-doc inline (no shuffle); then
+    ONE aggregation keyed on (doc_id, tok) and one on tok — partial
+    (map-side) combines keep the shuffle at distinct-term volume, not
+    token volume. Posting lists are the scale hazard (a stopword's list
+    is corpus-sized), so the registered output keeps only a bounded
+    {POSTING_SAMPLE}-id head per term via slice(sort_array(collect_list))
+    — collect_list on full postings would OOM a 100 TB executor; a
+    production index would instead sink (tok, doc_id) sorted+bucketed by
+    tok, which is exactly the first aggregation's shuffle. Output is the
+    {TOP_TERMS} highest-df terms; posting head rendered as CSV (atomic
+    columns only, per the driver's canonicalizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTING_SAMPLE),
+                ",",
+            ).alias("posting_head"),
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(TOP_TERMS)
+    )
+
+
+BM25_QUERY = ("spark", "join", "window")  # fixed keyword query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, LEN(toks) AS dl FROM toks),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM toks) x
+  WHERE tok IN ('spark', 'join', 'window')
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1.0))
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+            + {BM25_B} * dl.dl * stats.n_docs / stats.total_len)) AS c
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN tok = 'join' THEN c END), 0.0)
+              + COALESCE(SUM(CASE WHEN tok = 'spark' THEN c END), 0.0)
+              + COALESCE(SUM(CASE WHEN tok = 'window' THEN c END), 0.0)
+              AS FLOAT) AS bm25,
+         COUNT(*) AS n_terms_hit
+  FROM contrib
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+""",
+    tags=("text", "bm25", "search"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1={BM25_K1}, b={BM25_B}) for a fixed query
+    over the corpus: top-{BM25_TOPK} docs by Robertson/Sparck-Jones
+    score. The term filter lands BEFORE the tf aggregation, so only
+    query-term postings ever shuffle (at 100 TB: |query| × df rows, not
+    the corpus); df and the corpus stats are 1-row/tiny broadcasts.
+    Determinism: tf/df/dl/N are exact ints, so every engine evaluates
+    the identical IEEE expression tree per (doc, term); the per-doc
+    combination is NOT a float SUM (merge order would differ between
+    engines) but per-term conditional sums — each over at most ONE
+    element — added in fixed lexical term order, identically in the
+    oracle. The `ln` itself is the one op where JVM Math.log and libm
+    may differ by 1 ulp, so the score is FLOAT-cast (the repo's
+    transcendental convention, see func_math_transcendental) before
+    ordering and output — both engines then rank and hash the identical
+    value. Ties broken by doc_id. avg-doclen is folded as
+    dl·N/total_len to keep one division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+
+    def term_sum(t: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("tok") == t, contrib)), F.lit(0.0)
+        )
+
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (term_sum("join") + term_sum("spark") + term_sum("window"))
+            .cast("float")
+            .alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )

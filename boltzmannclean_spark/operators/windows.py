@@ -385,3 +385,65 @@ def window_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_points") >= 5)
         .orderBy("user_id")
     )
+
+
+EMA_TERMS = 8  # half-life decay depth; weights 2^-1 .. 2^-8
+_EMA_WEIGHTS = [0.5**k for k in range(1, EMA_TERMS + 1)]
+EMA_USERS = 20  # fixture slice (production: all users)
+
+
+@register(
+    "window_ema_decay",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE user_id < {EMA_USERS}
+)
+SELECT user_id, event_id, ts_us,
+       CAST(cents AS DOUBLE) / 100.0 AS value,
+       ({
+        " + ".join(
+            f"COALESCE(lag(cents, {k}) OVER w, 0) * {w!r}"
+            for k, w in enumerate(_EMA_WEIGHTS)
+        )
+       }) / 100.0 AS ema_value
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, ts_us, event_id
+""",
+    tags=("window", "ema", "smoothing"),
+)
+def window_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay smoothing of each user's value stream: a
+    truncated EMA with α = 1/2 over the last {EMA_TERMS} observations
+    (weights 2^-1 … 2^-{EMA_TERMS}). All {EMA_TERMS} lags ride ONE
+    window — one shuffle on user_id, the same exchange the output
+    ordering uses.
+
+    Bit-exact cross-engine BY CONSTRUCTION, despite being a float
+    result: each term is (integer cents) × (negative power of two) — an
+    exactly representable double — and the sum of {EMA_TERMS} such terms
+    is below 2^53, so IEEE addition is exact in ANY order. This is why
+    the weights are powers of two rather than the usual 0.9^k: a
+    truncated decay window becomes reproducible across engines, runs,
+    and partitionings with no tolerance needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = ev.where(F.col("user_id") < EMA_USERS).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    ema = None
+    for k, wt in enumerate(_EMA_WEIGHTS):
+        term = F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(wt)
+        ema = term if ema is None else ema + term
+    return t.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+        (ema / F.lit(100.0)).alias("ema_value"),
+    ).orderBy("user_id", "ts_us", "event_id")
