@@ -1549,3 +1549,62 @@ def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+TRIGRAM_TOP = 25  # most frequent event-type trigrams emitted
+
+
+@register(
+    "events_sequence_trigrams",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events
+),
+tri AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT user_id) AS n_users
+FROM tri
+WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_occurrences DESC, e1, e2, e3
+LIMIT {TRIGRAM_TOP}
+""",
+    tags=("behavioral", "sequence", "ngram"),
+)
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, n=3: the {TRIGRAM_TOP} most frequent
+    event-type trigrams across user timelines (with how many distinct
+    users produce each) — the order-sensitive extension of
+    ``events_markov_transitions``' bigram matrix, and the raw material
+    for next-action models and funnel discovery. Two leads on ONE
+    user_id exchange build every trigram in place (no self-joins — the
+    classic SQL n-gram formulation needs n-1 self-joins; lead() needs
+    none); the aggregation output is bounded by |event_type|³, not by
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(TRIGRAM_TOP)
+    )

@@ -593,3 +593,78 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         unpivot(d_agg, [("documents.n_chars_matches_text", "v_chars")])
     )
     return out.orderBy("check_name")
+
+
+@register(
+    "dq_join_key_skew",
+    oracle="""
+WITH g1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY k),
+g2 AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY k),
+g3 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY k),
+g4 AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY k),
+g5 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY k)
+SELECT 'lineitem.l_orderkey' AS key_column,
+       CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+       MAX(c) AS max_per_key,
+       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_ratio
+FROM g1
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(SUM(c) AS BIGINT), COUNT(*), MAX(c),
+       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) FROM g2
+UNION ALL
+SELECT 'lineitem.l_suppkey', CAST(SUM(c) AS BIGINT), COUNT(*), MAX(c),
+       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) FROM g3
+UNION ALL
+SELECT 'orders.o_custkey', CAST(SUM(c) AS BIGINT), COUNT(*), MAX(c),
+       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) FROM g4
+UNION ALL
+SELECT 'events.user_id', CAST(SUM(c) AS BIGINT), COUNT(*), MAX(c),
+       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) FROM g5
+ORDER BY key_column
+""",
+    tags=("profiling", "skew", "diagnostics"),
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: for each frequently-joined key column,
+    row count, distinct-key count, the heaviest key's row count, and
+    the skew ratio max·keys/rows (1.0 = perfectly uniform; ≫1 = a hot
+    key that will straggle a shuffle join or window) — the diagnostic
+    that decides WHERE salting (``join_salted_skew``) or bucketed
+    windows (``events_sessionize_skew``) are worth their cost, run
+    BEFORE the expensive job rather than discovered from its straggler.
+    Per column: one column-pruned scan → per-key counts (map-side
+    combined) → a 1-row summary; the per-key intermediate never leaves
+    the executors. Exact integers; the ratio is one IEEE division of
+    exact operands."""
+    specs = [
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]
+    out = None
+    for table, col in specs:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(col).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        summary = per_key.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_per_key"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("key_column"),
+            "n_rows",
+            "n_keys",
+            "max_per_key",
+            (
+                F.col("max_per_key").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+            ).alias("skew_ratio"),
+        )
+        out = summary if out is None else out.unionAll(summary)
+    return out.orderBy("key_column")

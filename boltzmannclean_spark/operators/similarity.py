@@ -374,6 +374,24 @@ def _int_dist(a, b):
     )
 
 
+def _int_dist_unrolled(a, b, dims: int):
+    """Exact squared-L2 as a fixed sum of ``dims`` element terms —
+    identical result to ``_int_dist`` (integer adds commute), but plain
+    whole-stage-codegen arithmetic instead of per-row higher-order
+    lambda evaluation. Use for SMALL fixed dims in hot inner loops
+    (the PQ sub-vector distance is evaluated corpus × PQ_K times per
+    Lloyd round; the HOF form was the measured bottleneck)."""
+    terms = [
+        (F.element_at(a, d) - F.element_at(b, d))
+        * (F.element_at(a, d) - F.element_at(b, d))
+        for d in range(1, dims + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _kmeans_cells(n: DataFrame) -> DataFrame:
     """Train the IVF coarse quantizer and return final cell assignments.
 
@@ -1113,6 +1131,11 @@ def _pq_train(sub: DataFrame) -> DataFrame:
         F.col("vec_id").alias("cid"), "b", F.col("qsub").alias("cvec")
     )
     for _ in range(PQ_ITERS):
+        # Unrolled 8-term distance (pure codegen arithmetic — the HOF
+        # form was the measured hot spot at corpus×PQ_K evals/round) and
+        # a (vec_id, b) group key: it already identifies qsub, so the
+        # array never enters the aggregation hash; min_by carries the
+        # sub-vector out instead (same value on every row of a group).
         assigned = (
             sub.join(F.broadcast(cent), "b")
             .select(
@@ -1120,10 +1143,15 @@ def _pq_train(sub: DataFrame) -> DataFrame:
                 "b",
                 "qsub",
                 "cid",
-                _int_dist(F.col("qsub"), F.col("cvec")).alias("dist"),
+                _int_dist_unrolled(
+                    F.col("qsub"), F.col("cvec"), PQ_DSUB
+                ).alias("dist"),
             )
-            .groupBy("vec_id", "b", "qsub")
-            .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+            .groupBy("vec_id", "b")
+            .agg(
+                F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+                F.min_by("qsub", F.struct("dist", "cid")).alias("qsub"),
+            )
         )
         cent = (
             assigned.select("b", "cid", F.posexplode("qsub").alias("d", "qx"))
@@ -1162,14 +1190,22 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
     sub = _pq_subvectors(n).localCheckpoint()
-    cent = _pq_train(sub)
+    # Cache the trained codebook: it is PQ_M×PQ_K rows, but its LINEAGE
+    # is PQ_ITERS shuffle rounds over the corpus — the codes and LUT
+    # branches below would each re-run the whole training otherwise
+    # (Spark does not share common subplans across join branches). A
+    # lazy cache() dedupes the branches without the extra serial job a
+    # localCheckpoint would force per call.
+    cent = _pq_train(sub).cache()
     dists = (
         sub.join(F.broadcast(cent), "b")
         .select(
             "vec_id",
             "b",
             "cid",
-            _int_dist(F.col("qsub"), F.col("cvec")).alias("dist"),
+            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
+                "dist"
+            ),
         )
     )
     codes = dists.groupBy("vec_id", "b").agg(
@@ -1299,18 +1335,22 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double("embedding").alias("e"),
         _qvec(F.col("embedding")).alias("qvec"),
     ).withColumn("nrm", norm(F.col("e")))
+    # Cache the cell assignment and the trained codebook: each is
+    # consumed by TWO join branches below, and their lineages are full
+    # k-means / Lloyd trainings that Spark would otherwise re-run per
+    # branch (lazy cache() over localCheckpoint: no extra serial job).
     cells = _kmeans_cells(n_full).select(
         "vec_id", F.col("cid").alias("cell")
-    )
+    ).cache()
     sub = _pq_subvectors(
         emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
     ).localCheckpoint()
-    cent = _pq_train(sub)
+    cent = _pq_train(sub).cache()
     dists = sub.join(F.broadcast(cent), "b").select(
         "vec_id",
         "b",
         "cid",
-        _int_dist(F.col("qsub"), F.col("cvec")).alias("dist"),
+        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias("dist"),
     )
     codes = dists.groupBy("vec_id", "b").agg(
         F.min_by("cid", F.struct("dist", "cid")).alias("cid")

@@ -1615,3 +1615,163 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to syntax Java regex and RE2
+# interpret identically (no lookahead/lookbehind, no unicode classes):
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run, or a residual space run.
+BPE_SPLIT_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@register(
+    "text_bpe_regex_tokens",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{BPE_SPLIT_RE}') AS toks,
+         n_chars
+  FROM documents
+)
+SELECT doc_id,
+       LEN(toks) AS n_bpe_tokens,
+       LEN(list_filter(toks, x -> regexp_matches(x, '^ ?[a-z]')))
+         AS n_word_tokens,
+       LEN(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]')))
+         AS n_num_tokens,
+       CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS chars4_estimate
+FROM t
+ORDER BY doc_id
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape:
+    space-prefixed letter/digit/punctuation runs) via one
+    ``regexp_extract_all`` per document — the realistic token counter
+    for training-budget accounting, next to ``text_token_stats``'s
+    chars/4 heuristic (emitted alongside for calibration). The regex is
+    deliberately limited to syntax Java regex (Spark) and RE2 (DuckDB)
+    interpret identically — no lookahead, which real GPT-2 contraction
+    rules use and RE2 rejects. Per-row array ops only; zero shuffle
+    before the output sort; linear in corpus bytes at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_bpe_tokens"),
+            F.size(
+                F.filter(toks, lambda x: x.rlike("^ ?[a-z]"))
+            ).alias("n_word_tokens"),
+            F.size(
+                F.filter(toks, lambda x: x.rlike("^ ?[0-9]"))
+            ).alias("n_num_tokens"),
+            F.ceil(F.col("n_chars").cast("double") / 4).alias(
+                "chars4_estimate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ZIPF_TOP = 100  # highest-frequency terms emitted
+
+
+@register(
+    "text_zipf_rank",
+    oracle=f"""
+WITH tf AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents) x
+  GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM tf),
+ranked AS (
+  SELECT tok, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM tf
+)
+SELECT rank, tok, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY rank
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+       tot.total_tokens
+FROM ranked CROSS JOIN tot
+WHERE rank <= {ZIPF_TOP}
+ORDER BY rank
+""",
+    tags=("text", "zipf", "frequency"),
+)
+def text_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-rank curve: the top-{ZIPF_TOP} terms with rank,
+    count, cumulative count and the corpus total — the companion
+    diagnostic to ``text_heaps_law`` (rank-frequency tail shape decides
+    vocabulary truncation and stopword cutoffs for a tokenizer build).
+    One term aggregation (shuffle = distinct-term volume); the ranking
+    window runs over the aggregated TERM table, not corpus rows, and
+    the top-{ZIPF_TOP} slice bounds both the window's driver-side cost
+    and the output. Integer counts only — no float anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = tf.agg(F.sum("cnt").alias("total_tokens"))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = tf.select(
+        "tok", "cnt", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= ZIPF_TOP)
+    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.withColumn("cum_cnt", F.sum("cnt").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select("rank", "tok", "cnt", "cum_cnt", "total_tokens")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+           / LEN(toks) AS r
+  FROM t
+)
+SELECT lang AS labeled_lang,
+       CASE WHEN r >= 0.05 THEN 'en' ELSE 'und' END AS guessed_lang,
+       COUNT(*) AS n_docs
+FROM m
+GROUP BY labeled_lang, guessed_lang
+ORDER BY labeled_lang, guessed_lang
+""",
+    tags=("text", "langid", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-ratio classifier from
+    ``text_langid`` aggregated against the labeled language — the
+    eval-harness view (per-class precision/recall read straight off the
+    cells) that decides whether a cheap classifier is good enough to
+    gate a 100 TB ingest. Per-doc featurize+classify is row-local; the
+    only shuffle carries (label, guess) pairs into a ≤|langs|² cell
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    r = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast(
+        "double"
+    ) / F.size(toks)
+    guessed = F.when(r >= 0.05, "en").otherwise("und")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            guessed.alias("guessed_lang"),
+        )
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "guessed_lang")
+    )
