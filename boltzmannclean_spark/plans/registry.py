@@ -76,61 +76,61 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
-    # -- round-2 red, fixed this round (array output rendered as CSV) --
-    "multimodal_features",
-    # -- plan or oracle changed this round: need fresh harness rows --
-    "similarity_cosine_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_nprobe",
-    "embedding_nearest_centroid",
-    "impute_knn_embedding",
-    "func_regexp",
-    "subquery_scalar_agg",
-    "text_decontaminate",
-    "text_char_ngram_langid",
-    # -- never harness-verified (r1∪r2 sampled 92 of 187); first 39 of
-    #    the remaining 95 in registry order — the other 50 are round 4's
-    #    window, exactly filling it --
-    "dedup_connected_components",
-    "window_time_range",
-    "events_funnel",
-    "agg_histogram_fixed",
-    "func_bitwise",
-    "func_variant",
-    "subquery_lateral",
-    "asof_tolerance",
-    "func_try_safe",
-    "sink_upsert_merge",
-    "pipeline_clean_corpus",
-    "func_map_higher_order",
-    "stream_foreach_batch_sink",
-    "func_generators",
-    "subquery_recursive_cte",
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "relational_transpose",
-    "join_null_safe",
-    "join_existence_in",
-    "subquery_exists",
-    "join_volume_shipping",
-    "join_basket_affinity",
-    "agg_boolean_countif",
-    "ml_linreg_sufficient_stats",
-    "agg_percentile_disc",
-    "agg_listagg",
-    "agg_weighted_avg",
-    "window_ignore_nulls",
-    "window_value_range",
-    "window_running_drawdown",
-    "setop_symmetric_difference",
-    "func_encoding",
-    "func_collation",
-    "func_datetime_make",
-    "func_url_parse",
-    "asof_forward_next_click",
-    "asof_nearest_click",
-    "events_sessionize",
+    # -- round-5 rotation: plans changed this round (re-verify) --
+    "dedup_embedding_cosine",
+    "similarity_ann_pq_adc",
+    "similarity_ann_ivfpq",
+    # -- never harness-verified (104 remain after r1-r4 sampled 137 of
+    #    241); the next 47 in registry order, exactly filling the
+    #    driver's 50-query window. Round-5's new text_*/dedup_* entries
+    #    past slot 50 roll into the round-6 rotation. --
+    "relational_skyline",
+    "sample_bottomk_mergeable",
+    "sample_group_kfold",
+    "join_bloom_semireduction",
+    "join_bucketed_colocated",
+    "agg_corr_matrix",
+    "agg_countmin_heavy_hitters",
+    "agg_hll_mergeable_rollup",
+    "agg_mode_deterministic",
+    "agg_quantile_mergeable",
+    "agg_histogram_equidepth",
+    "window_ema_decay",
+    "ts_time_weighted_avg",
+    "ts_ohlc_bars",
+    "ts_linear_interpolate",
+    "events_retention_cohort",
+    "scd2_order_status_history",
+    "window_session_batch",
+    "events_markov_transitions",
+    "events_rfm_segmentation",
+    "orders_abc_pareto",
+    "intervals_merge_overlapping",
+    "events_rolling_wau",
+    "events_attribution_linear",
+    "events_cumulative_reach",
+    "events_path_analysis",
+    "events_time_to_convert",
+    "events_dau_mau_stickiness",
+    "events_funnel_ordered",
+    "orders_rank_shift",
+    "events_bounce_rate",
+    "events_sessionize_skew",
+    "events_pattern_vshape",
+    "events_cusum_alarm",
+    "join_pit_scd2",
+    "sessions_overlap_pairs",
+    "events_sequence_trigrams",
+    "agg_profile_columns",
+    "events_zscore_outliers",
+    "stats_chi_square",
+    "agg_entropy",
+    "events_anomaly_iqr",
+    "events_mad_outliers",
+    "dq_referential_integrity",
+    "dq_constraint_violations",
+    "dq_join_key_skew",
+    "graph_pagerank_bipartite",
 )
 
 
