@@ -386,3 +386,91 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("t_us").alias("hour_us"), interp.alias("interp_value"))
         .orderBy("user_id", "hour_us")
     )
+
+
+@register(
+    "ts_cascaded_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents,
+         MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY d, h
+),
+daily_cascade AS (
+  SELECT d, CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+         MIN(lo) AS min_value, MAX(hi) AS max_value
+  FROM hourly GROUP BY d
+),
+daily_direct AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents
+  FROM events GROUP BY d
+)
+SELECT epoch_us(c.d) AS day_us, c.n_events,
+       CAST(c.sum_cents AS DOUBLE) / 100.0 AS sum_value,
+       CAST(c.sum_cents AS DOUBLE) / 100.0 / c.n_events AS avg_value,
+       c.min_value, c.max_value,
+       (c.n_events = dd.n AND c.sum_cents = dd.sum_cents) AS cascade_ok
+FROM daily_cascade c JOIN daily_direct dd ON c.d = dd.d
+ORDER BY day_us
+""",
+    tags=("timeseries", "rollup", "mergeable"),
+)
+def ts_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded continuous aggregate (the TimescaleDB/Druid rollup
+    contract): daily bars built FROM the hourly bars, not from raw rows
+    — and proven equal to the direct daily aggregation in-query
+    (``cascade_ok``). This is the property that lets a 100 TB pipeline
+    keep only hour-grain aggregates and serve every coarser grain by
+    re-aggregation: counts/sums/min/max merge exactly (integer cents —
+    float sums would NOT re-aggregate bit-identically), and avg must be
+    derived from merged (sum, count), never averaged-of-averages. The
+    cascade is two hash aggregations where the second input is
+    |hours| rows; the direct-daily audit branch shares the raw scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("d", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    cascade = hourly.groupBy("d").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("lo").alias("min_value"),
+        F.max("hi").alias("max_value"),
+    )
+    direct = ev.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("cents").alias("sum_cents_d"),
+    )
+    return (
+        cascade.join(direct, "d")
+        .select(
+            F.unix_micros("d").alias("day_us"),
+            "n_events",
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+            (
+                F.col("sum_cents").cast("double")
+                / F.lit(100.0)
+                / F.col("n_events")
+            ).alias("avg_value"),
+            "min_value",
+            "max_value",
+            (
+                (F.col("n_events") == F.col("n_d"))
+                & (F.col("sum_cents") == F.col("sum_cents_d"))
+            ).alias("cascade_ok"),
+        )
+        .orderBy("day_us")
+    )

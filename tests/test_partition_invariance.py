@@ -34,6 +34,17 @@ INVARIANT_QUERIES = (
     "pairs_negative_sampling",
     "sample_train_test_split",
     "dedup_segments_exact",
+    # round-5 exact-arithmetic additions: power-of-two EMA weights,
+    # disjoint-interval PIT match, binned-overlap dedup+verify, md5
+    # fold buckets, ntile with a total per-group order, conditional
+    # per-term sums in fixed addition order.
+    "window_ema_decay",
+    "join_pit_scd2",
+    "sessions_overlap_pairs",
+    "sample_group_kfold",
+    "agg_histogram_equidepth",
+    "text_bm25_topk",
+    "dq_join_key_skew",
 )
 
 

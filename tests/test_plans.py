@@ -362,3 +362,57 @@ def test_corr_matrix_no_shuffle(spark, sf_dir):
     exchange at all (partial aggregates feed one SinglePartition merge)."""
     plan = _plan(QUERIES["agg_corr_matrix"].spark_fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_overlap_join_is_binned_not_cartesian(spark, sf_dir):
+    # The interval-overlap join must be an equi-join on the time bin —
+    # never a cartesian/nested-loop product of sessions with sessions.
+    df = QUERIES["sessions_overlap_pairs"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    # The query-term filter must land below the tf aggregation so only
+    # query-term postings shuffle, not the whole token stream.
+    df = QUERIES["text_bm25_topk"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.rfind("Filter")  # deepest filter in the printed tree
+    assert agg_pos != -1 and filt_pos != -1, plan
+    assert filt_pos > agg_pos, (
+        "term filter is not below the tf aggregation:\n" + plan
+    )
+
+
+def test_referential_integrity_uses_broadcast_anti_joins(spark, sf_dir):
+    # Orphan detection must be anti joins with the (small) parent side
+    # broadcast — a shuffle anti join against a dimension would move the
+    # full fact table for nothing.
+    df = QUERIES["dq_referential_integrity"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_constraint_audit_scans_each_table_once(spark, sf_dir):
+    # One conditional-aggregation scan per table: 4 tables => exactly 4
+    # parquet scans in the plan.
+    df = QUERIES["dq_constraint_violations"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 4, plan
+
+
+def test_pit_scd2_join_is_keyed_not_range_only(spark, sf_dir):
+    # The interval containment must ride an equi-join on custkey (the
+    # residual range predicate filters in place); a pure range join
+    # would be a per-key cross product at scale.
+    df = QUERIES["join_pit_scd2"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
