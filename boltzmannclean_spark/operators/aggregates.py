@@ -1208,3 +1208,94 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "bucket")
     )
+
+
+@register(
+    "agg_cms_join_size_estimate",
+    oracle=f"""
+WITH keys AS (
+  SELECT l_partkey AS key FROM lineitem
+),
+hashed AS (
+  SELECT key, CAST(UNNEST(range(0, {CMS_K})) AS INTEGER) AS k FROM keys
+),
+cells AS (
+  SELECT k,
+         ('0x' || substring(md5(k::VARCHAR || ':' || key::VARCHAR), 1, 8))::BIGINT
+           % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM hashed GROUP BY k, bucket
+),
+est AS (
+  SELECT MIN(row_est) AS est_join_size FROM (
+    SELECT k, CAST(SUM(cnt * cnt) AS BIGINT) AS row_est
+    FROM cells GROUP BY k
+  )
+),
+exact AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_join_size FROM (
+    SELECT key, COUNT(*) AS c FROM keys GROUP BY key
+  )
+)
+SELECT exact.exact_join_size, est.est_join_size,
+       CAST(est.est_join_size AS DOUBLE) / exact.exact_join_size
+         AS overestimate_ratio
+FROM exact CROSS JOIN est
+""",
+    tags=("aggregate", "sketch", "cardinality"),
+)
+def agg_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches (Cormode &
+    Muthukrishnan's inner-product estimator): the predicted row count of
+    the lineitem self-equi-join on l_partkey is min over hash rows of
+    Σ_bucket cms[b]² — computed from the 8 KB sketch alone, never from
+    the data — compared in-query against the exact Σ c_key². This is
+    the cost-model primitive a distributed optimizer uses to pick join
+    order / strategy BEFORE launching a 100 TB shuffle; the estimator
+    only ever over-counts (hash collisions add cross terms), so
+    overestimate_ratio ≥ 1 by construction. One scan builds the sketch
+    (same md5 hash family as ``agg_countmin_heavy_hitters``, mergeable
+    by elementwise +); everything downstream is sketch-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    hashed = li.select(
+        "key",
+        F.explode(F.array(*[F.lit(k) for k in range(CMS_K)])).alias("k"),
+    )
+    cells = hashed.select(
+        "k",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("k").cast("string"), F.col("key").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_W),
+        ).alias("bucket"),
+    ).groupBy("k", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    est = (
+        cells.groupBy("k")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("row_est"))
+        .agg(F.min("row_est").alias("est_join_size"))
+    )
+    exact = (
+        li.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "est_join_size",
+        (
+            F.col("est_join_size").cast("double") / F.col("exact_join_size")
+        ).alias("overestimate_ratio"),
+    )

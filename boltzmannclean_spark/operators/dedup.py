@@ -1428,3 +1428,129 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .orderBy("keep_doc_id")
     )
+
+
+PF_THRESHOLD_NUM = 4  # Jaccard >= 4/5 (0.8), tested as 5*|∩| >= 4*|∪|
+PF_THRESHOLD_DEN = 5
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+ranked AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY df.df, t.tok) AS pos,
+         s.n
+  FROM toks t JOIN df ON t.tok = df.tok JOIN sizes s ON s.doc_id = t.doc_id
+),
+prefix AS (
+  SELECT doc_id, tok FROM ranked
+  WHERE pos <= n - (({PF_THRESHOLD_NUM} * n + {PF_THRESHOLD_NUM}) // {PF_THRESHOLD_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_int,
+       CAST(i.n_int AS DOUBLE)
+         / CAST(sa.n + sb.n - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE {PF_THRESHOLD_DEN} * i.n_int
+        >= {PF_THRESHOLD_NUM} * (sa.n + sb.n - i.n_int)
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (Jaccard ≥ 0.8) via PREFIX FILTERING —
+    the PPJoin/AllPairs family (Xiao et al., WWW'08), the third
+    near-dup technique next to MinHash (probabilistic) and SimHash
+    (bitwise): order each doc's token set by ascending global frequency
+    (rarest first) and index only its PREFIX of n − ⌈θ·n⌉ + 1 tokens;
+    two sets can reach Jaccard θ only if their prefixes share a token,
+    so the candidate join is an EQUI-join on prefix tokens — dominated
+    by RARE tokens (a stopword is never in a prefix at realistic θ),
+    which is exactly what kills the quadratic hot-token blowup a plain
+    token join has. Candidates then verify by counting true
+    intersections via two doc-keyed joins (PPJoin's verify phase;
+    fan-out bounded by doc length), and the θ test is integer
+    cross-multiplication — no float threshold. Guarantees 100% recall
+    at the threshold, unlike LSH banding. Ceil is the integer identity
+    (4n+4)//5 in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(F.broadcast(df), "tok")
+        .join(sizes, "doc_id")
+        .select("doc_id", "tok", "n", F.row_number().over(w).alias("pos"))
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(
+            f"({PF_THRESHOLD_NUM} * n + {PF_THRESHOLD_NUM}) div {PF_THRESHOLD_DEN}"
+        )
+        + 1
+    ).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("db"))
+            & (F.col("tok_b") == F.col("tok_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(PF_THRESHOLD_DEN) * F.col("n_int")
+            >= F.lit(PF_THRESHOLD_NUM)
+            * (F.col("na") + F.col("nb") - F.col("n_int"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_int",
+            (
+                F.col("n_int").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_int")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -328,3 +328,82 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges").cast("double")
         ).alias("clustering_coeff"),
     )
+
+
+BFS_START = 2  # node id of customer 1 (customers are even: 2*custkey)
+BFS_MAX_LEVEL = 3
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
+),
+walk(node, lvl) AS (
+  SELECT CAST({BFS_START} AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lvl < {BFS_MAX_LEVEL}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+            ELSE 's:' || CAST(node // 2 AS VARCHAR) END AS node,
+       CAST(MIN(lvl) AS BIGINT) AS level
+FROM walk
+GROUP BY node
+ORDER BY level, node
+"""
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=_bfs_oracle(),
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search from customer 1 over the customer↔supplier
+    graph, {BFS_MAX_LEVEL} hops: each node's minimum distance from the
+    source — the reachability/neighborhood primitive behind fraud-ring
+    expansion and supply-chain blast-radius queries. The frontier loop
+    is the canonical distributed BFS: per level, ONE equi-join of the
+    (small) frontier against the cached edge list + one anti-join
+    against the visited set, both keyed on node id — never a full
+    transitive closure. The frontier is distributed (it can be
+    graph-sized on small-world graphs — level 2 here already reaches
+    most nodes — so it is never broadcast, per the PageRank rule);
+    visited is localCheckpoint'ed per level so the lineage stays one
+    level deep. Levels are exact integers; the oracle's recursive CTE
+    computes the identical min-level closure."""
+    ed, _, _ = _pagerank_state(spark, sf_dir)
+    edges = ed.select("src", "dst")
+    visited = (
+        spark.range(1)
+        .select(
+            F.lit(BFS_START).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("level"),
+        )
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(visited, "node", "left_anti").select(
+            "node", F.lit(lvl).cast("long").alias("level")
+        )
+        visited = visited.unionAll(new).localCheckpoint()
+        frontier = visited.where(F.col("level") == lvl).select("node")
+    return visited.selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node div 2 AS STRING)"
+        " ELSE 's:' || CAST(node div 2 AS STRING) END AS node",
+        "level",
+    ).orderBy("level", "node")
