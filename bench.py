@@ -55,6 +55,11 @@ HEADLINE = CORE9 + [
     # round-5: skew-resistant windowed family + PQ compression leg
     "events_sessionize_skew",
     "similarity_ann_pq_adc",
+    # round-5 session additions: exact set-similarity join, keyword
+    # search, and the mergeable-rollup contract
+    "dedup_prefix_filter_jaccard",
+    "text_bm25_topk",
+    "ts_cascaded_rollup",
 ]
 
 

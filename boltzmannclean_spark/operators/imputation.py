@@ -304,3 +304,93 @@ def impute_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "impute_hotdeck",
+    oracle="""
+WITH holed AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_acctbal END AS acctbal,
+         c_acctbal AS truth
+  FROM customer
+),
+filled AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, acctbal, truth,
+         COALESCE(acctbal,
+                  LAST_VALUE(acctbal IGNORE NULLS) OVER (
+                    PARTITION BY c_nationkey, c_mktsegment
+                    ORDER BY c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS donor_fill
+  FROM holed
+)
+SELECT c_custkey, c_nationkey, c_mktsegment,
+       donor_fill AS c_acctbal_filled,
+       (acctbal IS NULL)                          AS was_null,
+       (acctbal IS NULL AND donor_fill IS NULL)   AS still_null,
+       CASE WHEN acctbal IS NULL AND donor_fill IS NOT NULL
+            THEN CAST(CAST(ABS(CAST(donor_fill AS DECIMAL(12,2))
+                               - CAST(truth AS DECIMAL(12,2)))
+                           AS DECIMAL(12,2)) AS DOUBLE) END AS abs_error
+FROM filled
+ORDER BY c_custkey
+""",
+    tags=("imputation", "hotdeck"),
+)
+def impute_hotdeck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential hot-deck imputation (the survey-statistics classic,
+    and boltzmannclean's conceptual neighbor: fill from a REAL donor
+    record rather than a model): a null c_acctbal takes the value of
+    the nearest preceding donor within its (nation, market-segment)
+    stratum, in deterministic c_custkey order — so fills are always
+    actually-observed values, preserve the stratum's distribution, and
+    are reproducible across engines (no RNG donor draw). One window
+    over ONE (nationkey, mktsegment) exchange; per-cell absolute error
+    against the pre-masking truth is emitted for the held-out
+    self-evaluation, exact-decimal so the comparison needs no
+    tolerance. Rows whose stratum has no preceding donor stay null and
+    are flagged (`still_null`) — the honest residual a production
+    pipeline routes to the model-based imputers."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "customer")
+    holed = base.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 3, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.col("c_acctbal").alias("truth"),
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = holed.withColumn(
+        "donor_fill",
+        F.coalesce("acctbal", F.last("acctbal", ignorenulls=True).over(w)),
+    )
+    err = (
+        F.abs(
+            F.col("donor_fill").cast("decimal(12,2)")
+            - F.col("truth").cast("decimal(12,2)")
+        )
+        .cast("decimal(12,2)")
+        .cast("double")
+    )
+    return filled.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("donor_fill").alias("c_acctbal_filled"),
+        F.col("acctbal").isNull().alias("was_null"),
+        (F.col("acctbal").isNull() & F.col("donor_fill").isNull()).alias(
+            "still_null"
+        ),
+        F.when(
+            F.col("acctbal").isNull() & F.col("donor_fill").isNotNull(), err
+        ).alias("abs_error"),
+    ).orderBy("c_custkey")

@@ -45,6 +45,11 @@ DEFAULT_QUERIES = [
     "events_sessionize_skew",
     "dedup_embedding_cosine",
     "graph_pagerank_bipartite",
+    # round-5 session: prefix-filtered exact similarity join and the
+    # binned interval-overlap join — the two new candidate-generation
+    # shapes whose scaling behavior a 10x probe can actually stress
+    "dedup_prefix_filter_jaccard",
+    "sessions_overlap_pairs",
 ]
 
 # (table, key columns to offset per copy) — facts grow, dims stay.
