@@ -1438,31 +1438,41 @@ PF_THRESHOLD_DEN = 5
     "dedup_prefix_filter_jaccard",
     oracle=f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+grams AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS sh
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+df AS (SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh),
 ranked AS (
-  SELECT t.doc_id, t.tok,
-         ROW_NUMBER() OVER (PARTITION BY t.doc_id
-                            ORDER BY df.df, t.tok) AS pos,
+  SELECT g.doc_id, g.sh,
+         ROW_NUMBER() OVER (PARTITION BY g.doc_id
+                            ORDER BY df.df, g.sh) AS pos,
          s.n
-  FROM toks t JOIN df ON t.tok = df.tok JOIN sizes s ON s.doc_id = t.doc_id
+  FROM grams g JOIN df ON g.sh = df.sh JOIN sizes s ON s.doc_id = g.doc_id
 ),
 prefix AS (
-  SELECT doc_id, tok FROM ranked
+  SELECT doc_id, sh, n FROM ranked
   WHERE pos <= n - (({PF_THRESHOLD_NUM} * n + {PF_THRESHOLD_NUM}) // {PF_THRESHOLD_DEN}) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND {PF_THRESHOLD_DEN} * LEAST(a.n, b.n)
+         >= {PF_THRESHOLD_NUM} * GREATEST(a.n, b.n)
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
   FROM cand c
-  JOIN toks ta ON ta.doc_id = c.doc_a
-  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  JOIN grams ta ON ta.doc_id = c.doc_a
+  JOIN grams tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, i.n_int,
@@ -1478,32 +1488,51 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "jaccard", "prefix-filter"),
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity join (Jaccard ≥ 0.8) via PREFIX FILTERING —
+    """EXACT set-similarity join (Jaccard >= 0.8) via PREFIX FILTERING —
     the PPJoin/AllPairs family (Xiao et al., WWW'08), the third
     near-dup technique next to MinHash (probabilistic) and SimHash
-    (bitwise): order each doc's token set by ascending global frequency
-    (rarest first) and index only its PREFIX of n − ⌈θ·n⌉ + 1 tokens;
-    two sets can reach Jaccard θ only if their prefixes share a token,
-    so the candidate join is an EQUI-join on prefix tokens — dominated
-    by RARE tokens (a stopword is never in a prefix at realistic θ),
-    which is exactly what kills the quadratic hot-token blowup a plain
-    token join has. Candidates then verify by counting true
-    intersections via two doc-keyed joins (PPJoin's verify phase;
-    fan-out bounded by doc length), and the θ test is integer
-    cross-multiplication — no float threshold. Guarantees 100% recall
-    at the threshold, unlike LSH banding. Ceil is the integer identity
-    (4n+4)//5 in both engines."""
+    (bitwise). The similarity universe is BIGRAM SHINGLES (as in
+    dedup_ngram_jaccard), not unigrams: prefix filtering prunes by
+    indexing each set's n − ⌈θ·n⌉ + 1 RAREST elements, and its power is
+    entirely in element-frequency spread — this corpus's ~60-word
+    synthetic unigram vocabulary makes every unigram stopword-frequent
+    (a first cut over unigrams measured 131s at sf0.1, quadratic in
+    practice), while the ~vocab² shingle space restores the Zipfian
+    spread the technique assumes. Two sets can reach Jaccard θ only if
+    their prefixes share a shingle, so candidates come from an
+    EQUI-join on prefix shingles, pruned further by PPJoin's length
+    filter (θ·max(n_a,n_b) ≤ min — integer cross-mult on the join
+    condition); hot shingles are never in a prefix at realistic θ.
+    Verification counts true intersections via two doc-keyed joins
+    (fan-out bounded by doc length); the θ test is integer
+    cross-multiplication. Unlike LSH banding this guarantees 100%
+    recall at the threshold (property-tested against brute force in
+    tests/test_prefix_filter_property.py); ceil is the integer
+    identity (4n+4)//5 in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tk.withColumn("nxt", F.lead("tok", 1).over(wdoc))
+        .withColumn("nxt2", F.lead("tok", 2).over(wdoc))
+        .where(F.col("nxt2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("tok"), F.col("nxt"), F.col("nxt2")
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
     ranked = (
-        toks.join(F.broadcast(df), "tok")
+        grams.join(df, "sh")
         .join(sizes, "doc_id")
-        .select("doc_id", "tok", "n", F.row_number().over(w).alias("pos"))
+        .select("doc_id", "sh", "n", F.row_number().over(w).alias("pos"))
     )
     prefix = ranked.where(
         F.col("pos")
@@ -1512,23 +1541,36 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({PF_THRESHOLD_NUM} * n + {PF_THRESHOLD_NUM}) div {PF_THRESHOLD_DEN}"
         )
         + 1
-    ).select("doc_id", "tok")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    ).select("doc_id", "sh", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na_p")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("nb_p"),
+    )
     cand = (
-        a.join(b, "tok")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            b,
+            (F.col("sh") == F.col("sh_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(PF_THRESHOLD_DEN) * F.least("na_p", "nb_p")
+                >= F.lit(PF_THRESHOLD_NUM) * F.greatest("na_p", "nb_p")
+            ),
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    tb = toks.select(F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"))
+    ta = grams.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = grams.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_v"))
     inter = (
         cand.join(ta, "doc_a")
         .join(
             tb,
             (F.col("doc_b") == F.col("db"))
-            & (F.col("tok_b") == F.col("tok_a")),
+            & (F.col("sh_v") == F.col("sh_a")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_int"))
