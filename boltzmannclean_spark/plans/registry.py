@@ -37,6 +37,7 @@ REGISTRY: dict[str, Query] = {}
 _OPERATOR_MODULES = (
     "boltzmannclean_spark.operators.relational",
     "boltzmannclean_spark.operators.joins",
+    "boltzmannclean_spark.operators.tpch",
     "boltzmannclean_spark.operators.aggregates",
     "boltzmannclean_spark.operators.windows",
     "boltzmannclean_spark.operators.setops",
