@@ -1596,3 +1596,82 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_blocked_editdist",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS k, c_name AS nm,
+         substring(c_name, 1, length(c_name) - 2) AS bk1,
+         substring(c_name, 1, length(c_name) - 4)
+           || substring(c_name, length(c_name) - 1, 2) AS bk2
+  FROM customer
+),
+cand AS (
+  SELECT a.k AS ka, b.k AS kb, a.nm AS na, b.nm AS nb
+  FROM c a JOIN c b ON a.bk1 = b.bk1 AND a.k < b.k
+  UNION
+  SELECT a.k, b.k, a.nm, b.nm
+  FROM c a JOIN c b ON a.bk2 = b.bk2 AND a.k < b.k
+)
+SELECT COUNT(*) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN levenshtein(na, nb) <= 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lev1_pairs,
+       CAST(SUM(CASE WHEN levenshtein(na, nb) <= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lev2_pairs
+FROM cand
+""",
+    tags=("dedup", "entity-resolution", "blocking", "editdist"),
+)
+def dedup_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking-key entity resolution: edit-distance record
+    linkage WITHOUT the all-pairs cross join. Two redundant blocking
+    keys — the name minus its last 2 chars, and the name minus the 2
+    chars before those — each feed an equi-join, so a pair survives if
+    the two records agree outside EITHER excision zone (any <=2-char
+    edit confined to one zone is caught; the standard multi-pass answer
+    to single-key blocking's recall holes). Candidates = union-distinct
+    of the two joins; only then does levenshtein run, on candidate
+    pairs, never on the corpus square. Scale: block sizes are bounded
+    by the key design (here <=100 names/block, fixed as N grows — block
+    COUNT grows instead), so candidate volume is linear in N and each
+    block is one hash-join bucket; a hot block is AQE's skew-split
+    problem, not a plan rewrite. The levenshtein verify is JVM
+    codegen (no UDF). Output is the 1-row linkage summary; the pair
+    list itself would be the input to dup-cluster connected components
+    (dedup_connected_components)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("bk1"),
+        F.expr(
+            "substring(c_name, 1, length(c_name) - 4)"
+            " || substring(c_name, length(c_name) - 1, 2)"
+        ).alias("bk2"),
+    )
+    a1 = c.select(
+        F.col("k").alias("ka"), F.col("nm").alias("na"), F.col("bk1").alias("jk")
+    )
+    b1 = c.select(
+        F.col("k").alias("kb"), F.col("nm").alias("nb"), F.col("bk1").alias("jk")
+    )
+    a2 = c.select(
+        F.col("k").alias("ka"), F.col("nm").alias("na"), F.col("bk2").alias("jk")
+    )
+    b2 = c.select(
+        F.col("k").alias("kb"), F.col("nm").alias("nb"), F.col("bk2").alias("jk")
+    )
+    pass1 = a1.join(b1, "jk").where(F.col("ka") < F.col("kb"))
+    pass2 = a2.join(b2, "jk").where(F.col("ka") < F.col("kb"))
+    cand = (
+        pass1.select("ka", "kb", "na", "nb")
+        .union(pass2.select("ka", "kb", "na", "nb"))
+        .distinct()
+    )
+    lev = F.levenshtein(F.col("na"), F.col("nb"))
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(lev <= 1, 1).otherwise(0)).cast("long").alias("n_lev1_pairs"),
+        F.sum(F.when(lev <= 2, 1).otherwise(0)).cast("long").alias("n_lev2_pairs"),
+    )

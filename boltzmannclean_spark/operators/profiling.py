@@ -668,3 +668,94 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = summary if out is None else out.unionAll(summary)
     return out.orderBy("key_column")
+
+
+@register(
+    "stats_ab_test_proportions",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' AND value > 100
+                            THEN 1 ELSE 0 END) >= 3
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant,
+         COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_converted END) AS x0,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_converted END) AS x1
+  FROM arms
+)
+SELECT n0, x0, n1, x1,
+       CAST(x0 AS DOUBLE) / n0 AS p0,
+       CAST(x1 AS DOUBLE) / n1 AS p1,
+       (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+       / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+              * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+              * (1.0 / n0 + 1.0 / n1)) AS z_score
+FROM wide
+""",
+    tags=("stats", "ab-test", "hypothesis"),
+)
+def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a hash-split experiment: variant =
+    user_id % 2, conversion = "user ever purchased". The entire test
+    reduces to four exact integers (n0, x0, n1, x1) produced by two
+    partial-aggregated passes (per-user flag, then per-arm counts);
+    the z statistic is computed from those integers by the IDENTICAL
+    arithmetic expression in both engines — each operand is a single
+    division of exact ints, sqrt is IEEE correctly-rounded, so even
+    the float statistic hash-matches. At 100 TB the per-user
+    aggregation is the only shuffle (user-count-sized); the arms and
+    the final 1-row test are trivial. This is the experimentation
+    readout shape: counts distributed, statistics driver-free."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 100),
+                    1,
+                ).otherwise(0)
+            )
+            >= 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "converted"
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return wide.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        (
+            (p1 - p0)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+        ).alias("z_score"),
+    )

@@ -722,3 +722,126 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+WITH reps AS (SELECT unnest(range(0, 32)) AS r),
+w AS (
+  SELECT r,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         ('0x' || substring(md5(o_orderkey::VARCHAR || ':' || r::VARCHAR),
+                            1, 8))::BIGINT AS h32
+  FROM orders CROSS JOIN reps
+),
+rs AS (
+  SELECT r,
+         CAST(SUM(CAST(CASE
+           WHEN h32 < 1580030168 THEN 0
+           WHEN h32 < 3160060337 THEN 1
+           WHEN h32 < 3950075421 THEN 2
+           WHEN h32 < 4213413783 THEN 3
+           WHEN h32 < 4279248373 THEN 4
+           WHEN h32 < 4292415291 THEN 5
+           ELSE 6 END AS DECIMAL(38,0)) * cents) AS BIGINT) AS boot_total
+  FROM w GROUP BY r
+)
+SELECT (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                             AS BIGINT)) AS BIGINT)
+        FROM orders) AS point_total_cents,
+       quantile_disc(boot_total, 0.05) AS boot_p05_cents,
+       quantile_disc(boot_total, 0.50) AS boot_p50_cents,
+       quantile_disc(boot_total, 0.95) AS boot_p95_cents
+FROM rs
+""",
+    tags=("sample", "bootstrap", "uncertainty"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: a confidence interval for total order value
+    WITHOUT resampling the dataset B times — the only bootstrap that
+    works at 100 TB (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012). Each row gets, per replicate
+    r, a Poisson(1) weight drawn by inverting the CDF on a 32-bit hash
+    of (key, r) — row-local, no RNG state, reproducible at any
+    parallelism. The CDF inversion compares the hash against
+    PRE-SCALED integer thresholds floor(CDF_k·2^32), so membership is
+    pure int64 comparison (no float boundary can disagree between
+    engines). The 32x row expansion is map-side only (explode feeding
+    a partial aggregate in the same stage); what shuffles is 32
+    replicate partial sums per task — at 100 TB this plan moves KB,
+    where a classic resample-B-times bootstrap moves 32x the corpus.
+    Replicate totals accumulate in DECIMAL(38,0); the CI picks actual
+    replicate totals via percentile_disc (no interpolation), so the
+    output is integer cents, bit-equal across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        (dec("o_totalprice", 14, 2) * 100).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+    ).select(
+        "r",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h32"),
+    )
+    weight = (
+        F.when(F.col("h32") < 1580030168, 0)
+        .when(F.col("h32") < 3160060337, 1)
+        .when(F.col("h32") < 3950075421, 2)
+        .when(F.col("h32") < 4213413783, 3)
+        .when(F.col("h32") < 4279248373, 4)
+        .when(F.col("h32") < 4292415291, 5)
+        .otherwise(6)
+    )
+    rs = w.groupBy("r").agg(
+        F.sum(weight.cast("decimal(38,0)") * F.col("cents"))
+        .cast("long")
+        .alias("boot_total")
+    )
+    point = orders.agg(
+        F.sum((dec("o_totalprice", 14, 2) * 100).cast("long").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("point_total_cents")
+    )
+    return (
+        rs.agg(
+            F.expr(
+                "percentile_disc(0.05) WITHIN GROUP (ORDER BY boot_total)"
+            )
+            .cast("long")
+            .alias("boot_p05_cents"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY boot_total)"
+            )
+            .cast("long")
+            .alias("boot_p50_cents"),
+            F.expr(
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY boot_total)"
+            )
+            .cast("long")
+            .alias("boot_p95_cents"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            "point_total_cents",
+            "boot_p05_cents",
+            "boot_p50_cents",
+            "boot_p95_cents",
+        )
+    )

@@ -474,3 +474,75 @@ def ts_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_us")
     )
+
+
+@register(
+    "ts_seasonal_naive_eval",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h_us) AS lo, MAX(h_us) AS hi FROM hourly),
+grid AS (
+  SELECT unnest(range(lo, hi + 1, 3600000000)) AS h_us FROM bounds
+),
+series AS (
+  SELECT g.h_us,
+         CAST(COALESCE(hourly.cents, 0) AS BIGINT) AS actual_cents
+  FROM grid g LEFT JOIN hourly ON g.h_us = hourly.h_us
+),
+fc AS (
+  SELECT h_us, actual_cents,
+         LAG(actual_cents, 24) OVER (ORDER BY h_us) AS forecast_cents
+  FROM series
+)
+SELECT COUNT(*) AS n_eval_hours,
+       CAST(SUM(ABS(actual_cents - forecast_cents)) AS BIGINT)
+         AS sum_abs_err_cents,
+       CAST(SUM(ABS(actual_cents - forecast_cents)) AS DOUBLE) / COUNT(*)
+         AS mae_cents
+FROM fc WHERE forecast_cents IS NOT NULL
+""",
+    tags=("timeseries", "forecast", "evaluation"),
+)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's revenue
+    with the value 24 hours earlier and score MAE — the baseline every
+    fancier forecaster must beat, and the cheapest sanity check on a
+    metrics pipeline. The series is the zero-filled hourly grid
+    (absent hour = 0 revenue — true for an additive metric), built as
+    min/max-bounds 1-row agg -> sequence explode -> left join of the
+    hourly partial aggregate. The lag-24 window is a single global
+    order over the HOUR table, whose size grows with elapsed time, not
+    data volume (8,760 rows/year at any SF) — the same bounded-domain
+    argument as relational_skyline; the per-hour aggregation beneath
+    it is the only data-sized shuffle. Errors stay integer cents; MAE
+    is one division of exact ints."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("h_us")
+    ).agg(
+        F.sum((dec("value") * 100).cast("long")).alias("cents")
+    )
+    bounds = hourly.agg(F.min("h_us").alias("lo"), F.max("h_us").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600000000).cast("long"))
+        ).alias("h_us")
+    )
+    series = grid.join(hourly, "h_us", "left").select(
+        "h_us", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("actual_cents")
+    )
+    w = Window.orderBy("h_us")
+    fc = series.select(
+        "actual_cents",
+        F.lag("actual_cents", 24).over(w).alias("forecast_cents"),
+    ).where(F.col("forecast_cents").isNotNull())
+    err = F.abs(F.col("actual_cents") - F.col("forecast_cents"))
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_eval_hours"),
+        F.sum(err).cast("long").alias("sum_abs_err_cents"),
+        (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae_cents"),
+    )
