@@ -991,3 +991,49 @@ def source_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, n_null_price BIGINT, total_price DOUBLE, "
         "min_key BIGINT, max_key BIGINT",
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("source", "sink", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML roundtrip on Spark 4.x's NATIVE xml data source (the
+    spark-xml package was folded into core in 4.0): write supplier as
+    XML, re-scan with an explicit schema, join + aggregate. XML is a
+    row-tag text format — no column pruning or predicate pushdown, the
+    whole document parses per row — so the scan is strictly worse than
+    parquet/ORC at scale; it exists for INGEST interop (feeds, legacy
+    exports), and the right pipeline shape is exactly this one: read
+    XML once, aggregate or convert, never re-scan it. The oracle runs
+    on the original table, so value parity proves the roundtrip is
+    lossless including doubles (XML serializes full precision)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="bcs_xml_") + "/supplier_xml"
+    sup.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(
+        path
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(sup.schema)
+        .load(path)
+    )
+    return (
+        back.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec("s_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

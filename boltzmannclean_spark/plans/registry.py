@@ -81,10 +81,22 @@ _VERIFY_FIRST = (
     "dedup_embedding_cosine",
     "similarity_ann_pq_adc",
     "similarity_ann_ivfpq",
-    # -- never harness-verified (104 remain after r1-r4 sampled 137 of
-    #    241); the next 47 in registry order, exactly filling the
-    #    driver's 50-query window. Round-5's new text_*/dedup_* entries
-    #    past slot 50 roll into the round-6 rotation. --
+    "graph_pagerank_bipartite",
+    # -- new cross-engine surface added late in round 5: these exercise
+    #    comparator paths no sampled query has hit (JVM levenshtein vs
+    #    DuckDB's, percentile_disc over a 32-row domain, native-XML
+    #    roundtrip, a float z statistic, a TPC-H ratio query) — sample
+    #    them first so any driver-canon drift surfaces now, not in r8 --
+    "dedup_blocked_editdist",
+    "sample_poisson_bootstrap",
+    "stats_ab_test_proportions",
+    "ts_seasonal_naive_eval",
+    "source_xml_roundtrip",
+    "tpch_q08_market_share",
+    # -- never harness-verified (104 remained after r1-r4 sampled 137 of
+    #    241), listed in registry order. With the 10 changed/new-surface
+    #    slots above, entries past slot 50 (the tail of this list and
+    #    every other round-5 addition) roll into the round-6 rotation. --
     "relational_skyline",
     "sample_bottomk_mergeable",
     "sample_group_kfold",
@@ -131,7 +143,6 @@ _VERIFY_FIRST = (
     "dq_referential_integrity",
     "dq_constraint_violations",
     "dq_join_key_skew",
-    "graph_pagerank_bipartite",
 )
 
 
