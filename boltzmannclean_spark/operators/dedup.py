@@ -1510,21 +1510,27 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_prefix_filter_property.py); ceil is the integer
     identity (4n+4)//5 in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # Shingling is ROW-LOCAL: a higher-order transform over the token
+    # array builds every trigram in place — no posexplode + per-doc
+    # window (which would shuffle the corpus on doc_id before any
+    # pruning). distinct() is the first exchange the corpus sees.
     grams = (
-        tk.withColumn("nxt", F.lead("tok", 1).over(wdoc))
-        .withColumn("nxt2", F.lead("tok", 2).over(wdoc))
-        .where(F.col("nxt2").isNotNull())
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
         .select(
             "doc_id",
-            F.concat_ws(
-                " ", F.col("tok"), F.col("nxt"), F.col("nxt2")
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
             ).alias("sh"),
         )
         .distinct()
+        # The shingle table feeds FIVE consumers (sizes, df, ranked, and
+        # both verify sides); materialize it once instead of re-running
+        # the scan+explode+distinct per consumer.
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
