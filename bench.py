@@ -60,6 +60,12 @@ HEADLINE = CORE9 + [
     "dedup_prefix_filter_jaccard",
     "text_bm25_topk",
     "ts_cascaded_rollup",
+    # round-5 session: TPC-H representatives (the broadcast-dim profit
+    # rollup and the stacked order-keyed aggregation chain) plus the
+    # Poisson-bootstrap one-pass resample
+    "tpch_q09_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "sample_poisson_bootstrap",
 ]
 
 

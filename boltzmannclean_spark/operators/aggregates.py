@@ -1299,3 +1299,101 @@ def agg_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_join_size").cast("double") / F.col("exact_join_size")
         ).alias("overestimate_ratio"),
     )
+
+
+@register(
+    "agg_kmv_intersection_estimate",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+ua AS (SELECT DISTINCT doc_id FROM tok WHERE w = 'the'),
+ub AS (SELECT DISTINCT doc_id FROM tok WHERE w = 'data'),
+ha AS (
+  SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM ua
+),
+hb AS (
+  SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM ub
+),
+ka AS (SELECT MAX(h) AS theta_a FROM (SELECT h FROM ha ORDER BY h LIMIT 32)),
+kb AS (SELECT MAX(h) AS theta_b FROM (SELECT h FROM hb ORDER BY h LIMIT 32)),
+ku AS (SELECT MAX(h) AS theta_u FROM
+        (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+         ORDER BY h LIMIT 32)),
+exact AS (
+  SELECT (SELECT COUNT(*) FROM ua) AS n_a,
+         (SELECT COUNT(*) FROM ub) AS n_b,
+         (SELECT COUNT(*) FROM ua WHERE doc_id IN
+            (SELECT doc_id FROM ub)) AS n_inter
+)
+SELECT n_a, n_b, n_inter,
+       31.0 * 4294967296 / theta_a AS est_a,
+       31.0 * 4294967296 / theta_b AS est_b,
+       31.0 * 4294967296 / theta_a
+       + 31.0 * 4294967296 / theta_b
+       - 31.0 * 4294967296 / theta_u AS est_inter
+FROM exact, ka, kb, ku
+""",
+    tags=("aggregate", "sketch", "kmv", "set-operation"),
+)
+def agg_kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET OPERATIONS: estimate |A∩B| for two document
+    cohorts (docs containing 'the' ∩ docs containing 'data' — sets
+    that genuinely partially overlap in this corpus) from 32-element
+    bottom-k sketches by inclusion-exclusion — |A∩B| ≈ est(A) + est(B)
+    − est(A∪B), where each KMV estimate is (k−1)·2^32/θ (θ = the k-th
+    smallest hash; Beyer et al., SIGMOD'07). The A∪B sketch is the
+    bottom-k of the MERGED sketches — sketches compose under union,
+    which is what makes them the 100 TB path: each cohort reduces to
+    32 longs before anything meets anything. Hashes are md5-derived
+    (no RNG), bottom-k via sort-limit on the already-distinct doc
+    sets, and the estimates are single IEEE divisions of exact
+    integers — bit-equal across engines. The exact counts ride along
+    so the estimate's error is visible in the output itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ua = tok.where(F.col("w") == "the").select("doc_id").distinct()
+    ub = tok.where(F.col("w") == "data").select("doc_id").distinct()
+    ha = ua.select(h.alias("h"))
+    hb = ub.select(h.alias("h"))
+    k = 32
+    theta_a = ha.orderBy("h").limit(k).agg(F.max("h").alias("theta_a"))
+    theta_b = hb.orderBy("h").limit(k).agg(F.max("h").alias("theta_b"))
+    theta_u = (
+        ha.union(hb)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("theta_u"))
+    )
+    n_a = ua.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = ub.agg(F.count(F.lit(1)).alias("n_b"))
+    n_inter = (
+        ua.join(ub, "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    est = lambda th: F.lit(31.0) * F.lit(4294967296.0) / F.col(th)  # noqa: E731
+    return (
+        n_a.crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_inter))
+        .crossJoin(F.broadcast(theta_a))
+        .crossJoin(F.broadcast(theta_b))
+        .crossJoin(F.broadcast(theta_u))
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            est("theta_a").alias("est_a"),
+            est("theta_b").alias("est_b"),
+            (est("theta_a") + est("theta_b") - est("theta_u")).alias(
+                "est_inter"
+            ),
+        )
+    )

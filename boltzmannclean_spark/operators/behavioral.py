@@ -1608,3 +1608,149 @@ def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
         .limit(TRIGRAM_TOP)
     )
+
+
+@register(
+    "events_gaps_islands_streaks",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn_t
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, rn - rn_t AS grp, COUNT(*) AS streak_len
+  FROM seq GROUP BY user_id, event_type, rn - rn_t
+)
+SELECT event_type,
+       MAX(streak_len) AS max_streak,
+       CAST(SUM(CASE WHEN streak_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_streaks_ge3,
+       COUNT(*) AS n_islands
+FROM islands
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("behavioral", "gaps-islands", "window"),
+)
+def events_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (streak detection — the canonical SQL shape for "N in a
+    row" features). The island key is the row_number difference trick:
+    rn (per user) − rn_t (per user+type) is constant exactly along a
+    run of one type, so runs fall out of a plain groupBy with NO
+    iterative logic. Both row_numbers and the island aggregation sit
+    on the SAME user-keyed exchange (the per-(user,type) window is a
+    finer partitioning of it, and Spark plans one sort); ordering is
+    the unique (ts, event_id) pair so runs are identical in both
+    engines. The final per-type rollup is |event_type|-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.row_number().over(wt).alias("rn_t"),
+    )
+    islands = seq.groupBy(
+        "user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("streak_len"))
+    return (
+        islands.groupBy("event_type")
+        .agg(
+            F.max("streak_len").alias("max_streak"),
+            F.sum(F.when(F.col("streak_len") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_streaks_ge3"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) // 604800000000 AS cohort_wk
+  FROM events GROUP BY user_id
+),
+cohort_sizes AS (
+  SELECT cohort_wk, COUNT(*) AS n_users FROM firsts GROUP BY cohort_wk
+),
+rev AS (
+  SELECT f.cohort_wk,
+         (epoch_us(e.ts) // 604800000000) - f.cohort_wk AS age_wk,
+         SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS wk_revenue_cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT r.cohort_wk, r.age_wk, s.n_users,
+       CAST(SUM(r.wk_revenue_cents) OVER (PARTITION BY r.cohort_wk
+              ORDER BY r.age_wk) AS BIGINT) AS cum_revenue_cents
+FROM rev r JOIN cohort_sizes s ON r.cohort_wk = s.cohort_wk
+ORDER BY r.cohort_wk, age_wk
+""",
+    tags=("behavioral", "cohort", "ltv"),
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    cumulative purchase revenue by weeks-since-cohort — the retention
+    economics readout next to events_retention_cohort's count version.
+    The week key is epoch-µs integer division (a pure bucket index —
+    no calendar semantics to disagree on across engines). Plan: one
+    user-keyed aggregation for first-touch, the purchase join ships
+    only (user, cohort_wk) — user-count-sized, AQE broadcasts it while
+    small — and the cumulative window runs over the (cohort, age)
+    AGGREGATE (weeks × cohorts rows, not events). Revenue in exact
+    integer cents; LongType sums are safe (cents × corpus « 2^63 per
+    (cohort, age) cell) and the window then sums ≤hundreds of cells."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        # `div` is exact int64 division (matches DuckDB's `//`); a
+        # float divide + floor could round across a week boundary.
+        F.expr("min(unix_micros(ts)) div 604800000000")
+        .cast("long")
+        .alias("cohort_wk")
+    )
+    cohort_sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                F.expr("unix_micros(ts) div 604800000000").cast("long")
+                - F.col("cohort_wk")
+            ).alias("age_wk"),
+        )
+        .agg(
+            F.sum((dec("value") * 100).cast("long")).alias("wk_revenue_cents")
+        )
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("age_wk")
+    return (
+        rev.join(cohort_sizes, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "n_users",
+            F.sum("wk_revenue_cents").over(w).cast("long").alias(
+                "cum_revenue_cents"
+            ),
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )

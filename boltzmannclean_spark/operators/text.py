@@ -1775,3 +1775,95 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("labeled_lang", "guessed_lang")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         substring(md5(doc_id::VARCHAR), 1, 1) < '8' AS is_train,
+         string_split(text, ' ') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang, is_train,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+train_set AS (SELECT DISTINCT sh FROM grams WHERE is_train),
+test_grams AS (
+  SELECT DISTINCT lang, sh FROM grams WHERE NOT is_train
+)
+SELECT t.lang,
+       COUNT(*) AS n_test_trigrams,
+       CAST(SUM(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty_rate
+FROM test_grams t LEFT JOIN train_set tr ON t.sh = tr.sh
+GROUP BY t.lang
+ORDER BY t.lang
+""",
+    tags=("text", "novelty", "memorization", "eval"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty: what fraction of the test split's
+    distinct trigrams never appear in the train split — the cheap
+    memorization/contamination screen run before trusting an eval set
+    (a novelty rate near 0 means the "held-out" data is a paraphrase
+    of training data; near 1 means distribution shift). Split
+    assignment is hash-deterministic (md5 first hex digit, ~50/50, the
+    same whole-doc rule both engines). Trigrams are row-local array
+    transforms (no shuffle until the distincts); the train set is
+    distinct shingles only (shingle-vocabulary-sized, NOT corpus-
+    sized) and the membership test is a LEFT JOIN on the shingle — at
+    100 TB that join is the standard big-dedup equi-join on a
+    fixed-width key, with AQE free to broadcast the smaller side. The
+    per-lang rate divides two exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+            ).alias("is_train"),
+            F.split("text", " ").alias("tk"),
+        )
+        .where(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 3),"
+                    " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    train_set = (
+        grams.where(F.col("is_train")).select("sh").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_grams = (
+        grams.where(~F.col("is_train")).select("lang", "sh").distinct()
+    )
+    joined = test_grams.join(train_set, "sh", "left")
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_trigrams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -50,6 +50,12 @@ DEFAULT_QUERIES = [
     # shapes whose scaling behavior a 10x probe can actually stress
     "dedup_prefix_filter_jaccard",
     "sessions_overlap_pairs",
+    # round-5 session: TPC-H multi-agg chain (Q21: three stacked
+    # order-keyed aggregations) and the blocked record linkage — the
+    # shapes whose candidate/intermediate volume must stay linear
+    "tpch_q21_waiting_suppliers",
+    "dedup_blocked_editdist",
+    "sample_poisson_bootstrap",
 ]
 
 # (table, key columns to offset per copy) — facts grow, dims stay.
