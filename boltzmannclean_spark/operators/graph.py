@@ -407,3 +407,76 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 's:' || CAST(node div 2 AS STRING) END AS node",
         "level",
     ).orderBy("level", "node")
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+ds AS (SELECT s, COUNT(*) AS deg_s FROM edges GROUP BY s),
+dp AS (SELECT p, COUNT(*) AS deg_p FROM edges GROUP BY p),
+e AS (
+  SELECT deg_s AS x, deg_p AS y
+  FROM edges JOIN ds USING (s) JOIN dp USING (p)
+),
+st AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+  FROM e
+)
+SELECT n AS n_edges,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS assortativity
+FROM st
+""",
+    tags=("graph", "assortativity", "exact-stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier–part bipartite graph: the
+    Pearson correlation of (deg(u), deg(v)) across edges — do
+    high-degree suppliers ship high-variety parts (assortative, r>0)
+    or the reverse (disassortative, r<0)? The network-structure
+    summary that predicts hub behavior under partitioning. Plan: edge
+    distinct → two key-sized degree aggregates joined back (AQE
+    broadcasts them while small) → ONE partial+final aggregation of
+    five exact wide-integer sums; the correlation is a single closed
+    double expression over them, mirrored token-for-token in the
+    oracle (the agg_corr_matrix recipe applied to graph structure).
+    Nothing driver-side, nothing quadratic — degrees, not
+    neighborhoods, cross the network."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
+    dp = edges.groupBy("p").agg(F.count(F.lit(1)).alias("deg_p"))
+    e = (
+        edges.join(ds, "s")
+        .join(dp, "p")
+        .select(F.col("deg_s").alias("x"), F.col("deg_p").alias("y"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d38(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return st.select(
+        n.alias("n_edges"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("assortativity"),
+    )

@@ -592,3 +592,75 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg).orderBy("hour_us")
+
+
+_PYSTREAM_N = 5000
+_PYSTREAM_BATCH = 1000
+
+
+@register(
+    "stream_python_datasource",
+    oracle=f"""
+SELECT CAST(i % 4 AS BIGINT) AS device,
+       COUNT(*) AS n_ticks,
+       CAST(SUM((i * i) % 1000) AS BIGINT) AS sum_cents
+FROM range(0, {_PYSTREAM_N}) t(i)
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("streaming", "python-datasource", "4.x"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySpark 4.x STREAMING Python DataSource
+    (``SimpleDataSourceStreamReader``): a custom source written in pure
+    Python that serves deterministic "sensor tick" micro-batches with
+    JSON offsets ({"i": cursor}) — the API a team uses to stream from
+    a service Spark has no connector for. Offset bookkeeping (initial/
+    advance/replay-between) is the real contract being exercised: the
+    stream drains batch-by-batch to the memory sink via
+    processAllAvailable, which terminates because read() stops
+    advancing the offset at N. Rows are a closed-form function of the
+    index, so the DuckDB oracle regenerates them exactly; per-device
+    sums are pure int64. At scale the same reader shape backs a
+    partition-per-shard source; stateless rate limiting lives in the
+    BATCH size the reader chooses per poll."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TickReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int):
+            return iter(
+                [(r, r % 4, (r * r) % 1000) for r in range(lo, hi)]
+            )
+
+        def read(self, start):
+            lo = start["i"]
+            hi = min(lo + _PYSTREAM_BATCH, _PYSTREAM_N)
+            return self._rows(lo, hi), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["i"], end["i"])
+
+    class TickSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bcs_ticks"
+
+        def schema(self) -> str:
+            return "i BIGINT, device BIGINT, cents BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return TickReader()
+
+    spark.dataSource.register(TickSource)
+    agg = (
+        spark.readStream.format("bcs_ticks")
+        .load()
+        .groupBy("device")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    return run_to_memory(agg).orderBy("device")

@@ -45,6 +45,21 @@ INVARIANT_QUERIES = (
     "agg_histogram_equidepth",
     "text_bm25_topk",
     "dq_join_key_skew",
+    # round-5 session additions: hash-thresholded Poisson weights and
+    # percentile_disc over replicate totals, four-exact-integer test
+    # statistic, integer-cents MAE on a generated grid, row_number
+    # islands, bottom-k sketch thetas, int64-div week buckets, and the
+    # decimal-exact TPC-H chains (incl. countDistinct-based Q21).
+    "sample_poisson_bootstrap",
+    "stats_ab_test_proportions",
+    "ts_seasonal_naive_eval",
+    "events_gaps_islands_streaks",
+    "agg_kmv_intersection_estimate",
+    "events_cohort_ltv_curve",
+    "dedup_blocked_editdist",
+    "text_ngram_novelty",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q08_market_share",
 )
 
 
