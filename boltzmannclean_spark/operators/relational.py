@@ -845,3 +845,93 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_p95_cents",
         )
     )
+
+
+@register(
+    "sql_scalar_udf",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS net_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("sql", "sql-udf", "4.x"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN <expr>, SQL:2016
+    PSM-style, new in Spark 4.x): the revenue formula becomes a named,
+    catalog-registered function instead of a copy-pasted expression.
+    Unlike Python UDFs, a SQL UDF INLINES into the plan at analysis
+    time — the aggregated column compiles to the same whole-stage
+    codegen as writing the expression by hand, so there is zero
+    serialization or per-row interpreter cost; it is an abstraction
+    mechanism, not an execution mechanism, and the 100 TB cost is
+    identical to the inlined twin (which is exactly what the oracle
+    runs). The exact-decimal recipe lives INSIDE the function, so
+    every call site inherits bit-exactness."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bcs_net_revenue(
+            price DOUBLE, discount DOUBLE) RETURNS DECIMAL(16,4)
+        RETURN CAST(price AS DECIMAL(12,2))
+               * (1 - CAST(discount AS DECIMAL(4,2)))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(bcs_net_revenue(l_extendedprice, l_discount))
+                    AS DOUBLE) AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS total_value
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("sql", "execute-immediate", "session-variables", "4.x"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE + session variables (SQL:2016 dynamic SQL, new
+    in Spark 4.x): the query text is composed at runtime and the
+    predicate binds through a DECLAREd session variable via USING —
+    the migration path for warehouse scripts (Snowflake/BigQuery
+    scripting) that build SQL strings, WITHOUT string-splicing values
+    (the parameter is bound server-side, so no injection and the plan
+    is the same as a static parse). Execution cost is identical to
+    running the inner statement directly; the oracle is the inlined
+    twin."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE bcs_status STRING DEFAULT 'F'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                    AS total_value
+           FROM orders
+           WHERE o_orderstatus = ?
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority'
+          USING bcs_status
+        """
+    )
