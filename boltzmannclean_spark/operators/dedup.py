@@ -1681,3 +1681,90 @@ def dedup_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(lev <= 1, 1).otherwise(0)).cast("long").alias("n_lev1_pairs"),
         F.sum(F.when(lev <= 2, 1).otherwise(0)).cast("long").alias("n_lev2_pairs"),
     )
+
+
+@register(
+    "dedup_cluster_size_stats",
+    oracle=f"""
+WITH cc AS ({CC_ORACLE.replace("ORDER BY doc_id", "")}),
+sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size
+  FROM cc GROUP BY component_id
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST(cluster_size * COUNT(*) - COUNT(*) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+""",
+    tags=("dedup", "cluster", "report"),
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size histogram — the curation readout layered on
+    connected components: how many clusters of each size, how many
+    docs they hold, and how many a keep-one-per-cluster policy removes
+    (size·clusters − clusters). This is the number a data lead reads
+    before approving a dedup pass ("are we deleting 2% or 40%?"), and
+    the shape of the histogram (many pairs vs few giant clusters)
+    decides between per-cluster keep-best and blocklist review.
+    Composes the registered CC operator directly (same iterative
+    min-label plan), then two tiny aggregations over component ids —
+    cluster-count-sized, nothing new touches the corpus."""
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("cluster_size") * F.col("n_clusters") - F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "curation_stratified_exemplars",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       arg_min(doc_id, md5(doc_id::VARCHAR)) AS exemplar_doc_id
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    tags=("curation", "inspection", "stratified"),
+)
+def curation_stratified_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exemplar picking: one deterministic representative
+    document per (lang, source) stratum — the "show me an example from
+    every slice" query a corpus review runs before signing off an
+    ingest. The pick is arg_min over md5(doc_id): pseudorandom (not
+    biased toward low ids or long docs) yet stable across runs,
+    partitionings, and engines — no ORDER BY ... LIMIT per stratum, no
+    RNG. One partial-aggregated pass; strata counts ride along. At
+    100 TB this is the same single groupBy as any profile — min_by
+    ships one (hash, id) pair per stratum per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min_by(
+                "doc_id", F.md5(F.col("doc_id").cast("string"))
+            ).alias("exemplar_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )

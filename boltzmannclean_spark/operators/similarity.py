@@ -1383,3 +1383,73 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         salt_col="neighbor_id",
     ).orderBy("query_id", "rk")
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT dim, v, CAST(round(v * {MICRO}, 0) AS BIGINT) AS qx FROM x
+)
+SELECT dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean_micro,
+       (COUNT(*) * CAST(SUM(CAST(qx * qx AS HUGEINT)) AS DOUBLE)
+        - CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE)
+          * CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE))
+       / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) AS var_micro2,
+       MIN(v) AS min_val,
+       MAX(v) AS max_val
+FROM q
+GROUP BY dim
+ORDER BY dim
+""",
+    tags=("embedding", "profiling", "qc"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC: mean/variance/min/max for each of
+    the 64 coordinates — the check that catches dead dimensions
+    (var≈0), un-normalized batches (means far from 0), and clipped
+    values before they poison an ANN index or a cosine threshold.
+    Means/variances come from exact micro-unit integer sums (the
+    module's standard recipe — float sums would be partition-order
+    dependent), expanded by the same closed moment formula in both
+    engines; min/max are order-free on the raw floats. The explode is
+    map-side (64 rows per vector feeding a partial agg in the same
+    stage); the shuffle carries 64 groups × 4 numbers per task
+    regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("dim", "v")
+    ).select(
+        "dim",
+        "v",
+        F.round(F.col("v") * MICRO, 0).cast("long").alias("qx"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(d38(F.col("qx"))).cast("double").alias("sx"),
+        F.sum(d38(F.col("qx") * F.col("qx"))).cast("double").alias("sxx"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    n = F.col("n_vecs")
+    return st.select(
+        "dim",
+        "n_vecs",
+        (F.col("sx") / n).alias("mean_micro"),
+        (
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (n.cast("double") * n)
+        ).alias("var_micro2"),
+        "min_val",
+        "max_val",
+    ).orderBy("dim")
