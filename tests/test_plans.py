@@ -416,3 +416,43 @@ def test_pit_scd2_join_is_keyed_not_range_only(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q09_broadcasts_every_dim(spark, sf_dir):
+    """Q9's plan promise: lineitem never shuffles for part/supplier/
+    nation — all three are broadcast; the only exchange pairs it with
+    orders."""
+    df = QUERIES["tpch_q09_product_profit"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q06_predicates_reach_the_scan(spark, sf_dir):
+    """Q6 is the pushdown showcase: shipdate and quantity filters must
+    appear in the parquet scan's PushedFilters, and the scan must read
+    only the four touched columns."""
+    df = QUERIES["tpch_q06_revenue_forecast"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema, read_schema
+    assert "l_tax" not in read_schema, read_schema
+
+
+def test_tpch_q04_uses_semi_join(spark, sf_dir):
+    """The EXISTS must plan as a LeftSemi join (key + lateness residual),
+    never as an aggregate-then-inner-join or a nested loop."""
+    df = QUERIES["tpch_q04_order_priority"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q22_uses_anti_join_and_one_row_broadcast(spark, sf_dir):
+    """NOT EXISTS → LeftAnti; the scalar AVG → broadcast nested loop of
+    a 1-row side (the bounded idiom), not a real cartesian product."""
+    df = QUERIES["tpch_q22_global_sales_opportunity"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
