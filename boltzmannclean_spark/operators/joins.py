@@ -849,3 +849,135 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_geo_grid_distance",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(('0x' || substring(md5(c_custkey::VARCHAR), 1, 8))::BIGINT
+              % 1800000 AS BIGINT) AS lat_m,
+         CAST(('0x' || substring(md5(c_custkey::VARCHAR), 9, 8))::BIGINT
+              % 3600000 AS BIGINT) AS lon_m
+  FROM customer
+),
+cells AS (
+  SELECT id, lat_m, lon_m,
+         lat_m // 10000 AS cy, lon_m // 10000 AS cx
+  FROM pts
+),
+b AS (
+  SELECT id, lat_m, lon_m, cy, cx FROM cells
+),
+a AS (
+  SELECT id, lat_m, lon_m,
+         cy + dy AS cy, cx + dx AS cx
+  FROM cells,
+       (SELECT unnest(range(-1, 2)) AS dy) ,
+       (SELECT unnest(range(-1, 2)) AS dx)
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         a.lat_m AS lat_a, a.lon_m AS lon_a,
+         b.lat_m AS lat_b, b.lon_m AS lon_b
+  FROM a JOIN b ON a.cy = b.cy AND a.cx = b.cx AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians((lat_b - lat_a) / 10000.0) / 2), 2)
+           + cos(radians(lat_a / 10000.0 - 90))
+             * cos(radians(lat_b / 10000.0 - 90))
+             * pow(sin(radians((lon_b - lon_a) / 10000.0) / 2), 2)
+         )) AS FLOAT) AS dist_km
+  FROM cand
+)
+SELECT id_a, id_b, dist_km
+FROM verified
+WHERE dist_km < 50.0
+ORDER BY id_a, id_b
+""",
+    tags=("join", "spatial", "grid", "haversine"),
+)
+def join_geo_grid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join via GRID BLOCKING — the geohash-style
+    pattern that turns "all pairs within 50 km" into an EQUI-join:
+    each point lands in a 1°×1° integer cell; one side explodes into
+    its 3×3 cell neighborhood; candidates come from the cell equi-join
+    (hash-partitionable, AQE-skewable — dense cities are hot keys) and
+    only candidates pay the haversine. Coordinates are derived
+    deterministically from key hashes in integer micro-degrees
+    (testdata has no geo columns; the OPERATOR is the point), so cell
+    keys are pure int64 — no float binning drift. The verify distance
+    is FLOAT-cast (libm sin/cos differ by 1 ulp across engines — the
+    func_math_transcendental rule). Honest recall caveat, as in
+    production geohash joins: lon cells narrow toward the poles, so
+    >50 km-wide neighborhoods at extreme latitudes need
+    latitude-adaptive cell spans; the oracle replicates the same
+    candidate generation, so parity checks the pattern, not a
+    different algorithm. Output is Θ(true close pairs), linear in
+    corpus at fixed density."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = lambda lo, n: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col("c_custkey").cast("string")), lo, 8), 16, 10
+    ).cast("long") % n
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        h(1, 1800000).alias("lat_m"),
+        h(9, 3600000).alias("lon_m"),
+    ).select(
+        "id",
+        "lat_m",
+        "lon_m",
+        F.expr("lat_m div 10000").alias("cy"),
+        F.expr("lon_m div 10000").alias("cx"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_m").alias("lat_a"),
+        F.col("lon_m").alias("lon_a"),
+        F.explode(
+            F.expr("array(cy - 1, cy, cy + 1)")
+        ).alias("cy"),
+        "cx",
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        "cy",
+        F.explode(F.expr("array(cx - 1, cx, cx + 1)")).alias("cx2"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat_m").alias("lat_b"),
+        F.col("lon_m").alias("lon_b"),
+        F.col("cy").alias("by"),
+        F.col("cx").alias("bx"),
+    )
+    cand = a.join(
+        b,
+        (F.col("cy") == F.col("by"))
+        & (F.col("cx2") == F.col("bx"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat2 = rad((F.col("lat_b") - F.col("lat_a")) / 10000.0) / 2
+    dlon2 = rad((F.col("lon_b") - F.col("lon_a")) / 10000.0) / 2
+    lat_a = rad(F.col("lat_a") / 10000.0 - 90)
+    lat_b = rad(F.col("lat_b") / 10000.0 - 90)
+    dist = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat2), 2)
+                + F.cos(lat_a) * F.cos(lat_b) * F.pow(F.sin(dlon2), 2)
+            )
+        )
+    ).cast("float")
+    return (
+        cand.select("id_a", "id_b", dist.alias("dist_km"))
+        .where(F.col("dist_km") < 50.0)
+        .orderBy("id_a", "id_b")
+    )
