@@ -447,3 +447,70 @@ def window_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
         (ema / F.lit(100.0)).alias("ema_value"),
     ).orderBy("user_id", "ts_us", "event_id")
+
+
+@register(
+    "window_reset_running_sum",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_reset
+  FROM events
+),
+grouped AS (
+  SELECT user_id, t_us, event_id, cents,
+         SUM(is_reset) OVER (PARTITION BY user_id
+                             ORDER BY t_us, event_id) AS epoch
+  FROM flagged
+)
+SELECT user_id, t_us, event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id, epoch
+                             ORDER BY t_us, event_id) AS BIGINT)
+         AS running_cents_since_signup
+FROM grouped
+ORDER BY user_id, t_us, event_id
+""",
+    tags=("window", "reset", "conditional-cumulative"),
+)
+def window_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum that RESETS on a marker event (cumulative spend
+    since the user's latest signup) — the conditional-reset cumulative
+    every ledger/quota system needs, built from two stacked windows
+    with NO iteration: a running count of reset markers defines the
+    epoch, and the inner sum partitions by (user, epoch). Both windows
+    order by the unique (t_us, event_id) pair and sit on the SAME
+    user-keyed exchange (epoch refines it), so the plan is one shuffle
+    + one sort; sums are integer cents. This is also the
+    decomposition that turns "stateful reset logic" into plain
+    windows — the batch twin of a stateful streaming accumulator."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        (dec("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("is_reset"),
+    )
+    w_epoch = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = flagged.withColumn("epoch", F.sum("is_reset").over(w_epoch))
+    w_run = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grouped.select(
+            "user_id",
+            "t_us",
+            "event_id",
+            F.sum("cents").over(w_run).cast("long").alias(
+                "running_cents_since_signup"
+            ),
+        )
+        .orderBy("user_id", "t_us", "event_id")
+    )
