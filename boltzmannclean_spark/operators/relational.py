@@ -935,3 +935,46 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING bcs_status
         """
     )
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, cents,
+       cents // 100000 AS hundreds_bucket,
+       CASE WHEN cents // 100000 >= 2000 THEN 'large' ELSE 'regular' END
+         AS size_label
+FROM t
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+    tags=("sql", "lateral-alias", "4.x"),
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+/4.x default-on): a SELECT item
+    references a SIBLING alias defined earlier in the same list —
+    `cents` feeds `hundreds_bucket` feeds `size_label`, no nested
+    subquery per derivation step. Catalyst inlines the chain (one
+    Project, full codegen), so this is ergonomics with zero plan cost;
+    the oracle expresses the same chain with a CTE because DuckDB
+    resolves same-list aliases differently. Integer division uses the
+    sign-safe idiom (values are positive money cents)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 AS cents,
+               cents div 100000 AS hundreds_bucket,
+               CASE WHEN hundreds_bucket >= 2000 THEN 'large'
+                    ELSE 'regular' END AS size_label
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+        """
+    )

@@ -1867,3 +1867,79 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_ENT_CHARS = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _entropy_sql_duck() -> str:
+    cnts = [
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in _ENT_CHARS.replace("'", "''")
+    ]
+    tot = " + ".join(cnts)
+    terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN -({c} / CAST(tot AS DOUBLE))"
+        f" * ln({c} / CAST(tot AS DOUBLE)) ELSE 0.0 END)"
+        for c in cnts
+    )
+    return tot, terms
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         {_entropy_sql_duck()[0]} AS tot
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(tot AS BIGINT) AS n_counted_chars,
+       CAST({_entropy_sql_duck()[1]} AS FLOAT) AS char_entropy
+FROM t
+WHERE tot > 0
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "entropy", "row-local"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy — the gibberish /
+    mojibake / base64-blob detector (natural prose sits near ~2.8-3.1
+    nats over [a-z ]; encoded junk approaches the 3.3-nat uniform
+    ceiling, repeated-char spam near 0). Entirely ROW-LOCAL: the 27
+    per-char counts come from length-after-replace (no explode, no
+    shuffle — the 100 TB quality-scoring posture), and the entropy sum
+    iterates the FIXED char domain in the same literal order in both
+    engines, so even the float accumulation is order-identical;
+    the single ln() call per term is the libm 1-ulp case, handled by
+    the FLOAT cast (func_math_transcendental rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = [
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(c), F.lit("")))
+        ).alias(f"c_{i}")
+        for i, c in enumerate(_ENT_CHARS)
+    ]
+    t = docs.select("doc_id", "lang", *cnts)
+    tot = None
+    for i in range(len(_ENT_CHARS)):
+        col = F.col(f"c_{i}")
+        tot = col if tot is None else tot + col
+    t = t.withColumn("tot", tot).where(F.col("tot") > 0)
+    ent = None
+    for i in range(len(_ENT_CHARS)):
+        c = F.col(f"c_{i}")
+        p = c / F.col("tot").cast("double")
+        term = F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return (
+        t.select(
+            "doc_id",
+            "lang",
+            F.col("tot").cast("long").alias("n_counted_chars"),
+            ent.cast("float").alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
