@@ -16,6 +16,7 @@ so a methodology change can never masquerade as an engine win.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -108,6 +109,16 @@ def main() -> None:
     for name in names:
         q = registry[name]
         samples = []
+        # Hygiene between queries, OUTSIDE the timed region: several
+        # operators cache()/localCheckpoint() internally (PQ codebooks,
+        # shingle tables, CC edge sets). In one long bench session those
+        # blocks accumulate across the growing headline list, and by the
+        # 20th query the executor heap is fighting GC — measured 2-4x
+        # uniform inflation of every later query. Clearing the cache and
+        # letting the ContextCleaner reap checkpoints restores the
+        # per-query steady state a fresh session would see.
+        spark.catalog.clearCache()
+        gc.collect()
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
