@@ -1754,3 +1754,113 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "age_wk")
     )
+
+
+_PRESENCE_US = 300_000_000  # 5-minute presence window per event
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + {_PRESENCE_US} AS e_us
+  FROM events
+),
+clipped AS (
+  SELECT event_id,
+         d,
+         GREATEST(s_us, d * {_DAY_US}) AS cs,
+         LEAST(e_us, (d + 1) * {_DAY_US}) AS ce
+  FROM iv, UNNEST(range(s_us // {_DAY_US}, e_us // {_DAY_US} + 1)) AS u(d)
+  WHERE GREATEST(s_us, d * {_DAY_US}) < LEAST(e_us, (d + 1) * {_DAY_US})
+),
+pts AS (
+  SELECT d, cs AS t_us, 1 AS delta, event_id FROM clipped
+  UNION ALL
+  SELECT d, ce AS t_us, -1 AS delta, event_id FROM clipped
+),
+run AS (
+  SELECT d, t_us, delta,
+         SUM(delta) OVER (PARTITION BY d
+                          ORDER BY t_us, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM pts
+),
+pk AS (
+  SELECT d, MAX(running) AS peak_concurrent FROM run GROUP BY d
+)
+SELECT run.d AS day_idx,
+       CAST(pk.peak_concurrent AS BIGINT) AS peak_concurrent,
+       CAST(MIN(t_us) AS BIGINT) AS first_peak_us
+FROM run JOIN pk ON run.d = pk.d AND run.running = pk.peak_concurrent
+GROUP BY run.d, pk.peak_concurrent
+ORDER BY day_idx
+""",
+    tags=("behavioral", "intervals", "sweep", "concurrency"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the interval-sweep (+1/−1 endpoint
+    running sum) that sizes connection pools and capacity plans. Each
+    event contributes a 5-minute presence interval; intervals are
+    CLIPPED to the days they span (bounded 2-way explode), which is
+    what makes the sweep scale: the running sum partitions by DAY
+    instead of one global order, and no carry-in is needed because
+    clipping restarts every day at zero. Endpoint ordering is the
+    deterministic (t, delta, event_id) triple with ends before starts
+    at the same instant (adjacent intervals never overlap); everything
+    is int64 µs. The peak row joins back day-keyed — same exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(_PRESENCE_US)).alias("e_us"),
+    )
+    clipped = (
+        iv.select(
+            "event_id",
+            "s_us",
+            "e_us",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {_DAY_US}"), F.expr(f"e_us div {_DAY_US}")
+                )
+            ).alias("d"),
+        )
+        .select(
+            "event_id",
+            "d",
+            F.greatest(F.col("s_us"), F.col("d") * _DAY_US).alias("cs"),
+            F.least(F.col("e_us"), (F.col("d") + 1) * _DAY_US).alias("ce"),
+        )
+        .where(F.col("cs") < F.col("ce"))
+    )
+    pts = clipped.select(
+        "d", F.col("cs").alias("t_us"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        clipped.select(
+            "d", F.col("ce").alias("t_us"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "d", "t_us", F.sum("delta").over(w).alias("running")
+    )
+    pk = run.groupBy(F.col("d").alias("pd")).agg(
+        F.max("running").alias("peak_concurrent")
+    )
+    return (
+        run.join(
+            pk,
+            (F.col("d") == F.col("pd"))
+            & (F.col("running") == F.col("peak_concurrent")),
+        )
+        .groupBy(F.col("d").alias("day_idx"), "peak_concurrent")
+        .agg(F.min("t_us").cast("long").alias("first_peak_us"))
+        .orderBy("day_idx")
+    )
