@@ -1768,3 +1768,108 @@ def curation_stratified_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "dedup_minhash_threshold_curve",
+    oracle=f"""
+WITH vocab AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, UNNEST(toks) AS sh FROM vocab),
+seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed),
+minh AS (
+  SELECT doc_id, seed,
+         MIN(substring(md5((seed // 4)::VARCHAR || '|' || sh),
+                       1 + 8 * (seed % 4), 8)) AS mh
+  FROM toks CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+cfg AS (SELECT UNNEST([1, 2, 4, 8]) AS band_rows),
+bands AS (
+  SELECT cfg.band_rows, doc_id, seed // cfg.band_rows AS band,
+         STRING_AGG(mh, '' ORDER BY seed) AS band_key
+  FROM minh CROSS JOIN cfg
+  GROUP BY cfg.band_rows, doc_id, seed // cfg.band_rows
+),
+buckets AS (
+  SELECT band_rows, band, band_key, COUNT(*) AS n
+  FROM bands GROUP BY band_rows, band, band_key
+)
+SELECT band_rows,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_buckets,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_checks,
+       CAST(MAX(n) AS BIGINT) AS max_bucket
+FROM buckets
+GROUP BY band_rows
+ORDER BY band_rows
+""",
+    tags=("dedup", "minhash", "tuning", "curve"),
+)
+def dedup_minhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter sweep from ONE signature pass: the same 8
+    minhashes laid out as 8×1, 4×2, 2×4, and 1×8 (bands×rows) trace
+    the LSH s-curve P(candidate) = 1−(1−s^r)^b from permissive (r=1,
+    catches θ≈0.1 pairs) to strict (r=8, θ≈0.9) — the tuning readout
+    run BEFORE committing a corpus-wide dedup to a threshold.
+    Candidate workload per config is Σ C(bucket,2) computed from
+    BUCKET SIZES ALONE (a count aggregation — no pair is ever
+    enumerated, so the sweep costs 4 aggregations over signature
+    rows regardless of how quadratic the permissive configs' implied
+    workload is; that workload is the NUMBER this query reports, not
+    a cost it pays). Signatures are computed once and checkpointed;
+    each config re-aggregates the same 8-value rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("sh"),
+    )
+    minh = (
+        toks.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{s // 4}|"), F.col("sh"))),
+                        1 + 8 * (s % 4),
+                        8,
+                    )
+                ).alias(f"mh{s}")
+                for s in range(N_SEEDS)
+            ]
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for r in (1, 2, 4, 8):
+        band_cols = [
+            F.concat(
+                *[F.col(f"mh{b * r + i}") for i in range(r)]
+            )
+            for b in range(N_SEEDS // r)
+        ]
+        buckets = (
+            minh.select(
+                "doc_id",
+                F.posexplode(F.array(*band_cols)).alias("band", "band_key"),
+            )
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        m = buckets.agg(
+            F.lit(r).cast("long").alias("band_rows"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_buckets"),
+            # integer div, then an exact decimal sum — a double sum of
+            # C(n,2) terms would silently lose precision past 2^53
+            # total candidates at extreme bucket counts
+            F.sum(F.expr("(n * (n - 1)) div 2").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("candidate_checks"),
+            F.max("n").cast("long").alias("max_bucket"),
+        ).select("band_rows", "n_multi_buckets", "candidate_checks", "max_bucket")
+        out = m if out is None else out.unionAll(m)
+    return out.orderBy("band_rows")
