@@ -60,6 +60,14 @@ INVARIANT_QUERIES = (
     "text_ngram_novelty",
     "tpch_q21_waiting_suppliers",
     "tpch_q08_market_share",
+    # late round-5: day-partitioned endpoint sweep, bucket-size-only
+    # banding sweep, fixed-order float entropy, grid-cell spatial join,
+    # epoch-windowed reset sums.
+    "events_peak_concurrency",
+    "dedup_minhash_threshold_curve",
+    "text_char_entropy",
+    "join_geo_grid_distance",
+    "window_reset_running_sum",
 )
 
 

@@ -56,6 +56,13 @@ DEFAULT_QUERIES = [
     "tpch_q21_waiting_suppliers",
     "dedup_blocked_editdist",
     "sample_poisson_bootstrap",
+    # late round-5: row-local entropy (expect ~linear), grid spatial
+    # join (output-bound under densification), day-partitioned sweep,
+    # and the banding sweep (aggregation-only).
+    "text_char_entropy",
+    "join_geo_grid_distance",
+    "events_peak_concurrency",
+    "dedup_minhash_threshold_curve",
 ]
 
 # (table, key columns to offset per copy) — facts grow, dims stay.
