@@ -546,3 +546,88 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).cast("long").alias("sum_abs_err_cents"),
         (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae_cents"),
     )
+
+
+@register(
+    "ts_hourly_autocorr_lag24",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h_us) AS lo, MAX(h_us) AS hi FROM hourly),
+grid AS (
+  SELECT unnest(range(lo, hi + 1, 3600000000)) AS h_us FROM bounds
+),
+series AS (
+  SELECT g.h_us,
+         CAST(COALESCE(hourly.cents, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN hourly ON g.h_us = hourly.h_us
+),
+pairs AS (
+  SELECT x, LAG(x, 24) OVER (ORDER BY h_us) AS y FROM series
+),
+st AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+  FROM pairs WHERE y IS NOT NULL
+)
+SELECT n AS n_pairs,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS autocorr_lag24
+FROM st
+""",
+    tags=("timeseries", "autocorrelation", "seasonality"),
+)
+def ts_hourly_autocorr_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24 autocorrelation of hourly revenue — the numeric
+    seasonality detector that justifies (or debunks) the seasonal-naive
+    baseline next door: r≈1 means yesterday's same hour predicts today,
+    r≈0 means the 24h forecast is noise. Same zero-filled hourly grid
+    as ts_seasonal_naive_eval; the correlation is the
+    exact-wide-integer sufficient-stats recipe (agg_corr_matrix /
+    assortativity) over (x_t, x_t−24) pairs, so the only float ops are
+    the final closed expression, identical in both engines. The lag
+    window orders the HOUR table (time-bounded, not data-bounded);
+    everything below it partial-aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("h_us")
+    ).agg(F.sum((dec("value") * 100).cast("long")).alias("cents"))
+    bounds = hourly.agg(F.min("h_us").alias("lo"), F.max("h_us").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600000000).cast("long"))
+        ).alias("h_us")
+    )
+    series = grid.join(hourly, "h_us", "left").select(
+        "h_us", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.orderBy("h_us")
+    pairs = series.select(
+        "x", F.lag("x", 24).over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d38(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return st.select(
+        n.alias("n_pairs"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("autocorr_lag24"),
+    )
