@@ -631,3 +631,51 @@ def ts_hourly_autocorr_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("autocorr_lag24"),
     )
+
+
+@register(
+    "ts_weekday_hour_profile",
+    oracle="""
+SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow_idx,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour_utc,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY dow_idx, hour_utc
+""",
+    tags=("timeseries", "seasonality", "profile"),
+)
+def ts_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour revenue heat-map — the seasonality PROFILE
+    completing the trio with the lag-24 autocorrelation (is there
+    seasonality?) and the seasonal-naive backtest (is it exploitable?).
+    Weekday comes from pure epoch-µs integer arithmetic
+    ((days since 1970-01-01 + 4) mod 7, anchored on epoch's Thursday)
+    instead of calendar dayofweek(), whose 0-vs-1-based and
+    Sunday-vs-Monday conventions differ across engines — the classic
+    cross-engine drift trap removed at the source. One partial-
+    aggregated scan; output is a fixed 7×24 grid regardless of
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.groupBy(
+            F.expr("((unix_micros(ts) div 86400000000) + 4) % 7")
+            .cast("long")
+            .alias("dow_idx"),
+            F.expr("(unix_micros(ts) div 3600000000) % 24")
+            .cast("long")
+            .alias("hour_utc"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((dec("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("dow_idx", "hour_utc")
+    )
