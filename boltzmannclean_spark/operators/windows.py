@@ -514,3 +514,68 @@ def window_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "t_us", "event_id")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id, t_us, event_id, cents,
+         list_sort(list(cents) OVER (PARTITION BY user_id
+                       ORDER BY t_us, event_id
+                       ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS lst
+  FROM t
+)
+SELECT user_id, t_us, cents,
+       CAST(lst[(len(lst) + 1) // 2] AS BIGINT) AS rolling_median_cents
+FROM w
+ORDER BY user_id, t_us, event_id
+""",
+    tags=("window", "median", "robust"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a trailing 25-event window per user —
+    the robust smoother that a spiky metric needs where a rolling mean
+    chases outliers (one 100x spike moves the mean for 25 rows, the
+    median not at all). Spark has no percentile window function; the
+    portable construction is collect-sort-index INSIDE the window
+    projection: array_sort(collect_list(cents) OVER w)[(n+1) div 2] —
+    a discrete pick of an actual element, so the result is exact
+    integer cents, bit-equal across engines with no interpolation
+    recipe. Cost is O(w log w) per row on a BOUNDED window (w=25);
+    the frame never materializes beyond the row being produced, and
+    the whole computation rides the one user-keyed exchange every
+    events window here shares. For UNBOUNDED-frame medians this
+    construction would be quadratic — that case belongs to
+    agg_quantile_mergeable's histogram sketch instead."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-24, Window.currentRow)
+    )
+    lst = F.array_sort(F.collect_list("cents").over(w))
+    return (
+        t.select(
+            "user_id",
+            "t_us",
+            "cents",
+            F.element_at(
+                lst, ((F.size(lst) + 1) / 2).cast("int")
+            )
+            .cast("long")
+            .alias("rolling_median_cents"),
+        )
+        .orderBy("user_id", "t_us", "event_id")
+    )
