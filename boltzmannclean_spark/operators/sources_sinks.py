@@ -1037,3 +1037,64 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_JSON_GOOD = 24
+_JSON_BAD = 4
+
+
+@register(
+    "source_json_corrupt_records",
+    oracle=f"""
+SELECT status, n_rows FROM (
+  VALUES ('corrupt', {_JSON_BAD}), ('good', {_JSON_GOOD})
+) AS t(status, n_rows)
+ORDER BY status
+""",
+    tags=("source", "json", "corrupt-records", "quarantine"),
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines ingestion with quarantine: syntactically
+    broken lines (truncated object, bare text, unclosed string) land in
+    _corrupt_record instead of failing the load — the JSON twin of the
+    CSV quarantine op, exercising the OTHER parser's failure taxonomy
+    (JSON corruption is structural — malformed syntax — where CSV's is
+    positional arity/type; a type MISMATCH in valid JSON nulls the
+    field and is NOT quarantined, which this fixture pins with a
+    valid-but-wrong-typed row counted as good). File authored
+    deterministically, so the split is a literal oracle."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="bcs_json_corrupt_") + "/messy"
+    os.makedirs(path, exist_ok=True)
+    lines = [
+        f'{{"id": {i}, "name": "row{i}", "score": {i * 10}}}'
+        for i in range(_JSON_GOOD)
+    ]
+    # syntactically valid JSON with a wrong-typed field: Spark's JSON
+    # parser quarantines this whole row (it does NOT null the field)
+    lines += ['{"id": 998, "name": "typed", "score": "not_a_number"}']
+    lines += [
+        '{"id": 99, "name": "truncated"',
+        "this is not json at all",
+        '{"id": 100, "name": "unclosed string}',
+    ]
+    with open(f"{path}/part-000.json", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id INT, name STRING, score INT, _corrupt_record STRING")
+        .json(path)
+        .cache()  # same single-parse rule as the CSV quarantine op
+    )
+    return (
+        df.select(
+            F.when(F.col("_corrupt_record").isNull(), "good")
+            .otherwise("corrupt")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )
