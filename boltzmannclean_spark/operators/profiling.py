@@ -759,3 +759,99 @@ def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
         ).alias("z_score"),
     )
+
+
+@register(
+    "stats_ab_cuped_adjustment",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+  FROM per_user
+),
+arms AS (
+  SELECT variant, COUNT(*) AS n_users,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx_v,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy_v
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n_users,
+       sy_v / n_users AS mean_post_cents,
+       sy_v / n_users
+       - ((pooled.n * sxy - sx * sy) / (pooled.n * sxx - sx * sx))
+         * (sx_v / n_users - sx / pooled.n) AS mean_cuped_cents
+FROM arms, pooled
+ORDER BY variant
+""",
+    tags=("stats", "ab-test", "cuped", "variance-reduction"),
+)
+def stats_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al., WSDM'13): each
+    arm's post-period revenue mean is corrected by θ·(pre-period mean
+    deviation), θ = cov(X,Y)/var(X) from the POOLED pre/post covariate
+    — the variance-reduction every mature experimentation platform
+    applies before calling a winner, typically worth a 30-70% CI
+    shrink when pre-period behavior predicts post. Everything reduces
+    to seven exact integers per arm plus five pooled (one per-user
+    aggregation, then two tiny ones); θ and the adjusted means are
+    closed float expressions over those integers, written in the same
+    operand order in both engines — float output, still hash-exact.
+    The pre/post split is a fixed timestamp literal, so assignment is
+    row-local."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_p & (F.col("ts") < cut), cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(is_p & (F.col("ts") >= cut), cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).cast("long").alias("variant"), "x", "y")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d38(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(d38(F.col("x"))).cast("double").alias("sx_v"),
+        F.sum(d38(F.col("y"))).cast("double").alias("sy_v"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            "n_users",
+            (F.col("sy_v") / F.col("n_users")).alias("mean_post_cents"),
+            (
+                F.col("sy_v") / F.col("n_users")
+                - theta * (F.col("sx_v") / F.col("n_users") - sx / n)
+            ).alias("mean_cuped_cents"),
+        )
+        .orderBy("variant")
+    )
