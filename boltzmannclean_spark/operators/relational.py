@@ -978,3 +978,61 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+WITH ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+  FROM embeddings
+),
+floor_n AS (
+  SELECT MIN(c) AS m FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY label)
+)
+SELECT label,
+       COUNT(*) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+FROM ranked, floor_n
+WHERE rk <= m
+GROUP BY label
+ORDER BY label
+""",
+    tags=("sample", "balanced", "downsample", "ml-prep"),
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen by md5 rank within the class — the
+    majority-class trim before training a classifier on skewed labels,
+    made reproducible (no RNG) and engine/partitioning-stable. The
+    floor is a 1-row broadcast (scalar MIN over per-class counts); the
+    per-class ranking is a window on the label key — at 100 TB, rank
+    only what you might keep: pre-filtering each class to a hash
+    PREFIX (e.g. first-byte buckets ≈ 2×floor rows) before the window
+    bounds the sort, the same trick as the salted top-k. Output
+    reports per-class kept counts plus an id-sum fingerprint so the
+    oracle verifies the exact membership, not just the size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.select(
+        "label", "vec_id", F.row_number().over(w).alias("rk")
+    )
+    floor_n = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("m"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .where(F.col("rk") <= F.col("m"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("label")
+    )
