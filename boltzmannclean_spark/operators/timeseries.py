@@ -679,3 +679,68 @@ def ts_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_idx", "hour_utc")
     )
+
+
+@register(
+    "ts_median_interorder_gap",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day_idx,
+         LAG(epoch_us(o_orderdate) // 86400000000)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_day
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey, day_idx - prev_day AS gap_days
+  FROM seq WHERE prev_day IS NOT NULL
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_gaps,
+       CAST(quantile_disc(gap_days, 0.50) AS BIGINT) AS p50_gap_days,
+       CAST(quantile_disc(gap_days, 0.90) AS BIGINT) AS p90_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("timeseries", "retention", "percentile"),
+)
+def ts_median_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (and p90) days between consecutive orders per market
+    segment — the repurchase-cadence number behind replenishment
+    campaigns and churn thresholds ("a customer 2× past their
+    segment's p90 gap is churning"). Gaps come from one lag over the
+    customer-keyed exchange in integer epoch-days (`div`, no calendar
+    arithmetic); the per-segment percentiles are discrete picks of
+    actual gaps (percentile_disc / quantile_disc — no interpolation,
+    so integers hash-match). Customer broadcasts; the gap table is
+    order-count-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate is TIMESTAMP_NTZ in the fixtures; the UTC-pinned
+    # session makes the NTZ->LTZ cast an identity on instants.
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    seq = orders.select(
+        "o_custkey",
+        day.alias("day_idx"),
+        F.lag(day).over(w).alias("prev_day"),
+    )
+    gaps = seq.where(F.col("prev_day").isNotNull()).select(
+        "o_custkey", (F.col("day_idx") - F.col("prev_day")).alias("gap_days")
+    )
+    return (
+        gaps.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY gap_days)")
+            .cast("long")
+            .alias("p50_gap_days"),
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY gap_days)")
+            .cast("long")
+            .alias("p90_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
