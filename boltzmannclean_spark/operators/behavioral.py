@@ -1864,3 +1864,54 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t_us").cast("long").alias("first_peak_us"))
         .orderBy("day_idx")
     )
+
+
+@register(
+    "orders_cohort_repeat_rate",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MIN(epoch_us(o_orderdate) // 2592000000000) AS cohort_mo,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort_mo,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS repeat_rate
+FROM per_cust
+GROUP BY cohort_mo
+ORDER BY cohort_mo
+""",
+    tags=("behavioral", "cohort", "retention"),
+)
+def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition cohort — the one-number
+    retention readout next to the LTV curve: of customers whose FIRST
+    order fell in 30-day bucket m, what share ever ordered again.
+    Cohort is integer epoch-µs division (30-day buckets, no calendar
+    drift); one customer-keyed aggregation produces both the cohort
+    and the order count, then a bucket-count-sized rollup. The rate
+    divides two exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "min(unix_micros(cast(o_orderdate as timestamp))"
+            " div 2592000000000)"
+        ).alias("cohort_mo"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        per_cust.groupBy("cohort_mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(rep).cast("long").alias("n_repeat"),
+            (F.sum(rep).cast("double") / F.count(F.lit(1))).alias(
+                "repeat_rate"
+            ),
+        )
+        .orderBy("cohort_mo")
+    )

@@ -855,3 +855,70 @@ def stats_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "dq_primary_key_uniqueness",
+    oracle="""
+SELECT 'customer.c_custkey' AS key_name, COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_custkey) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+FROM customer
+UNION ALL
+SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber)', COUNT(*),
+       COUNT(DISTINCT l_orderkey * 100 + l_linenumber),
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'part.p_partkey', COUNT(*), COUNT(DISTINCT p_partkey),
+       CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+ORDER BY key_name
+""",
+    tags=("profiling", "dq", "primary-key"),
+)
+def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit — the third leg of the DQ triad
+    (FK orphans: dq_referential_integrity; CHECK rules:
+    dq_constraint_violations; PK duplicates: here). Spark enforces no
+    constraints, so upserts/replays silently double rows and every
+    downstream join fans out — this is the gate a landing zone runs
+    per batch. Per table: one column-pruned scan, exact distinct on
+    the key (composite keys fold to an injective integer — linenumber
+    < 100 — instead of concat-string hashing); fixed 5-row report.
+    At 100 TB exact COUNT(DISTINCT) is a full shuffle of key hashes —
+    the cheap screening variant swaps in approx_count_distinct and
+    only escalates to exact on suspicion."""
+    specs = [
+        ("customer.c_custkey", "customer", F.col("c_custkey")),
+        ("events.event_id", "events", F.col("event_id")),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        ),
+        ("orders.o_orderkey", "orders", F.col("o_orderkey")),
+        ("part.p_partkey", "part", F.col("p_partkey")),
+    ]
+    out = None
+    for key_name, table, key in specs:
+        t = load_table(spark, sf_dir, table)
+        s = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+        ).select(
+            F.lit(key_name).alias("key_name"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).cast("long").alias(
+                "n_dup_rows"
+            ),
+        )
+        out = s if out is None else out.unionAll(s)
+    return out.orderBy("key_name")
