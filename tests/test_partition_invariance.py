@@ -68,6 +68,16 @@ INVARIANT_QUERIES = (
     "text_char_entropy",
     "join_geo_grid_distance",
     "window_reset_running_sum",
+    # closing batch: closed-float stats over exact sums, md5-ranked
+    # picks, discrete percentiles, bounded-frame medians, epoch buckets.
+    "stats_ab_cuped_adjustment",
+    "sample_balanced_downsample",
+    "ts_median_interorder_gap",
+    "orders_cohort_repeat_rate",
+    "dq_primary_key_uniqueness",
+    "window_rolling_median",
+    "ts_weekday_hour_profile",
+    "ts_hourly_autocorr_lag24",
 )
 
 
