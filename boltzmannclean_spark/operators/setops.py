@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from boltzmannclean_spark.functions.exact import dec
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
 
@@ -180,3 +181,64 @@ def setop_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.lit("only_f_status").alias("side")
     )
     return only_a.unionByName(only_b).orderBy("c_custkey", "side")
+
+
+@register(
+    "setop_union_by_name_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+         NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         NULL AS price,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(price) AS BIGINT) AS n_with_price,
+       CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+       CAST(SUM(COALESCE(price, 0)) AS DOUBLE) AS total_priced
+FROM u
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("setop", "union-by-name", "schema-evolution"),
+)
+def setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshots of the "same" table whose
+    column sets drifted (v1 carries price, v2 carries priority) merge
+    with ``unionByName(allowMissingColumns=True)`` — missing columns
+    null-fill BY NAME, where positional UNION ALL would silently zip
+    mismatched columns together (the classic pipeline-breaking bug
+    when a landing-zone schema evolves mid-backfill). The null-count
+    columns in the output pin exactly which side contributed which
+    fields. Union is a zero-shuffle plan node; only the final tiny
+    aggregate exchanges."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice", 14, 2).alias("price"),
+    )
+    v2 = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("price").cast("long").alias("n_with_price"),
+            F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+            F.sum(F.coalesce(F.col("price"), F.lit(0)))
+            .cast("double")
+            .alias("total_priced"),
+        )
+        .orderBy("o_orderstatus")
+    )
