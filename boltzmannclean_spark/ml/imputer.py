@@ -1,6 +1,8 @@
-"""RBMImputer — the reference's ``clean()`` re-architected as an
-MLlib-style Estimator/Transformer pair over Spark DataFrames
-(SURVEY.md §2.A operator table and §3.2 Entry 3).
+"""RBMImputer — the reference's ``clean()`` re-architected as a real
+``pyspark.ml`` Estimator/Model pair over Spark DataFrames
+(SURVEY.md §2.A operator table and §3.2 Entry 3; the north star's
+"MLlib pipeline for RBM-based imputation on DataFrames",
+BASELINE.json:6-7).
 
 Pipeline (reference operators A1-A13 → Spark):
 
@@ -19,6 +21,17 @@ Pipeline (reference operators A1-A13 → Spark):
   argmax categoricals) → fill ONLY originally-null cells. No shuffle;
   scales linearly and runs identically on 6k or 100 TB of rows.
 
+MLlib integration (round-6): ``RBMImputer`` subclasses
+``pyspark.ml.Estimator`` with real ``Param`` plumbing, so it composes in
+``Pipeline(stages=[...])`` and persists via the standard
+``save(path)`` / ``RBMImputer.load(path)``. ``RBMImputerModel``
+subclasses ``pyspark.ml.Model`` and persists its learned state (encode
+stats + vocabularies + RBM weight matrices) alongside the params —
+``model.save(path)``; ``RBMImputerModel.load(path).transform(df)``
+reproduces the original model's output bit-for-bit. The snake_case
+constructor keywords and attribute accessors of earlier rounds are kept
+as a compatibility surface over the camelCase Params.
+
 Contract (matches upstream ``clean``): output has the input's schema;
 observed cells pass through unchanged; numerical fills are un-scaled
 reconstructions; categorical fills always come from the observed
@@ -27,12 +40,26 @@ vocabulary.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import (
+    DefaultParamsReadable,
+    DefaultParamsReader,
+    DefaultParamsWritable,
+    DefaultParamsWriter,
+    MLReadable,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,14 +134,164 @@ def _decode_fill(
     return out
 
 
-class RBMImputerModel:
+class _RBMImputerParams(Params):
+    """Shared Param definitions (MLlib camelCase) + the snake_case
+    compatibility accessors earlier rounds exposed as plain attributes."""
+
+    numericalCols = Param(
+        Params._dummy(),
+        "numericalCols",
+        "numerical columns to min-max scale and impute",
+        typeConverter=TypeConverters.toListString,
+    )
+    categoricalCols = Param(
+        Params._dummy(),
+        "categoricalCols",
+        "categorical columns to one-hot encode and impute",
+        typeConverter=TypeConverters.toListString,
+    )
+    nHidden = Param(
+        Params._dummy(),
+        "nHidden",
+        "number of RBM hidden units",
+        typeConverter=TypeConverters.toInt,
+    )
+    learnRate = Param(
+        Params._dummy(),
+        "learnRate",
+        "CD-1 learning rate",
+        typeConverter=TypeConverters.toFloat,
+    )
+    batchSize = Param(
+        Params._dummy(),
+        "batchSize",
+        "CD-1 minibatch size",
+        typeConverter=TypeConverters.toInt,
+    )
+    dropoutFraction = Param(
+        Params._dummy(),
+        "dropoutFraction",
+        "hidden-unit dropout fraction during training",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxEpochs = Param(
+        Params._dummy(),
+        "maxEpochs",
+        "training epochs",
+        typeConverter=TypeConverters.toInt,
+    )
+    adagrad = Param(
+        Params._dummy(),
+        "adagrad",
+        "use Adagrad-scaled updates",
+        typeConverter=TypeConverters.toBoolean,
+    )
+    seed = Param(
+        Params._dummy(),
+        "seed",
+        "random seed (init, noise-fill, dropout, Gibbs)",
+        typeConverter=TypeConverters.toInt,
+    )
+    sampleFraction = Param(
+        Params._dummy(),
+        "sampleFraction",
+        "fraction of rows sampled for the driver-side fit",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxFitRows = Param(
+        Params._dummy(),
+        "maxFitRows",
+        "hard cap on driver-side fit rows",
+        typeConverter=TypeConverters.toInt,
+    )
+    distributedFit = Param(
+        Params._dummy(),
+        "distributedFit",
+        "use per-epoch distributed CD-1 gradient averaging",
+        typeConverter=TypeConverters.toBoolean,
+    )
+
+    _DEFAULTS = dict(
+        numericalCols=[],
+        categoricalCols=[],
+        nHidden=16,
+        learnRate=0.1,
+        batchSize=32,
+        dropoutFraction=0.5,
+        maxEpochs=30,
+        adagrad=True,
+        seed=42,
+        sampleFraction=1.0,
+        maxFitRows=100_000,
+        distributedFit=False,
+    )
+
+    def getSeed(self) -> int:
+        return self.getOrDefault(self.seed)
+
+    # -- snake_case compatibility surface (rounds 1-5 API) ----------------
+    @property
+    def numerical_columns(self) -> list[str]:
+        return list(self.getOrDefault(self.numericalCols))
+
+    @property
+    def categorical_columns(self) -> list[str]:
+        return list(self.getOrDefault(self.categoricalCols))
+
+    @property
+    def sample_fraction(self) -> float:
+        return self.getOrDefault(self.sampleFraction)
+
+    @property
+    def max_fit_rows(self) -> int:
+        return self.getOrDefault(self.maxFitRows)
+
+    @property
+    def distributed_fit(self) -> bool:
+        return self.getOrDefault(self.distributedFit)
+
+    @property
+    def rbm_kwargs(self) -> dict:
+        return dict(
+            n_hidden=self.getOrDefault(self.nHidden),
+            learn_rate=self.getOrDefault(self.learnRate),
+            batch_size=self.getOrDefault(self.batchSize),
+            dropout_fraction=self.getOrDefault(self.dropoutFraction),
+            max_epochs=self.getOrDefault(self.maxEpochs),
+            adagrad=self.getOrDefault(self.adagrad),
+            seed=self.getOrDefault(self.seed),
+        )
+
+    @rbm_kwargs.setter
+    def rbm_kwargs(self, kw: dict) -> None:
+        self._set(
+            nHidden=kw["n_hidden"],
+            learnRate=kw["learn_rate"],
+            batchSize=kw["batch_size"],
+            dropoutFraction=kw["dropout_fraction"],
+            maxEpochs=kw["max_epochs"],
+            adagrad=kw["adagrad"],
+            seed=kw["seed"],
+        )
+
+
+class RBMImputerModel(Model, _RBMImputerParams, MLWritable, MLReadable):
+    """Fitted model: learned encode state + RBM weights. A real
+    ``pyspark.ml.Model`` — composes in PipelineModel, persists via
+    ``save``/``load`` (params through DefaultParamsWriter metadata,
+    learned state as a 1-row JSON parquet under ``<path>/data``)."""
+
     def __init__(
-        self, enc: _EncodeState, rbm: RestrictedBoltzmannMachine
+        self,
+        enc: _EncodeState | None = None,
+        rbm: RestrictedBoltzmannMachine | None = None,
     ) -> None:
+        super().__init__()
+        self._setDefault(**_RBMImputerParams._DEFAULTS)
         self.enc = enc
         self.rbm = rbm
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def _transform(self, df: DataFrame) -> DataFrame:
         """Distributed impute: one mapInPandas pass, broadcast weights."""
         enc = self.enc
         spark = df.sparkSession
@@ -147,13 +324,89 @@ class RBMImputerModel:
 
         return df.mapInPandas(impute, schema=df.schema)
 
+    # -- persistence -------------------------------------------------------
+    def write(self) -> MLWriter:
+        return _RBMImputerModelWriter(self)
 
-class RBMImputer:
-    """Estimator: learns encode state + RBM weights from a DataFrame."""
+    @classmethod
+    def read(cls) -> "_RBMImputerModelReader":
+        return _RBMImputerModelReader(cls)
+
+
+class _RBMImputerModelWriter(MLWriter):
+    def __init__(self, instance: RBMImputerModel) -> None:
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        m = self.instance
+        DefaultParamsWriter.saveMetadata(m, path, self.sparkSession)
+        state = {
+            "numerical_columns": m.enc.numerical_columns,
+            "categorical_columns": m.enc.categorical_columns,
+            "stats": {c: list(v) for c, v in m.enc.stats.items()},
+            "vocabs": m.enc.vocabs,
+            "rbm_conf": {
+                "n_hidden": m.rbm.n_hidden,
+                "learn_rate": m.rbm.learn_rate,
+                "batch_size": m.rbm.batch_size,
+                "dropout_fraction": m.rbm.dropout_fraction,
+                "max_epochs": m.rbm.max_epochs,
+                "adagrad": m.rbm.adagrad,
+                "seed": m.rbm.seed,
+            },
+            "W": m.rbm.W.tolist(),
+            "b_vis": m.rbm.b_vis.tolist(),
+            "b_hid": m.rbm.b_hid.tolist(),
+        }
+        (
+            self.sparkSession.createDataFrame(
+                [(json.dumps(state),)], "state string"
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "data"))
+        )
+
+
+class _RBMImputerModelReader(MLReader):
+    def __init__(self, cls: type) -> None:
+        super().__init__()
+        self.cls = cls
+
+    def load(self, path: str) -> RBMImputerModel:
+        metadata = DefaultParamsReader.loadMetadata(path, self.sparkSession)
+        row = self.sparkSession.read.parquet(os.path.join(path, "data")).head()
+        state = json.loads(row.state)
+        enc = _EncodeState(
+            state["numerical_columns"],
+            state["categorical_columns"],
+            {c: (float(v[0]), float(v[1])) for c, v in state["stats"].items()},
+            state["vocabs"],
+        )
+        rbm = RestrictedBoltzmannMachine(**state["rbm_conf"])
+        rbm.W = np.asarray(state["W"], dtype=np.float64)
+        rbm.b_vis = np.asarray(state["b_vis"], dtype=np.float64)
+        rbm.b_hid = np.asarray(state["b_hid"], dtype=np.float64)
+        model = self.cls(enc, rbm)
+        model._resetUid(metadata["uid"])
+        DefaultParamsReader.getAndSetParams(model, metadata)
+        return model
+
+
+class RBMImputer(
+    Estimator, _RBMImputerParams, DefaultParamsWritable, DefaultParamsReadable
+):
+    """Estimator: learns encode state + RBM weights from a DataFrame.
+
+    A real ``pyspark.ml.Estimator``: drop it into
+    ``Pipeline(stages=[RBMImputer(...)])``, persist it with
+    ``save(path)`` / ``RBMImputer.load(path)``. Constructor keeps the
+    rounds-1-5 snake_case keywords; values live in MLlib ``Param``s."""
 
     def __init__(
         self,
-        numerical_columns: Sequence[str],
+        numerical_columns: Sequence[str] = (),
         categorical_columns: Sequence[str] = (),
         n_hidden: int = 16,
         learn_rate: float = 0.1,
@@ -166,21 +419,22 @@ class RBMImputer:
         max_fit_rows: int = 100_000,
         distributed_fit: bool = False,
     ) -> None:
-        self.numerical_columns = list(numerical_columns)
-        self.categorical_columns = list(categorical_columns)
-        self.rbm_kwargs = dict(
-            n_hidden=n_hidden,
-            learn_rate=learn_rate,
-            batch_size=batch_size,
-            dropout_fraction=dropout_fraction,
-            max_epochs=max_epochs,
+        super().__init__()
+        self._setDefault(**_RBMImputerParams._DEFAULTS)
+        self._set(
+            numericalCols=list(numerical_columns),
+            categoricalCols=list(categorical_columns),
+            nHidden=n_hidden,
+            learnRate=learn_rate,
+            batchSize=batch_size,
+            dropoutFraction=dropout_fraction,
+            maxEpochs=max_epochs,
             adagrad=adagrad,
             seed=seed,
+            sampleFraction=sample_fraction,
+            maxFitRows=max_fit_rows,
+            distributedFit=distributed_fit,
         )
-        self.seed = seed
-        self.sample_fraction = sample_fraction
-        self.max_fit_rows = max_fit_rows
-        self.distributed_fit = distributed_fit
 
     # -- encode-state job (A3/A4): one aggregation over the data ----------
     def _fit_encode_state(self, df: DataFrame) -> _EncodeState:
@@ -204,7 +458,7 @@ class RBMImputer:
             self.numerical_columns, self.categorical_columns, stats, vocabs
         )
 
-    def fit(self, df: DataFrame) -> RBMImputerModel:
+    def _fit(self, df: DataFrame) -> RBMImputerModel:
         enc = self._fit_encode_state(df)
         rbm = RestrictedBoltzmannMachine(**self.rbm_kwargs)
         if self.distributed_fit:
@@ -213,11 +467,13 @@ class RBMImputer:
             sample = df.select(*enc.numerical_columns, *enc.categorical_columns)
             if self.sample_fraction < 1.0:
                 sample = sample.sample(
-                    fraction=self.sample_fraction, seed=self.seed
+                    fraction=self.sample_fraction, seed=self.getSeed()
                 )
             pdf = sample.limit(self.max_fit_rows).toPandas()
             rbm.fit(_encode(pdf, enc))
-        return RBMImputerModel(enc, rbm)
+        model = RBMImputerModel(enc, rbm)
+        model._resetUid(self.uid)
+        return self._copyValues(model)
 
     # -- v2: distributed gradient epochs (A8 at scale) ---------------------
     def _fit_distributed(
@@ -227,7 +483,7 @@ class RBMImputer:
         (mapInPandas) → driver weighted-averages → Adagrad update. Traffic
         per epoch = one (d×h) gradient per partition."""
         spark = df.sparkSession
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.getSeed())
         rbm.init_params(enc.n_visible, rng)
         data = df.select(*enc.numerical_columns, *enc.categorical_columns)
         for epoch in range(rbm.max_epochs):
@@ -307,7 +563,7 @@ class RBMImputer:
             .toPandas()
         )
         V = _encode(pdf, enc)
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.getSeed())
         observed = ~np.isnan(V)
         holdout = observed & (rng.random(V.shape) < validation_fraction)
         V_train = V.copy()

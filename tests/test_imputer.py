@@ -146,6 +146,108 @@ def test_tune_selects_config(spark, holed):
     assert np.isfinite(imp.best_rmse_)
 
 
+def test_mllib_pipeline_composes(spark, holed):
+    """RBMImputer is a real pyspark.ml Estimator: it must compose inside
+    Pipeline(stages=[...]) and the resulting PipelineModel must impute
+    (the north star's 'MLlib pipeline for RBM-based imputation')."""
+    from pyspark.ml import Pipeline
+
+    imp = RBMImputer(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=8,
+        max_epochs=3,
+        seed=42,
+    )
+    pm = Pipeline(stages=[imp]).fit(holed)
+    out = pm.transform(holed)
+    assert out.schema == holed.schema
+    assert out.where(F.col("c_acctbal").isNull()).count() == 0
+
+
+def test_estimator_save_load_roundtrip(tmp_path, holed):
+    """Estimator persistence via DefaultParamsWritable/Readable: every
+    Param survives, and the reloaded estimator fits a working model."""
+    imp = RBMImputer(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=6,
+        learn_rate=0.07,
+        max_epochs=4,
+        seed=99,
+        distributed_fit=False,
+    )
+    path = str(tmp_path / "rbm_estimator")
+    imp.save(path)
+    back = RBMImputer.load(path)
+    assert back.numerical_columns == ["c_acctbal"]
+    assert back.categorical_columns == ["c_mktsegment"]
+    assert back.rbm_kwargs == imp.rbm_kwargs
+    out = back.fit(holed).transform(holed)
+    assert out.where(F.col("c_acctbal").isNull()).count() == 0
+
+
+def test_model_save_load_bit_identical(tmp_path, spark, holed):
+    """Model persistence: save → load → transform must reproduce the
+    original model's output bit-for-bit (weights, encode stats and
+    vocabularies all round-trip; Gibbs seeds are part of the state)."""
+    from boltzmannclean_spark.ml.imputer import RBMImputerModel
+
+    model = RBMImputer(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=8,
+        max_epochs=3,
+        seed=42,
+    ).fit(holed)
+    path = str(tmp_path / "rbm_model")
+    model.save(path)
+    back = RBMImputerModel.load(path)
+    a = sorted(model.transform(holed).collect())
+    b = sorted(back.transform(holed).collect())
+    assert a == b
+
+
+def test_distributed_fit_quality_parity(spark, sf_dir, holed):
+    """The distributed gradient-averaging fit must match the driver-side
+    sample fit in imputation quality: masked-cell RMSE (vs the pre-mask
+    truth) within 1.15x at equal epochs (verdict r5 item 6; measured
+    ratio ~1.005 at sf0.001-0.01)."""
+    orig = load_table(spark, sf_dir, "customer")
+    masked_keys = holed.where(F.col("c_acctbal").isNull()).select("c_custkey")
+    truth = orig.join(masked_keys, "c_custkey").select(
+        "c_custkey", F.col("c_acctbal").alias("truth")
+    )
+
+    def masked_rmse(model):
+        out = model.transform(holed)
+        return (
+            out.join(truth, "c_custkey")
+            .agg(
+                F.sqrt(
+                    F.avg((F.col("c_acctbal") - F.col("truth")) ** 2)
+                ).alias("r")
+            )
+            .collect()[0]
+            .r
+        )
+
+    kw = dict(
+        numerical_columns=["c_acctbal"],
+        categorical_columns=["c_mktsegment"],
+        n_hidden=8,
+        max_epochs=5,
+        seed=42,
+    )
+    rmse_sample = masked_rmse(RBMImputer(**kw).fit(holed))
+    rmse_dist = masked_rmse(
+        RBMImputer(**kw, distributed_fit=True).fit(holed)
+    )
+    assert rmse_dist <= 1.15 * rmse_sample, (
+        f"distributed {rmse_dist:.1f} vs sample {rmse_sample:.1f}"
+    )
+
+
 def test_top_level_clean_matches_upstream_api(holed):
     """boltzmannclean_spark.clean() is the drop-in for upstream
     boltzmannclean.clean(dataframe, numerical_columns,
