@@ -1,0 +1,324 @@
+"""ANN index lifecycle: build once, persist, query many times
+(round-6 verdict item 2; SURVEY.md §2.B similarity family).
+
+At 100 TB an ANN index is not retrained inside every query — the
+codebooks (PQ) and coarse-quantizer cell assignments (IVF) are trained
+in ONE offline job, persisted columnar, and every subsequent query
+reads the (tiny) codebook plus the (code-compressed) corpus codes.
+This module adds that split on top of the in-query training variants in
+``operators/similarity.py`` (kept for oracle parity and as the
+train+query composition):
+
+- ``ensure_ann_index`` / ``sink_ann_index_build`` — train the PQ
+  per-block codebooks, corpus PQ codes, and IVF cell assignments
+  (exact-integer Lloyd, identical math to the in-query variants) and
+  persist them as parquet under a per-corpus artifact directory.
+  The build is idempotent (fingerprinted by corpus row count + index
+  config) and atomic (tmp dir + rename).
+- ``similarity_ann_pq_adc_prebuilt`` — the QUERY leg only: broadcast
+  the stored codebook, compute each query's ADC LUT, scan the stored
+  code table with an equi-join + sum, salted top-k. No training in the
+  plan; this is the shape that serves at 100 TB (codes are 64x smaller
+  than the raw vectors; the scan never touches a float vector).
+- ``similarity_ann_ivfpq_prebuilt`` — the composed FAISS-style query:
+  the stored IVF cell equi-join restricts the ADC scan to each query's
+  cell before scoring.
+
+Artifact layout (all exact integers, so parquet round-trips losslessly
+and results stay bit-identical to the DuckDB oracles, which re-derive
+the same training):
+
+    <dir>/codebook/   (b, cid, cvec array<long>)   PQ_M*PQ_K rows
+    <dir>/codes/      (vec_id, b, cid)             corpus * PQ_M rows
+    <dir>/cells/      (vec_id, cell)               corpus rows
+    <dir>/meta.json   {"n": corpus_rows, "conf": {...}}
+
+At cluster scale ``codes`` would be written partitioned/bucketed by
+``b`` (or cell) and the build would run as a scheduled job; here the
+artifact lands under the system temp dir keyed by the input path, so
+repeated queries in a session (and across sessions) reuse it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.topk import topk_per_key
+from boltzmannclean_spark.functions.vectors import as_double, norm
+from boltzmannclean_spark.operators.similarity import (
+    N_QUERY,
+    PQ_DSUB,
+    PQ_ITERS,
+    PQ_K,
+    PQ_M,
+    TOP_K,
+    _int_dist_unrolled,
+    _ivfpq_oracle,
+    _kmeans_cells,
+    _pq_iter_sql,
+    _pq_oracle,
+    _pq_subvectors,
+    _pq_train,
+    _qvec,
+    MICRO,
+)
+from boltzmannclean_spark.plans.registry import register
+from boltzmannclean_spark.sources.catalog import load_table
+
+_INDEX_CONF = {
+    "pq_m": PQ_M,
+    "pq_dsub": PQ_DSUB,
+    "pq_k": PQ_K,
+    "pq_iters": PQ_ITERS,
+    "version": 1,
+}
+
+
+def _index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"bcs_ann_index_{key}")
+
+
+def ensure_ann_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build (or reuse) the persisted ANN index for ``sf_dir``'s
+    embeddings table. Returns the artifact directory. Idempotent: a
+    valid artifact (matching corpus count + config fingerprint) is
+    reused; builds are atomic via tmp-dir + rename."""
+    path = _index_dir(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    meta_file = os.path.join(path, "meta.json")
+    if not force and os.path.exists(meta_file):
+        try:
+            with open(meta_file) as fh:
+                meta = json.load(fh)
+            if meta.get("n") == n_corpus and meta.get("conf") == _INDEX_CONF:
+                return path
+        except (OSError, json.JSONDecodeError):
+            pass  # corrupt artifact: rebuild below
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    # -- PQ training: per-block codebooks + corpus codes (exact integer
+    #    Lloyd; identical math to similarity_ann_pq_adc's in-query leg).
+    sub = _pq_subvectors(
+        emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    ).localCheckpoint()
+    cent = _pq_train(sub).cache()
+    codes = (
+        sub.join(F.broadcast(cent), "b")
+        .select(
+            "vec_id",
+            "b",
+            "cid",
+            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
+                "dist"
+            ),
+        )
+        .groupBy("vec_id", "b")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+    # -- IVF coarse quantizer cell assignments.
+    n_full = emb.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("e"),
+        _qvec(F.col("embedding")).alias("qvec"),
+    ).withColumn("nrm", norm(F.col("e")))
+    cells = _kmeans_cells(n_full).select("vec_id", F.col("cid").alias("cell"))
+
+    cent.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codebook")
+    )
+    # At cluster scale: .write.partitionBy("b") (or bucketBy cell) so the
+    # ADC scan prunes files; at test SF a handful of files is right.
+    codes.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codes")
+    )
+    cells.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(tmp, "cells")
+    )
+    cent.unpersist()
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump({"n": n_corpus, "conf": _INDEX_CONF}, fh)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+def _pq_codebook_ctes() -> str:
+    """The PQ training CTE prefix (pq, pc0..pcN) shared with
+    ``similarity._pq_oracle`` — re-derives the exact codebook the build
+    job persists."""
+    iters, prev = [], "pc0"
+    for k in range(1, PQ_ITERS + 1):
+        iters.append(_pq_iter_sql(k, prev))
+        prev = f"pc{k}"
+    return (
+        f"""
+WITH pq AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1) // {PQ_DSUB} AS b,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_DSUB} AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),"""
+        + ",".join(iters)
+    ), prev
+
+
+_BUILD_CTES, _BUILD_FINAL = _pq_codebook_ctes()
+
+ANN_BUILD_ORACLE = f"""{_BUILD_CTES}
+SELECT CAST(b AS BIGINT) AS b, CAST(cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(cx) AS BIGINT) AS cx_sum,
+       CAST(MIN(cx) AS BIGINT) AS cx_min,
+       CAST(MAX(cx) AS BIGINT) AS cx_max
+FROM {_BUILD_FINAL}
+GROUP BY b, cid
+ORDER BY b, cid
+"""
+
+
+@register(
+    "sink_ann_index_build",
+    oracle=ANN_BUILD_ORACLE,
+    tags=("sink", "ann", "index", "lifecycle"),
+)
+def sink_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline index-build job: (re)train PQ codebooks + codes + IVF
+    cells, persist them, then read the PERSISTED codebook back and
+    summarize it per (block, code) — count/sum/min/max of the centroid
+    coordinates. The oracle re-derives the same codebook from scratch in
+    DuckDB, so a hash match proves the stored artifact is bit-identical
+    to the specification, i.e. the persistence layer loses nothing. The
+    build itself is forced (this IS the build benchmark); queries reuse
+    the artifact via ``ensure_ann_index``."""
+    path = ensure_ann_index(spark, sf_dir, force=True)
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    return (
+        cb.select("b", "cid", F.posexplode("cvec").alias("d", "cx"))
+        .groupBy(
+            F.col("b").cast("long").alias("b"),
+            F.col("cid").cast("long").alias("cid"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("cx").alias("cx_sum"),
+            F.min("cx").alias("cx_min"),
+            F.max("cx").alias("cx_max"),
+        )
+        .orderBy("b", "cid")
+    )
+
+
+@register(
+    "similarity_ann_pq_adc_prebuilt",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "prebuilt"),
+)
+def similarity_ann_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN against the PERSISTED index — the production query
+    shape: no training in the plan. Read the stored codebook (PQ_M*PQ_K
+    rows, broadcast) and code table; compute each query's exact
+    block-distance LUT from its raw sub-vectors x the codebook
+    (queries x PQ_M x PQ_K rows, broadcast); score candidates by a
+    code-table equi-join + sum; salted top-k. Scan cost is linear in
+    the CODE table (1 byte/block/vector at scale), and the only
+    shuffle is the per-query partial-aggregated ADC sum. Results are
+    bit-identical to the train-in-query variant (the artifact is exact
+    integers), so the same oracle applies."""
+    path = ensure_ann_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(path, "codebook"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qsub = _pq_subvectors(
+        emb.where(F.col("vec_id") < N_QUERY).select(
+            "vec_id", _qvec(F.col("embedding")).alias("qvec")
+        )
+    )
+    lut = qsub.join(F.broadcast(cent), "b").select(
+        F.col("vec_id").alias("query_id"),
+        "b",
+        "cid",
+        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias("pdist"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["b", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.col("adc_dist"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "similarity_ann_ivfpq_prebuilt",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "prebuilt"),
+)
+def similarity_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFxPQ against the PERSISTED index: the stored IVF cell table
+    restricts the ADC scan to each query's cell (the multiplicative
+    pruning that makes a billion-vector store answer), and scoring runs
+    over stored 1-byte-per-block codes via the broadcast LUT. The plan
+    contains zero training; both artifacts come off parquet. Same
+    oracle as the train-in-query variant — bit-identical by exact
+    integer construction."""
+    path = ensure_ann_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(path, "codebook"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qsub = _pq_subvectors(
+        emb.where(F.col("vec_id") < N_QUERY).select(
+            "vec_id", _qvec(F.col("embedding")).alias("qvec")
+        )
+    )
+    lut = qsub.join(F.broadcast(cent), "b").select(
+        F.col("vec_id").alias("query_id"),
+        "b",
+        "cid",
+        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias("pdist"),
+    )
+    qcells = cells.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qc_query"), F.col("cell").alias("qcell")
+    )
+    scored = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(lut), ["b", "cid"])
+        .join(
+            F.broadcast(qcells),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("query_id") == F.col("qc_query"))
+            & (F.col("vec_id") != F.col("qc_query")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.col("adc_dist"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")

@@ -393,8 +393,27 @@ DEMO_COSINE_THRESHOLD = 0.35
 QUANT_SCALE = 1 << 30
 
 
-def _cosine_dup_oracle(bands: int, rows: int, threshold: float) -> str:
+DEMO_SAMPLE_CAP = 2000
+
+
+def _cosine_dup_oracle(
+    bands: int, rows: int, threshold: float, sample_cap: int | None = None
+) -> str:
     n_planes = bands * rows
+    # Optional deterministic hash-sample (md5-ordered LIMIT): bounds the
+    # demo parameterization's candidate set at any corpus size; the
+    # Spark plan applies the identical rule.
+    samp = (
+        f""",
+samp AS (
+  SELECT vec_id, e, nrm FROM n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {sample_cap}
+)"""
+        if sample_cap is not None
+        else ""
+    )
+    src = "samp" if sample_cap is not None else "n"
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -404,7 +423,7 @@ n AS (
   SELECT vec_id, e,
          sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
   FROM v
-),
+){samp},
 planes AS (
   SELECT p, list_transform(range(1, 65),
            i -> CASE WHEN substring(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1)
@@ -419,7 +438,7 @@ planes AS (
 -- side compute the same bits with a vectorized matmul.
 q AS (
   SELECT vec_id, list_transform(e, x -> CAST(floor(x * {QUANT_SCALE}.0) AS BIGINT)) AS qv
-  FROM n
+  FROM {src}
 ),
 bits AS (
   SELECT q.vec_id, planes.p // {rows} AS band,
@@ -440,8 +459,8 @@ SELECT c.vec_a, c.vec_b,
                                   i -> na.e[i] * nb.e[i]),
                    (s, x) -> s + x) / (na.nrm * nb.nrm) AS cosine
 FROM cand c
-JOIN n na ON na.vec_id = c.vec_a
-JOIN n nb ON nb.vec_id = c.vec_b
+JOIN {src} na ON na.vec_id = c.vec_a
+JOIN {src} nb ON nb.vec_id = c.vec_b
 WHERE list_reduce(list_transform(range(1, len(na.e) + 1),
                                  i -> na.e[i] * nb.e[i]),
                   (s, x) -> s + x) / (na.nrm * nb.nrm) >= {threshold}
@@ -450,7 +469,12 @@ ORDER BY vec_a, vec_b
 
 
 def _cosine_dup_plan(
-    spark: SparkSession, sf_dir: str, bands: int, rows: int, threshold: float
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int,
+    rows: int,
+    threshold: float,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """Shared banded-LSH near-dup kernel; see the registered wrappers
     for the parameterization rationale.
@@ -473,6 +497,20 @@ def _cosine_dup_plan(
     n = emb.select("vec_id", as_double("embedding").alias("e")).withColumn(
         "nrm", norm(F.col("e"))
     )
+    if sample_cap is not None:
+        # Deterministic hash-sample, mirrored in the oracle: order by
+        # md5(vec_id) and keep the first `sample_cap` rows (a global
+        # TakeOrdered — bounded driver/exchange cost at any corpus
+        # size). Bounds the demo parameterization's otherwise
+        # corpus-quadratic candidate set.
+        n = (
+            n.withColumn(
+                "h", F.md5(F.col("vec_id").cast("string").cast("binary"))
+            )
+            .orderBy("h", "vec_id")
+            .limit(sample_cap)
+            .drop("h")
+        )
     cand = _cosine_band_candidates(spark, n, bands, rows)
     na = n.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
@@ -604,7 +642,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine_recall_demo",
-    oracle=_cosine_dup_oracle(DEMO_BANDS, DEMO_ROWS, DEMO_COSINE_THRESHOLD),
+    oracle=_cosine_dup_oracle(
+        DEMO_BANDS, DEMO_ROWS, DEMO_COSINE_THRESHOLD, DEMO_SAMPLE_CAP
+    ),
     tags=("dedup", "embedding", "cosine", "demo"),
 )
 def dedup_embedding_cosine_recall_demo(
@@ -614,11 +654,19 @@ def dedup_embedding_cosine_recall_demo(
     produces a rich non-empty pair set on the synthetic corpus so the
     exact-cosine verification path is value-checked end-to-end. NOT the
     production shape: 3-bit bands at this low threshold admit ~35% of
-    all pairs as candidates (effectively quadratic — kept out of the
-    bench headline set deliberately); use `dedup_embedding_cosine`'s
-    8-bit bands for anything at scale."""
+    candidate pairs (kept out of the bench headline set deliberately);
+    use `dedup_embedding_cosine`'s 16-bit bands for anything at scale.
+    To keep even the registered demo sub-quadratic on a grown corpus,
+    the input is deterministically hash-sampled to <= DEMO_SAMPLE_CAP
+    vectors inside both plan and oracle (r5 verdict item 5) — a no-op
+    at the current test SFs (corpus <= 2000), a hard bound beyond."""
     return _cosine_dup_plan(
-        spark, sf_dir, DEMO_BANDS, DEMO_ROWS, DEMO_COSINE_THRESHOLD
+        spark,
+        sf_dir,
+        DEMO_BANDS,
+        DEMO_ROWS,
+        DEMO_COSINE_THRESHOLD,
+        sample_cap=DEMO_SAMPLE_CAP,
     )
 
 
@@ -1491,8 +1539,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity join (Jaccard >= 0.8) via PREFIX FILTERING —
     the PPJoin/AllPairs family (Xiao et al., WWW'08), the third
     near-dup technique next to MinHash (probabilistic) and SimHash
-    (bitwise). The similarity universe is BIGRAM SHINGLES (as in
-    dedup_ngram_jaccard), not unigrams: prefix filtering prunes by
+    (bitwise). The similarity universe is TRIGRAM SHINGLES (one word
+    longer than dedup_ngram_jaccard's bigrams), not unigrams: prefix
+    filtering prunes by
     indexing each set's n − ⌈θ·n⌉ + 1 RAREST elements, and its power is
     entirely in element-frequency spread — this corpus's ~60-word
     synthetic unigram vocabulary makes every unigram stopword-frequent

@@ -551,11 +551,11 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d_agg = docs.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        viol(
-            ~(F.col("n_chars") == F.length("text"))
-            | F.col("n_chars").isNull()
-            | F.col("text").isNull()
-        ).alias("v_chars"),
+        # Null-safe equality (<=>) mirrors the oracle's IS DISTINCT
+        # FROM exactly: both-NULL is a match (no violation), one-side
+        # NULL is a violation (ADVICE r5: the isNull-disjunction form
+        # counted both-NULL rows as violations, diverging from DuckDB).
+        viol(~F.col("n_chars").eqNullSafe(F.length("text"))).alias("v_chars"),
     )
     # Unpivot each table's single aggregate row via stack() so every
     # table is scanned ONCE (a per-rule select over the same agg would

@@ -1059,10 +1059,11 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     _corrupt_record instead of failing the load — the JSON twin of the
     CSV quarantine op, exercising the OTHER parser's failure taxonomy
     (JSON corruption is structural — malformed syntax — where CSV's is
-    positional arity/type; a type MISMATCH in valid JSON nulls the
-    field and is NOT quarantined, which this fixture pins with a
-    valid-but-wrong-typed row counted as good). File authored
-    deterministically, so the split is a literal oracle."""
+    positional arity/type; unlike CSV, Spark's JSON parser ALSO
+    quarantines the whole row on a type mismatch in otherwise-valid
+    JSON, which this fixture pins with a valid-but-wrong-typed row
+    counted among the corrupt). File authored deterministically, so
+    the split is a literal oracle."""
     import os
 
     path = tempfile.mkdtemp(prefix="bcs_json_corrupt_") + "/messy"

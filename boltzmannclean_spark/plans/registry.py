@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "boltzmannclean_spark.operators.graph",
     "boltzmannclean_spark.operators.dedup",
     "boltzmannclean_spark.operators.similarity",
+    "boltzmannclean_spark.operators.ann_index",
     "boltzmannclean_spark.operators.text",
     "boltzmannclean_spark.operators.multimodal",
     "boltzmannclean_spark.operators.imputation",

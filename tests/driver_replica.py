@@ -4,9 +4,15 @@ sf0.001, then every `queries()` entry at sf0.01 against its
 value canon, floats bit-exact via float.hex, pandas-sort strictness
 identical to the driver's canonicalizer).
 
-Usage: python tests/driver_replica.py [--only name1,name2]
-Exit code 0 iff every query passes (rows-only entries must run and
-canonicalize).
+Usage: python tests/driver_replica.py [--only name1,name2] [--emit FILE]
+
+`--emit FILE` writes a full-registry correctness artifact in the
+driver's own CORRECTNESS_r{N}.json schema (per query: rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err; rows-only
+entries get nulls + err="no_oracle") — the round-6 verdict's item 3:
+the driver samples ~50 queries/round, this artifact documents all of
+them. Exit code 0 iff every query passes (rows-only entries must run
+and canonicalize).
 """
 
 from __future__ import annotations
@@ -21,16 +27,47 @@ import __spark_entry__ as m  # noqa: E402
 from boltzmannclean_spark.session import get_spark  # noqa: E402
 
 sys.path.insert(0, "/root/repo/tests")
-from oracle_utils import assert_matches_oracle, driver_sort_canon  # noqa: E402
+from oracle_utils import (  # noqa: E402
+    assert_path_free,
+    canonical_rows,
+    driver_sort_canon,
+    run_oracle,
+)
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
 
 
+def compare_to_oracle(df, sql: str, sf_dir: str, name: str) -> dict:
+    """Driver-schema comparison record for one oracled query."""
+    sp = df.toPandas()
+    assert_path_free(sp, name, sf_dir)
+    du = run_oracle(sql, sf_dir)
+    schema_match = sorted(sp.columns) == sorted(du.columns)
+    rows_match = len(sp) == len(du)
+    hash_match = bool(
+        schema_match
+        and rows_match
+        and canonical_rows(sp, name=name) == canonical_rows(du, name=name)
+    )
+    ok = rows_match and schema_match and hash_match
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": len(sp),
+        "oracle_rows": len(du),
+        "err": None if ok else "mismatch",
+    }
+
+
 def main() -> int:
     only = None
+    emit = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--emit" in sys.argv:
+        emit = sys.argv[sys.argv.index("--emit") + 1]
     spark = get_spark("driver-replica")
     n = len(m.entry(spark).collect())
     print(f"entry(): {n} rows", flush=True)
@@ -38,6 +75,7 @@ def main() -> int:
 
     queries = m.queries()
     oracles = m.oracle_sql()
+    results: dict[str, dict] = {}
     failures: dict[str, str] = {}
     t_all = time.time()
     for name, fn in queries.items():
@@ -47,17 +85,43 @@ def main() -> int:
         try:
             df = fn(spark, SF01)
             if name in oracles:
-                assert_matches_oracle(df, oracles[name], SF01, name=name)
-                status = "oracle-ok"
+                rec = compare_to_oracle(df, oracles[name], SF01, name=name)
+                if rec["err"]:
+                    failures[name] = "oracle mismatch"
+                    status = "FAIL(mismatch)"
+                else:
+                    status = "oracle-ok"
             else:
                 pdf = df.toPandas()
                 driver_sort_canon(pdf, name=name)
+                rec = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(pdf),
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                }
                 status = f"rows-only({len(pdf)})"
         except Exception as e:  # noqa: BLE001
-            failures[name] = f"{type(e).__name__}: {e}"[:500]
+            msg = f"{type(e).__name__}: {e}"[:500]
+            failures[name] = msg
+            rec = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": msg,
+            }
             status = "FAIL"
+        results[name] = rec
         print(f"  {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
     print(f"total {time.time() - t_all:.0f}s, {len(failures)} failures", flush=True)
+    if emit:
+        with open(emit, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {emit} ({len(results)} entries)", flush=True)
     if failures:
         print(json.dumps(failures, indent=2)[:4000])
         return 1

@@ -91,6 +91,52 @@ def test_multibatch_incremental_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_ohlc_matches_batch_rollup(spark, sf_dir):
+    """Stream-batch parity for the OHLC candle rollup (r5 verdict item
+    7): the watermarked streaming aggregation (min_by/max_by pick keys)
+    must produce row-for-row the same candles as the batch hypertable
+    rollup ts_ohlc_bars (window-function formulation) over the same
+    events — two independent formulations of one contract."""
+    qs = all_queries()
+    stream_rows = sorted(
+        tuple(r) for r in qs["stream_ohlc_hourly"].spark_fn(spark, sf_dir).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in qs["ts_ohlc_bars"].spark_fn(spark, sf_dir).collect()
+    )
+    assert stream_rows == batch_rows
+
+
+def test_python_datasource_replay_matches_batch(spark, sf_dir):
+    """Replay parity for the custom Python streaming source: draining
+    the tick stream micro-batch by micro-batch (offset bookkeeping via
+    JSON cursors) must equal the closed-form batch computation of the
+    same per-device aggregate in Spark itself (r5 verdict item 7 — the
+    DuckDB oracle checks values; this pins the STREAMING result to the
+    batch engine's semantics too)."""
+    qs = all_queries()
+    got = sorted(
+        tuple(r)
+        for r in qs["stream_python_datasource"].spark_fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in (
+            spark.range(0, 5000)
+            .select(
+                (F.col("id") % 4).alias("device"),
+                ((F.col("id") * F.col("id")) % 1000).alias("cents"),
+            )
+            .groupBy("device")
+            .agg(
+                F.count(F.lit(1)).alias("n_ticks"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        ).collect()
+    )
+    assert got == want
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append mode + watermark: a window is finalized once the watermark
     passes its end; late rows for it are dropped from the result."""
