@@ -86,6 +86,13 @@ def _index_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"bcs_ann_index_{key}")
 
 
+# Artifact dirs already validated (corpus count + config fingerprint)
+# in THIS process: repeat queries skip the validation count() job —
+# the serve-path overhead should be reading the index, not re-proving
+# it. A force build invalidates the memo entry.
+_VALIDATED: set[str] = set()
+
+
 def ensure_ann_index(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> str:
@@ -94,6 +101,10 @@ def ensure_ann_index(
     valid artifact (matching corpus count + config fingerprint) is
     reused; builds are atomic via tmp-dir + rename."""
     path = _index_dir(sf_dir)
+    if not force and path in _VALIDATED and os.path.exists(
+        os.path.join(path, "meta.json")
+    ):
+        return path
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
     meta_file = os.path.join(path, "meta.json")
@@ -102,6 +113,7 @@ def ensure_ann_index(
             with open(meta_file) as fh:
                 meta = json.load(fh)
             if meta.get("n") == n_corpus and meta.get("conf") == _INDEX_CONF:
+                _VALIDATED.add(path)
                 return path
         except (OSError, json.JSONDecodeError):
             pass  # corrupt artifact: rebuild below
@@ -154,6 +166,7 @@ def ensure_ann_index(
         json.dump({"n": n_corpus, "conf": _INDEX_CONF}, fh)
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
+    _VALIDATED.add(path)
     return path
 
 
@@ -269,6 +282,100 @@ def similarity_ann_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFram
         k=TOP_K,
         salt_col="neighbor_id",
     ).orderBy("query_id", "rk")
+
+
+_DELTA_MOD = 5  # vec_id % 5 == 0 is the "newly arrived" 20%
+
+
+def _delta_assign_oracle() -> str:
+    """Train the codebook on the INITIAL 80% only (vec_id % 5 <> 0),
+    then assign ALL vectors — the incremental-index-update contract."""
+    iters, prev = [], "pc0"
+    for k in range(1, PQ_ITERS + 1):
+        iters.append(_pq_iter_sql(k, prev, src="pq_init"))
+        prev = f"pc{k}"
+    return f"""
+WITH pq AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1) // {PQ_DSUB} AS b,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_DSUB} AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+pq_init AS (SELECT * FROM pq WHERE vec_id % {_DELTA_MOD} <> 0),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx
+        FROM pq_init WHERE vec_id < {PQ_K}),{",".join(iters)},
+pdf AS (
+  SELECT q.vec_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM pq q JOIN {prev} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+),
+codes AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                 ORDER BY dist, cid) AS rn
+    FROM pdf
+  ) t WHERE rn = 1
+)
+SELECT CAST(b AS BIGINT) AS b, CAST(cid AS BIGINT) AS cid,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN vec_id % {_DELTA_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta
+FROM codes
+GROUP BY b, cid
+ORDER BY b, cid
+"""
+
+
+@register(
+    "similarity_ann_delta_assign",
+    oracle=_delta_assign_oracle(),
+    tags=("similarity", "ann", "pq", "incremental", "lifecycle"),
+)
+def similarity_ann_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index update — the third lifecycle leg (build →
+    query → update): codebooks are trained once on the initial corpus
+    (vec_id % 5 != 0 here) and FROZEN; newly arrived vectors (the
+    remaining 20%) are encoded by assignment against the frozen
+    codebook only — one broadcast-join argmin pass over the delta, no
+    retraining, which is how a production vector store absorbs a daily
+    append without touching the index structure. Output: per (block,
+    code) populations split into initial vs delta, proving the frozen
+    assignment covers the appended vectors. The oracle re-derives the
+    subset-trained codebook and the full assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub_all = _pq_subvectors(
+        emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    ).localCheckpoint()
+    sub_init = sub_all.where(F.col("vec_id") % _DELTA_MOD != 0)
+    cent = _pq_train(sub_init).cache()
+    codes = (
+        sub_all.join(F.broadcast(cent), "b")
+        .select(
+            "vec_id",
+            "b",
+            "cid",
+            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
+                "dist"
+            ),
+        )
+        .groupBy("vec_id", "b")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+    return (
+        codes.groupBy(
+            F.col("b").cast("long").alias("b"),
+            F.col("cid").cast("long").alias("cid"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.col("vec_id") % _DELTA_MOD == 0, 1).otherwise(0)
+            ).cast("long").alias("n_delta"),
+        )
+        .orderBy("b", "cid")
+    )
 
 
 @register(

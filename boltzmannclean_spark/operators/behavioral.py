@@ -1915,3 +1915,108 @@ def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_mo")
     )
+
+
+_US_DAY_KM = 86_400_000_000
+
+
+@register(
+    "events_survival_risk_table",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+r AS (
+  SELECT user_id, us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS rn
+  FROM u
+),
+f AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 1 THEN us END) AS t1,
+         MAX(CASE WHEN rn = 2 THEN us END) AS t2
+  FROM r WHERE rn <= 2 GROUP BY user_id
+),
+b AS (SELECT MAX(us) AS tend FROM u),
+subj AS (
+  SELECT user_id,
+         CASE WHEN t2 IS NOT NULL
+              THEN (t2 - t1) // {_US_DAY_KM}
+              ELSE (tend - t1) // {_US_DAY_KM} END AS day,
+         CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM f CROSS JOIN b
+),
+d AS (
+  SELECT day, CAST(SUM(ev) AS BIGINT) AS n_deaths,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censored,
+         COUNT(*) AS n_total
+  FROM subj GROUP BY day
+)
+SELECT day,
+       CAST(SUM(n_total) OVER (ORDER BY day DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk,
+       n_deaths, n_censored
+FROM d
+ORDER BY day
+""",
+    tags=("events", "survival", "kaplan-meier"),
+)
+def events_survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier RISK TABLE for time-to-second-event — the survival
+    analysis behind every retention/churn curve, reduced to its exact
+    integer sufficient statistics: per day-since-first-event, the
+    number at risk, observed "deaths" (second event occurred that day)
+    and right-censored subjects (users with one event, censored at
+    corpus end). The KM product-limit estimate Π(1 - d/n) is a
+    sequential float product (order-dependent — the survival twin of
+    the perplexity trap), so the engine emits the risk table and
+    leaves the product to the consumer: every column here is exact and
+    engine-independent.
+
+    Plan: one user-keyed window picks each user's first two events
+    (the per-user shuffle all behavioral ops share), corpus end is a
+    1-row broadcast, and the risk table is a reverse running sum over
+    the DAY table (bounded by the observation span, ~tens of rows —
+    the single-partition window is over that bounded table, never the
+    corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    f = (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("us"))).alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("us"))).alias("t2"),
+        )
+    )
+    tend = u.agg(F.max("us").alias("tend"))
+    subj = f.crossJoin(F.broadcast(tend)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            (F.col("t2") - F.col("t1")),
+        )
+        .otherwise(F.col("tend") - F.col("t1"))
+        .alias("dur_us"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).select(
+        F.expr(f"dur_us div {_US_DAY_KM}").alias("day"), "ev"
+    )
+    d = subj.groupBy("day").agg(
+        F.sum("ev").cast("long").alias("n_deaths"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    w_rev = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn("n_at_risk", F.sum("n_total").over(w_rev).cast("long"))
+        .select("day", "n_at_risk", "n_deaths", "n_censored")
+        .orderBy("day")
+    )

@@ -1922,3 +1922,118 @@ def dedup_minhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("band_rows", "n_multi_buckets", "candidate_checks", "max_bucket")
         out = m if out is None else out.unionAll(m)
     return out.orderBy("band_rows")
+
+
+SUBSTR_NGRAM = 5  # shingle width (words)
+SUBSTR_DF_CAP = 20  # shingles in more docs than this never seed a match
+SUBSTR_MIN_RUN = 3  # >= 3 consecutive shared shingles (7 shared words)
+
+
+@register(
+    "dedup_substring_run",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(a, i, i + {SUBSTR_NGRAM - 1}), ' ') AS s
+  FROM toks, UNNEST(range(1, len(a) - {SUBSTR_NGRAM - 2})) t(i)
+),
+df AS (SELECT s FROM sh GROUP BY s
+       HAVING COUNT(DISTINCT doc_id) <= {SUBSTR_DF_CAP}),
+kept AS (SELECT sh.* FROM sh JOIN df USING (s)),
+m AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, a.pos - b.pos AS diag
+  FROM kept a JOIN kept b USING (s) WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS island
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, island, COUNT(*) AS rl
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       MAX(rl) + {SUBSTR_NGRAM - 1} AS longest_match_tokens,
+       COUNT(*) AS n_runs
+FROM runs WHERE rl >= {SUBSTR_MIN_RUN}
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "substring", "ngram"),
+)
+def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": the
+    harmful duplication is often long VERBATIM SPANS inside otherwise
+    distinct documents — boilerplate, licenses, quoted passages — which
+    document-level Jaccard under-weighs). A shared span of k words
+    appears as a run of k-4 consecutive matching 5-gram shingles on one
+    (doc_a, doc_b, pos_a - pos_b) diagonal, so the suffix-array approach
+    distributes as: row-local shingling (transform over the token
+    array, NO window) → document-frequency cap (a shingle in > 20 docs
+    never seeds a match — the stop-boilerplate guard that keeps the
+    candidate join linear) → shingle equi-join → gaps-and-islands run
+    detection per diagonal (row_number difference). Reports each
+    pair's longest verbatim span (in words) and run count, min 3
+    consecutive shingles (7 shared words).
+
+    Shuffles: one per join side on the shingle, one window exchange on
+    (doc_a, doc_b, diag) over the MATCH table (bounded by true shared
+    content, not the corpus square). At 100 TB the same plan holds —
+    the DF cap is what bounds the join fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("a"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(a) - {SUBSTR_NGRAM - 1}, 0)), "
+                    f"i -> struct(i AS pos, concat_ws(' ', slice(a, i, {SUBSTR_NGRAM})) AS s))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
+    )
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("ndoc"))
+        .where(F.col("ndoc") <= SUBSTR_DF_CAP)
+        .select("s")
+    )
+    kept = sh.join(df_ok, "s")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "s"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "s"
+    )
+    m = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .where(F.col("rl") >= SUBSTR_MIN_RUN)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("rl") + (SUBSTR_NGRAM - 1)).alias("longest_match_tokens"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

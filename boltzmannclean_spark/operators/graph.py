@@ -480,3 +480,100 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("assortativity"),
     )
+
+
+KCORE_K = 24
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds (the Lloyd-unroll recipe applied to
+    k-core): each round drops every node with degree < K from BOTH
+    bipartite sides simultaneously, then restricts the edge set to
+    surviving endpoints."""
+    blocks = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        blocks.append(f"""
+sd{r} AS (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {KCORE_K}),
+pd{r} AS (SELECT p FROM {prev} GROUP BY p HAVING COUNT(*) >= {KCORE_K}),
+e{r} AS (
+  SELECT e.s, e.p FROM {prev} e
+  JOIN sd{r} ON e.s = sd{r}.s
+  JOIN pd{r} ON e.p = pd{r}.p
+)""")
+        prev = f"e{r}"
+    rounds_sql = ",".join(blocks)
+    selects = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+       (SELECT COUNT(DISTINCT s) FROM e{r}) AS suppliers_left,
+       (SELECT COUNT(DISTINCT p) FROM e{r}) AS parts_left,
+       (SELECT COUNT(*) FROM e{r}) AS edges_left"""
+        for r in range(0, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),{rounds_sql}
+SELECT * FROM ({selects}) t
+ORDER BY round
+"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by synchronous peeling on the
+    supplier-part bipartite graph: each round simultaneously removes
+    every node (both sides) with degree < k, then re-restricts the
+    edge set — the standard dense-subgraph extraction (Matula/Beck
+    peeling) used to find tightly-connected cores before expensive
+    per-core analytics. Emitted as the PEELING PROFILE (per round:
+    surviving suppliers/parts/edges), which is the convergence
+    diagnostic an operator watches; fixed-round unrolling keeps the
+    oracle expressible (identical recipe to the Lloyd-iteration
+    oracles).
+
+    Plan shape per round: two degree aggregations on the current edge
+    set (map-side combined, keyed by each side) + two semi-joins
+    restricting edges to surviving endpoints — all equi-joins on the
+    peeled (shrinking) edge set; the edge table is cached once and
+    each round's result localCheckpoint()ed so round r+1's lineage is
+    one step, not r (the PageRank iteration discipline). At 100 TB
+    rounds run until a fixpoint with the same per-round cost."""
+    from functools import reduce
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint()
+
+    def snap(r: int, e: DataFrame) -> DataFrame:
+        # 1-row aggregation per round — the profile is assembled as a
+        # UNION of these, never collected to the driver.
+        return e.agg(
+            F.countDistinct("s").cast("long").alias("suppliers_left"),
+            F.countDistinct("p").cast("long").alias("parts_left"),
+            F.count(F.lit(1)).alias("edges_left"),
+        ).select(
+            F.lit(r).alias("round"),
+            "suppliers_left",
+            "parts_left",
+            "edges_left",
+        )
+
+    snaps = [snap(0, edges)]
+    cur = edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        sd = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d")).where(
+            F.col("d") >= KCORE_K
+        ).select("s")
+        pd_ = cur.groupBy("p").agg(F.count(F.lit(1)).alias("d")).where(
+            F.col("d") >= KCORE_K
+        ).select("p")
+        cur = cur.join(sd, "s").join(pd_, "p").localCheckpoint()
+        snaps.append(snap(r, cur))
+    return reduce(DataFrame.unionAll, snaps).orderBy("round")

@@ -348,3 +348,94 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+PHASH_BANDS = 4  # 4 bands x 16 bits over the 64-bit perceptual hash
+
+
+def _hamming_sql(ha: str, hb: str, *, duck: bool) -> str:
+    """64-bit hamming distance between two 16-hex-digit hashes as a
+    fixed sum of 16 per-digit xor-popcounts — pure integer arithmetic,
+    identical in both engines (Spark: ^ is xor; DuckDB: ^ is power, so
+    its xor() function is used)."""
+    digits = "0123456789abcdef"
+    pos = "strpos" if duck else "instr"
+    terms = []
+    for i in range(1, 17):
+        da = f"({pos}('{digits}', substring({ha}, {i}, 1)) - 1)"
+        db = f"({pos}('{digits}', substring({hb}, {i}, 1)) - 1)"
+        x = f"xor({da}, {db})" if duck else f"({da} ^ {db})"
+        terms.append(f"bit_count({x})")
+    return " + ".join(terms)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH h AS (SELECT doc_id, md5(text) AS ph FROM documents),
+bands AS (
+  SELECT doc_id, ph, b, substring(ph, 1 + 4 * b, 4) AS band_key
+  FROM h, UNNEST(range(0, {PHASH_BANDS})) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ph AS ph_a, b.ph AS ph_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({_hamming_sql("ph_a", "ph_b", duck=True)} AS BIGINT) AS hamming
+FROM cand
+ORDER BY doc_a, doc_b
+""",
+    tags=("multimodal", "phash", "dedup", "hamming"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over BINARY media payloads —
+    the image-dedup pipeline shape (pHash/PDQ): each payload reduces to
+    a 64-bit fingerprint, near-duplicates are pairs within a small
+    hamming radius, and the scale trick is banding the 64 bits into
+    {PHASH_BANDS}x16-bit keys so candidates come from band-key
+    equi-joins (pairs agreeing on >= 16 consecutive bits) instead of an
+    all-pairs scan — the bitwise twin of MinHash-LSH banding. The
+    verify step computes the exact 64-bit hamming distance as 16
+    per-hex-digit xor-popcounts, pure integer arithmetic in both
+    engines. Here the fingerprint is the payload's md5 (the stub codec
+    — a REAL pHash drops in at the same column with no plan change),
+    every candidate's distance is emitted, and a production run would
+    keep hamming <= 8-16. One shuffle per join side on the band key;
+    candidate count is sum of C(bucket, 2) over 2^16 buckets/band —
+    corpus-linear under any realistic spread."""
+    docs = load_table(spark, sf_dir, "documents")
+    # with_media_columns derives payload = unhex(md5(text)); the hex
+    # fingerprint below is therefore hex(payload) — md5(text) directly.
+    h = docs.select("doc_id", F.md5("text").alias("ph"))
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), "
+                f"b -> struct(b AS b, substring(ph, 1 + 4 * b, 4) AS band_key))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "ph", F.col("g.b").alias("b"), F.col("g.band_key").alias("band_key"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("ph_a"), "b", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("ph_b"), "b", "band_key"
+    )
+    cand = (
+        a.join(b, ["b", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr(_hamming_sql("ph_a", "ph_b", duck=False)).cast("long").alias(
+            "hamming"
+        ),
+    ).orderBy("doc_a", "doc_b")

@@ -1036,3 +1036,39 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+SELECT o_orderstatus AS grp,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY grp
+""",
+    tags=("sql", "identifier", "4.x"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4.x): table AND column names supplied
+    as bound parameters — the safe form of the "same report over N
+    tables / N dimensions" template job that is otherwise built by
+    string splicing (SQL-injectable, unparseable until runtime).
+    IDENTIFIER(:p) resolves the parameter AS A NAME at analysis time,
+    so the resulting plan is byte-identical to the static query (zero
+    runtime cost — the oracle IS the static twin) while names stay
+    data, never code."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS total_value
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        ORDER BY grp
+        """,
+        args={"tbl": "orders", "grp_col": "o_orderstatus"},
+    )

@@ -1028,14 +1028,16 @@ PQ_K = 16
 PQ_ITERS = 2
 
 
-def _pq_iter_sql(k: int, prev: str) -> str:
+def _pq_iter_sql(k: int, prev: str, src: str = "pq") -> str:
     """One unrolled per-block Lloyd iteration (block id `b` rides along
-    every key of the IVF iteration shape)."""
+    every key of the IVF iteration shape). ``src`` selects the training
+    population CTE (the incremental-assign oracle trains on a filtered
+    subset)."""
     return f"""
 pd{k} AS (
   SELECT q.vec_id, q.b, c.cid,
          CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM pq q JOIN {prev} c ON q.b = c.b AND q.d = c.d
+  FROM {src} q JOIN {prev} c ON q.b = c.b AND q.d = c.d
   GROUP BY q.vec_id, q.b, c.cid
 ),
 pa{k} AS (
@@ -1048,7 +1050,7 @@ pa{k} AS (
 pc{k} AS (
   SELECT a.cid, q.b, q.d,
          {_sdiv_duck("CAST(SUM(q.qx) AS BIGINT)", "COUNT(*)")} AS cx
-  FROM pq q JOIN pa{k} a ON q.vec_id = a.vec_id AND q.b = a.b
+  FROM {src} q JOIN pa{k} a ON q.vec_id = a.vec_id AND q.b = a.b
   GROUP BY a.cid, q.b, q.d
 )"""
 

@@ -744,3 +744,87 @@ def ts_median_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_SLA_GAP_US = 2 * 3_600 * 1_000_000  # heartbeat gap > 2h = an outage
+
+
+@register(
+    "ts_sla_downtime",
+    oracle=f"""
+WITH hb AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type
+           ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+g AS (
+  SELECT event_type, us, us - prev_us AS gap_us FROM hb
+)
+SELECT event_type,
+       COUNT(*) + 1 AS n_events,
+       CAST(SUM(CASE WHEN gap_us > {_SLA_GAP_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outages,
+       CAST(SUM(CASE WHEN gap_us > {_SLA_GAP_US}
+                     THEN gap_us - {_SLA_GAP_US} ELSE 0 END)
+            AS BIGINT) AS downtime_us,
+       MAX(gap_us) AS max_gap_us,
+       MAX(us) - MIN(us - gap_us) AS span_us,
+       CAST(MAX(us) - MIN(us - gap_us)
+            - SUM(CASE WHEN gap_us > {_SLA_GAP_US}
+                       THEN gap_us - {_SLA_GAP_US} ELSE 0 END) AS DOUBLE)
+         / CAST(MAX(us) - MIN(us - gap_us) AS DOUBLE) AS uptime_ratio
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("timeseries", "sla", "gaps", "observability"),
+)
+def ts_sla_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap SLA report — the observability workload over an
+    event stream: treat each event_type's events as service heartbeats;
+    any inter-event gap beyond the threshold is an outage whose
+    downtime is the excess over the threshold (the service is presumed
+    up for one threshold after its last heartbeat). Per type: event
+    count, outage count, total downtime, worst gap, observed span, and
+    the uptime ratio.
+
+    Plan: ONE exchange on event_type for the lag window, then a
+    map-combined aggregation on the same key — no second shuffle
+    (sort-within-partition serves both). All durations are exact int64
+    microseconds; the final uptime ratio is a single division of two
+    exact integers, the same IEEE operation in both engines. Span is
+    recovered inside the gap aggregation as MAX(us) - MIN(us - gap_us)
+    (= first event's timestamp), so no second pass over the raw events
+    is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    hb = ev.select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).withColumn("prev_us", F.lag("us").over(w))
+    g = hb.where(F.col("prev_us").isNotNull()).select(
+        "event_type", "us", (F.col("us") - F.col("prev_us")).alias("gap_us")
+    )
+    outage = F.col("gap_us") > _SLA_GAP_US
+    excess = F.when(outage, F.col("gap_us") - _SLA_GAP_US).otherwise(F.lit(0))
+    span = F.max("us") - F.min(F.col("us") - F.col("gap_us"))
+    return (
+        g.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.sum(F.when(outage, 1).otherwise(0)).cast("long").alias(
+                "n_outages"
+            ),
+            F.sum(excess).cast("long").alias("downtime_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            span.alias("span_us"),
+            (
+                (span - F.sum(excess)).cast("double")
+                / span.cast("double")
+            ).alias("uptime_ratio"),
+        )
+        .orderBy("event_type")
+    )

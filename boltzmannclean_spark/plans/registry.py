@@ -78,72 +78,61 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
-    # -- round-5 rotation: plans changed this round (re-verify) --
-    "dedup_embedding_cosine",
-    "similarity_ann_pq_adc",
-    "similarity_ann_ivfpq",
-    "graph_pagerank_bipartite",
-    # -- new cross-engine surface added late in round 5: these exercise
-    #    comparator paths no sampled query has hit (JVM levenshtein vs
-    #    DuckDB's, percentile_disc over a 32-row domain, native-XML
-    #    roundtrip, a float z statistic, a TPC-H ratio query) — sample
-    #    them first so any driver-canon drift surfaces now, not in r8 --
-    "dedup_blocked_editdist",
-    "sample_poisson_bootstrap",
-    "stats_ab_test_proportions",
-    "ts_seasonal_naive_eval",
-    "source_xml_roundtrip",
-    "tpch_q08_market_share",
-    # -- never harness-verified (104 remained after r1-r4 sampled 137 of
-    #    241), listed in registry order. With the 10 changed/new-surface
-    #    slots above, entries past slot 50 (the tail of this list and
-    #    every other round-5 addition) roll into the round-6 rotation. --
-    "relational_skyline",
-    "sample_bottomk_mergeable",
-    "sample_group_kfold",
-    "join_bloom_semireduction",
-    "join_bucketed_colocated",
-    "agg_corr_matrix",
-    "agg_countmin_heavy_hitters",
-    "agg_hll_mergeable_rollup",
-    "agg_mode_deterministic",
-    "agg_quantile_mergeable",
-    "agg_histogram_equidepth",
-    "window_ema_decay",
-    "ts_time_weighted_avg",
-    "ts_ohlc_bars",
-    "ts_linear_interpolate",
-    "events_retention_cohort",
-    "scd2_order_status_history",
-    "window_session_batch",
-    "events_markov_transitions",
-    "events_rfm_segmentation",
-    "orders_abc_pareto",
-    "intervals_merge_overlapping",
-    "events_rolling_wau",
-    "events_attribution_linear",
-    "events_cumulative_reach",
-    "events_path_analysis",
-    "events_time_to_convert",
-    "events_dau_mau_stickiness",
-    "events_funnel_ordered",
-    "orders_rank_shift",
-    "events_bounce_rate",
-    "events_sessionize_skew",
-    "events_pattern_vshape",
-    "events_cusum_alarm",
-    "join_pit_scd2",
-    "sessions_overlap_pairs",
-    "events_sequence_trigrams",
-    "agg_profile_columns",
-    "events_zscore_outliers",
-    "stats_chi_square",
-    "agg_entropy",
-    "events_anomaly_iqr",
-    "events_mad_outliers",
-    "dq_referential_integrity",
+    # -- round-6 rotation: new or plan-changed this round (verify first) --
+    "sink_ann_index_build",
+    "similarity_ann_pq_adc_prebuilt",
+    "similarity_ann_ivfpq_prebuilt",
+    "similarity_ann_delta_assign",
+    "ts_sla_downtime",
+    "dedup_substring_run",
+    "multimodal_phash_dedup",
+    "sql_identifier_clause",
+    "events_survival_risk_table",
+    "graph_kcore_peel",
+    "dedup_embedding_cosine_recall_demo",
     "dq_constraint_violations",
-    "dq_join_key_skew",
+    "tpch_q02_min_cost_supplier",
+    "impute_rbm_customer",
+    # -- never harness-verified backlog (119 remained after r1-r5; the
+    #    driver samples the first 50, so this block prioritizes the
+    #    whole TPC-H suite, then dedup and text; the rest of the
+    #    backlog rolls into round 7's rotation) --
+    "tpch_q04_order_priority",
+    "tpch_q06_revenue_forecast",
+    "tpch_q09_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "dedup_keep_best",
+    "dedup_levenshtein_verify",
+    "dedup_containment",
+    "dedup_url_canonical",
+    "dedup_minhash_mllib",
+    "dedup_segments_exact",
+    "dedup_minhash_recall_eval",
+    "dedup_normalized_exact",
+    "dedup_prefix_filter_jaccard",
+    "dedup_cluster_size_stats",
+    "dedup_minhash_threshold_curve",
+    "text_repetition_ratio",
+    "text_vocab_coverage",
+    "text_bigram_logprob",
+    "text_heaps_law",
+    "text_inverted_index",
+    "text_bm25_topk",
+    "text_bpe_regex_tokens",
+    "text_zipf_rank",
+    "text_langid_confusion",
+    "graph_bfs_levels",
 )
 
 

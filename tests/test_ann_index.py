@@ -1,0 +1,75 @@
+"""ANN index lifecycle tests (round-6 verdict item 2): the persisted
+artifact must be bit-identical to in-query training, reused without
+rebuilding when valid, and rebuilt when invalidated."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from boltzmannclean_spark.operators import ann_index
+from boltzmannclean_spark.plans.registry import all_queries
+
+
+def _artifact_mtime(path: str) -> float:
+    return os.path.getmtime(os.path.join(path, "meta.json"))
+
+
+def test_prebuilt_matches_train_in_query(spark, sf_dir):
+    """The PQ-ADC query leg over the persisted index must reproduce the
+    train-in-query operator's output exactly — the artifact is exact
+    integers, so persistence loses nothing."""
+    qs = all_queries()
+    prebuilt = sorted(
+        tuple(r)
+        for r in qs["similarity_ann_pq_adc_prebuilt"].spark_fn(spark, sf_dir).collect()
+    )
+    inquery = sorted(
+        tuple(r)
+        for r in qs["similarity_ann_pq_adc"].spark_fn(spark, sf_dir).collect()
+    )
+    assert prebuilt == inquery
+
+
+def test_ivfpq_prebuilt_matches_train_in_query(spark, sf_dir):
+    qs = all_queries()
+    prebuilt = sorted(
+        tuple(r)
+        for r in qs["similarity_ann_ivfpq_prebuilt"].spark_fn(spark, sf_dir).collect()
+    )
+    inquery = sorted(
+        tuple(r)
+        for r in qs["similarity_ann_ivfpq"].spark_fn(spark, sf_dir).collect()
+    )
+    assert prebuilt == inquery
+
+
+def test_artifact_reused_not_rebuilt(spark, sf_dir):
+    """A valid artifact is reused: the second ensure call must not
+    rewrite it (same meta.json mtime), including across the in-process
+    validation memo being cold."""
+    path = ann_index.ensure_ann_index(spark, sf_dir)
+    t0 = _artifact_mtime(path)
+    ann_index._VALIDATED.discard(path)  # force the fingerprint re-check
+    path2 = ann_index.ensure_ann_index(spark, sf_dir)
+    assert path2 == path
+    assert _artifact_mtime(path) == t0
+
+
+def test_artifact_rebuilt_on_fingerprint_mismatch(spark, sf_dir):
+    """A stale artifact (wrong corpus count in the fingerprint) must be
+    rebuilt, atomically replacing the old directory."""
+    path = ann_index.ensure_ann_index(spark, sf_dir)
+    meta_file = os.path.join(path, "meta.json")
+    with open(meta_file) as fh:
+        meta = json.load(fh)
+    meta["n"] = meta["n"] + 1  # corpus "changed"
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    ann_index._VALIDATED.discard(path)
+    t0 = _artifact_mtime(path)
+    path2 = ann_index.ensure_ann_index(spark, sf_dir)
+    assert path2 == path
+    assert _artifact_mtime(path) != t0  # rebuilt
+    with open(meta_file) as fh:
+        assert json.load(fh)["n"] == meta["n"] - 1  # true count restored
