@@ -437,3 +437,56 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "udtf_analyze_dynamic",
+    oracle="""
+SELECT string_split(o_orderpriority, '-')[1] AS p1,
+       string_split(o_orderpriority, '-')[2] AS p2,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY p1, p2
+ORDER BY p1, p2
+""",
+    tags=("udf", "udtf", "analyze", "4.x"),
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` (4.x): the OUTPUT SCHEMA
+    is computed at plan time from a constant argument — here a
+    field-splitter whose column count (p1..pN) follows the N literal at
+    the call site, the polymorphic-table-function pattern (one UDTF
+    serves every fixed-width split in the warehouse instead of one
+    hand-written variant per arity). Catalyst sees a fully typed
+    schema, so projection pruning and the downstream aggregate plan
+    normally; the Python row fan-out itself stays the documented slow
+    path — fine on a label column, never on the fact-table hot path."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class SplitParts:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, sep: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"p{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, sep: str, n: int):
+            parts = (text or "").split(sep)
+            yield tuple((parts + [None] * n)[:n])
+
+    spark.udtf.register("bcs_split_parts", SplitParts)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bcs_orders_u")
+    return spark.sql(
+        """
+        SELECT t.p1, t.p2, COUNT(*) AS n_orders
+        FROM bcs_orders_u o, LATERAL bcs_split_parts(o.o_orderpriority, '-', 2) t
+        GROUP BY t.p1, t.p2
+        ORDER BY t.p1, t.p2
+        """
+    )

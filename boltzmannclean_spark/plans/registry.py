@@ -87,6 +87,7 @@ _VERIFY_FIRST = (
     "dedup_substring_run",
     "multimodal_phash_dedup",
     "sql_identifier_clause",
+    "udtf_analyze_dynamic",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -132,7 +133,6 @@ _VERIFY_FIRST = (
     "text_bpe_regex_tokens",
     "text_zipf_rank",
     "text_langid_confusion",
-    "graph_bfs_levels",
 )
 
 

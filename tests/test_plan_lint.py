@@ -18,6 +18,9 @@ ALLOWED_WARNINGS = {
     "udf_scalar_priority": {"python-row-udf"},
     # tokenizer UDTF is a Python row generator by design
     "udtf_tokenize": {"python-row-udf"},
+    # analyze()-schema UDTF demo: Python row fan-out on the 5-value
+    # o_orderpriority label domain, documented as the slow path
+    "udtf_analyze_dynamic": {"python-row-udf"},
 }
 
 # Streaming / sink / stateful queries execute on build (they run a real
