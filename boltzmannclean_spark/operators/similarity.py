@@ -1155,18 +1155,24 @@ def _pq_train(sub: DataFrame) -> DataFrame:
                 F.min_by("qsub", F.struct("dist", "cid")).alias("qsub"),
             )
         )
-        cent = (
-            assigned.select("b", "cid", F.posexplode("qsub").alias("d", "qx"))
-            .groupBy("b", "cid", "d")
-            .agg(F.sum("qx").alias("sx"), F.count(F.lit(1)).alias("m"))
-            .selectExpr("b", "cid", "d", _sdiv_spark("sx", "m") + " AS cx")
-            .groupBy("b", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "cx"))),
-                    lambda s: s.cx,
-                ).alias("cvec")
-            )
+        # Centroid update in ONE shuffle: per-dim sums as PQ_DSUB fixed
+        # element_at aggregates (map-side partial agg on 8 longs), then a
+        # row-local array rebuild — the posexplode formulation paid an
+        # 8x fan-out plus a SECOND (b, cid) shuffle for the collect_list
+        # reassembly every round. Same exact-integer math.
+        sums = assigned.groupBy("b", "cid").agg(
+            F.count(F.lit(1)).alias("m"),
+            *[
+                F.sum(F.element_at("qsub", d)).alias(f"s{d}")
+                for d in range(1, PQ_DSUB + 1)
+            ],
+        )
+        cent = sums.selectExpr(
+            "b",
+            "cid",
+            "array("
+            + ", ".join(_sdiv_spark(f"s{d}", "m") for d in range(1, PQ_DSUB + 1))
+            + ") AS cvec",
         )
     return cent
 
