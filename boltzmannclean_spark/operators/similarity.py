@@ -398,10 +398,12 @@ def _kmeans_cells(n: DataFrame) -> DataFrame:
     KMEANS_ITERS rounds of Lloyd's algorithm entirely in exact integer
     micro-units: assignment is a grouped min_by over a broadcast of the
     (small) centroid table — map-side partial aggregation, never a k×
-    shuffle of the fanned corpus — and the update is one posexplode +
-    (cid, dim) aggregation per round, a shuffle of k×dims partial sums
-    per map partition (constant in corpus size). Empty cells simply
-    drop out of the update, deterministically in both engines."""
+    shuffle of the fanned corpus — and the update is ONE (cid) shuffle
+    of 64 fixed per-dim element_at sums (map-side combined; the former
+    posexplode form paid a 64× fan-out plus a second reassembly
+    shuffle). Empty cells simply drop out of the update,
+    deterministically in both engines."""
+    dims = 64
     cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
     )
@@ -418,18 +420,18 @@ def _kmeans_cells(n: DataFrame) -> DataFrame:
             .groupBy("vec_id", "qvec")
             .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
         )
-        cent = (
-            assigned.select("cid", F.posexplode("qvec").alias("d", "qx"))
-            .groupBy("cid", "d")
-            .agg(F.sum("qx").alias("sx"), F.count(F.lit(1)).alias("m"))
-            .selectExpr("cid", "d", _sdiv_spark("sx", "m") + " AS cx")
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "cx"))),
-                    lambda s: s.cx,
-                ).alias("cvec")
-            )
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("m"),
+            *[
+                F.sum(F.element_at("qvec", d)).alias(f"s{d}")
+                for d in range(1, dims + 1)
+            ],
+        )
+        cent = sums.selectExpr(
+            "cid",
+            "array("
+            + ", ".join(_sdiv_spark(f"s{d}", "m") for d in range(1, dims + 1))
+            + ") AS cvec",
         )
     return (
         n.crossJoin(F.broadcast(cent))
