@@ -394,3 +394,43 @@ def impute_hotdeck(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acctbal").isNull() & F.col("donor_fill").isNotNull(), err
         ).alias("abs_error"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "impute_rbm_pipeline_persist",
+    oracle=None,  # stochastic model output: rows-only + invariant tests
+    tags=("imputation", "rbm", "ml", "mllib", "persistence"),
+)
+def impute_rbm_pipeline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north star's 'MLlib pipeline' end-to-end THROUGH the
+    registered surface: RBMImputer runs inside pyspark.ml.Pipeline,
+    the fitted PipelineModel's RBM stage is persisted with save(),
+    reloaded with RBMImputerModel.load(), and the RELOADED model
+    produces the output — proving fit-once / persist / transform-
+    anywhere works as a user would actually wire it. The reload is
+    bit-identical to the in-memory model (tests/test_imputer.py), so
+    this entry's row count and schema match impute_rbm_customer's."""
+    import os
+    import tempfile
+
+    from pyspark.ml import Pipeline
+
+    from boltzmannclean_spark.ml.imputer import RBMImputerModel
+
+    customer = load_table(spark, sf_dir, "customer")
+    holed = with_injected_nulls(customer)
+    pm = Pipeline(
+        stages=[
+            RBMImputer(
+                numerical_columns=NUM_COLS,
+                categorical_columns=CAT_COLS,
+                n_hidden=8,
+                max_epochs=5,
+                seed=42,
+            )
+        ]
+    ).fit(holed)
+    path = os.path.join(tempfile.mkdtemp(prefix="bcs_rbm_model_"), "rbm")
+    pm.stages[0].save(path)
+    reloaded = RBMImputerModel.load(path)
+    return reloaded.transform(holed).orderBy("c_custkey")
