@@ -2037,3 +2037,162 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+SEMDEDUP_THETA = 0.40
+
+
+def _semdedup_oracle() -> str:
+    from boltzmannclean_spark.operators.similarity import (
+        CENT_MOD,
+        KMEANS_ITERS,
+        MICRO,
+        _kmeans_iter_sql,
+    )
+
+    iters, prev = [], "c0"
+    for k in range(1, KMEANS_ITERS + 1):
+        iters.append(_kmeans_iter_sql(k, prev))
+        prev = f"c{k}"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+),
+q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(iters)},
+df AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM df
+  ) t WHERE rn = 1
+),
+cells AS (
+  SELECT n.vec_id, n.e, n.nrm, af.cid
+  FROM n JOIN af ON n.vec_id = af.vec_id
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           list_reduce(list_transform(range(1, len(a.e) + 1),
+                                      i -> a.e[i] * b.e[i]),
+                       (s, x) -> s + x) / (a.nrm * b.nrm) AS cosine
+    FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  ) t WHERE cosine >= {SEMDEDUP_THETA}
+),
+partners AS (
+  SELECT va AS doc_id, vb AS partner, cosine FROM pairs
+  UNION ALL
+  SELECT vb AS doc_id, va AS partner, cosine FROM pairs
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN partner < doc_id THEN 1 ELSE 0 END) = 1 AS removed,
+         MAX(cosine) AS best_dup_cos
+  FROM partners GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(cells.cid AS BIGINT) AS cell, g.removed, g.best_dup_cos
+FROM agg g JOIN cells ON cells.vec_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "semantic", "embedding", "semdedup"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic — not
+    lexical — duplicates are found by k-means-clustering the embedding
+    space and comparing cosines ONLY within each cluster, which is what
+    makes web-scale semantic dedup tractable: the quadratic comparison
+    is confined to cluster populations, never the corpus. Composes the
+    engine's own pieces: the IVF coarse quantizer (exact-integer Lloyd)
+    as the clusterer, per-cell cosine self-join as the candidate pass,
+    and the greedy keep-smallest-id policy (a doc is removed iff a
+    same-cell partner with a smaller id matches at cos >= 0.40 — the
+    threshold tuned DOWN to this synthetic corpus's similarity range;
+    production uses ~0.95 on real embeddings). Output: every doc in a
+    semantic-dup pair, its cluster, the keep/remove verdict, and its
+    strongest in-cell cosine.
+
+    Scale: cluster populations bound the pair fan-out (the SemDeDup
+    premise); the self-join is an equi-join on cid, so AQE's skew
+    split handles a hot cluster; per-row IEEE cosines (sequential
+    folds) are bit-identical cross-engine, and MAX over them is
+    order-free."""
+    from boltzmannclean_spark.functions.vectors import as_double, dot, norm
+    from boltzmannclean_spark.operators.similarity import _kmeans_cells, _qvec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_full = emb.select(
+        "vec_id",
+        F.lit("x").alias("label"),
+        as_double("embedding").alias("e"),
+        _qvec(F.col("embedding")).alias("qvec"),
+    ).withColumn("nrm", norm(F.col("e")))
+    cells = _kmeans_cells(n_full).select("vec_id", "e", "nrm", "cid").cache()
+    a = cells.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cid",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "cid",
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= SEMDEDUP_THETA)
+    )
+    partners = pairs.select(
+        F.col("va").alias("doc_id"), F.col("vb").alias("partner"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("vb").alias("doc_id"), F.col("va").alias("partner"), "cosine"
+        )
+    )
+    agg = partners.groupBy("doc_id").agg(
+        (F.max(F.when(F.col("partner") < F.col("doc_id"), 1).otherwise(0)) == 1).alias(
+            "removed"
+        ),
+        F.max("cosine").alias("best_dup_cos"),
+    )
+    return (
+        agg.join(cells.select("vec_id", "cid"), agg.doc_id == F.col("vec_id"))
+        .select(
+            "doc_id",
+            F.col("cid").cast("long").alias("cell"),
+            "removed",
+            "best_dup_cos",
+        )
+        .orderBy("doc_id")
+    )
