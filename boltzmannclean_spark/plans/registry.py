@@ -88,6 +88,8 @@ _VERIFY_FIRST = (
     "multimodal_phash_dedup",
     "sql_identifier_clause",
     "udtf_analyze_dynamic",
+    "dedup_semantic_semdedup",
+    "impute_rbm_pipeline_persist",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -131,8 +133,6 @@ _VERIFY_FIRST = (
     "text_inverted_index",
     "text_bm25_topk",
     "text_bpe_regex_tokens",
-    "text_zipf_rank",
-    "text_langid_confusion",
 )
 
 

@@ -78,6 +78,18 @@ INVARIANT_QUERIES = (
     "window_rolling_median",
     "ts_weekday_hour_profile",
     "ts_hourly_autocorr_lag24",
+    # round-6: exact int64 gap/duration arithmetic, frozen-codebook
+    # integer assignment, shingle-diagonal islands, per-hex-digit
+    # popcounts, peeling counts, within-cell IEEE cosines under
+    # order-free max, and the analyze()-schema UDTF's label split.
+    "ts_sla_downtime",
+    "events_survival_risk_table",
+    "graph_kcore_peel",
+    "dedup_substring_run",
+    "multimodal_phash_dedup",
+    "similarity_ann_delta_assign",
+    "dedup_semantic_semdedup",
+    "udtf_analyze_dynamic",
 )
 
 

@@ -456,3 +456,43 @@ def test_tpch_q22_uses_anti_join_and_one_row_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_serve_plans_contain_no_training(spark, sf_dir):
+    """The prebuilt ANN query legs must be pure serve paths: they read
+    the persisted artifact (codes/codebook[/cells] parquet under the
+    index dir) and contain NO Lloyd-training aggregation — min_by/max_by
+    argmin assignment is the training signature, and it must appear
+    only in the build job. Guards against the serve path silently
+    regressing into retrain-per-query (round-5 verdict weak #2)."""
+    from boltzmannclean_spark.operators.ann_index import ensure_ann_index
+
+    path = ensure_ann_index(spark, sf_dir)
+    for name in (
+        "similarity_ann_pq_adc_prebuilt",
+        "similarity_ann_ivfpq_prebuilt",
+    ):
+        df = QUERIES[name].spark_fn(spark, sf_dir)
+        plan = _plan(df)
+        assert "min_by" not in plan and "max_by" not in plan, name + ":\n" + plan
+        assert path in plan, f"{name} does not read the artifact:\n" + plan
+
+
+def test_substring_run_join_is_shingle_keyed(spark, sf_dir):
+    """The verbatim-span candidate join must be an equi-join on the
+    shingle (never a cartesian doc×doc), and the DF-cap aggregation
+    must partial-aggregate map-side."""
+    df = QUERIES["dedup_substring_run"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_semdedup_pair_join_is_cell_keyed(spark, sf_dir):
+    """SemDeDup's quadratic cosine pass must be confined to clusters:
+    the pair join is an equi-join on cid, never a corpus cross
+    product."""
+    df = QUERIES["dedup_semantic_semdedup"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "cid" in plan, plan
