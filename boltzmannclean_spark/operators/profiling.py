@@ -922,3 +922,63 @@ def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionAll(s)
     return out.orderBy("key_name")
+
+
+@register(
+    "dq_benford_distribution",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR),
+                        1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS total FROM d)
+SELECT digit,
+       COUNT(*) AS n_obs,
+       CAST(CAST(COUNT(*) AS DOUBLE) / CAST(total AS DOUBLE) AS FLOAT)
+         AS obs_share,
+       CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS FLOAT)
+         AS benford_share
+FROM d CROSS JOIN n
+GROUP BY digit, total
+ORDER BY digit
+""",
+    tags=("dq", "benford", "distribution"),
+)
+def dq_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening — the forensic-accounting DQ
+    classic: naturally-occurring money amounts follow
+    P(d) = log10(1 + 1/d); a ledger whose leading-digit histogram
+    deviates hard (too many 5s, missing 1s) is synthetic, truncated,
+    or manipulated. Emits the observed first-digit distribution next
+    to the Benford expectation per digit (9 rows). The leading digit
+    comes from the exact-decimal string rendering (no float-format
+    drift); counts are exact; both shares are single float divisions
+    over exact operands, FLOAT-cast under the libm-1-ulp rule for the
+    log10 leg. One map-side-combined aggregation + a 1-row broadcast
+    total — any fact table size."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(14,2)").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("total").cast("double"))
+            .cast("float")
+            .alias("obs_share"),
+            F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+            .cast("float")
+            .alias("benford_share"),
+        )
+        .orderBy("digit")
+    )

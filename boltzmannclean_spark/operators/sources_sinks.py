@@ -1099,3 +1099,57 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("status")
     )
+
+
+_NBIN = 40  # payload files in the binary-ingest fixture
+
+
+@register(
+    "source_binary_files",
+    oracle=f"""
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+       CAST(16 AS BIGINT) AS n_bytes,
+       md5(text) AS content_hex
+FROM documents WHERE doc_id < {_NBIN}
+ORDER BY fname
+""",
+    tags=("source", "binary", "multimodal"),
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` ingestion — the format a raw media crawl actually
+    lands as (one image/audio blob per object-store key): the fixture
+    materializes each of the first {_NBIN} documents' 16-byte payloads
+    (unhex(md5(text)), the engine's stub media payload) as its own
+    file, then ``spark.read.format("binaryFile")`` scans the directory
+    into (path, length, content) rows — the entry point that feeds the
+    multimodal mapInPandas featurizers without any preprocessing step.
+    The output relativizes the path (regexp filename extract; harness
+    path-freedom rule) and hex-renders the content, so the oracle is
+    the closed-form md5 of each source text — a full byte-fidelity
+    check of the write→scan round trip. Scale: binaryFile lists and
+    reads files in parallel across executors (one task per file group)
+    and prunes on path/size pushed filters; content bytes stream
+    through Arrow untouched."""
+    import os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _NBIN)
+        .select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="bcs_binfiles_") + "/blobs"
+    os.makedirs(base, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(bytes(r.payload))
+    return (
+        spark.read.format("binaryFile")
+        .load(base)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.lower(F.hex("content")).alias("content_hex"),
+        )
+        .orderBy("fname")
+    )

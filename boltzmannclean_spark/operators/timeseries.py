@@ -828,3 +828,64 @@ def ts_sla_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_downsample_minmax",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) AS us, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+k AS (
+  SELECT day, us, cents,
+         lpad(CAST(cents AS VARCHAR), 12, '0')
+           || lpad(CAST(us AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS key
+  FROM e
+)
+SELECT day, COUNT(*) AS n_points,
+       MIN(cents) AS v_min_cents, MAX(cents) AS v_max_cents,
+       arg_min(us, key) AS ts_min_us,
+       arg_max(us, key) AS ts_max_us
+FROM k GROUP BY day ORDER BY day
+""",
+    tags=("timeseries", "downsample", "minmax"),
+)
+def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max downsampling — the standard lossy reduction behind every
+    time-series dashboard (keep each bucket's extreme points so the
+    rendered envelope is exact; Grafana/M3/Influx all ship this
+    shape): per day-bucket, the min and max values plus the timestamps
+    of the points that attain them. Tie-break is deterministic via the
+    zero-padded (cents, µs, event_id) string key — lexicographic order
+    equals numeric order on these non-negative fields (the
+    stream_ohlc_hourly recipe), so both engines pick the identical
+    point. ONE map-side-combined aggregation on the bucket key; state
+    per bucket is four scalars + two pick keys — the same plan serves
+    a 100 TB metrics table at any bucket granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    key = F.concat(
+        F.lpad(F.col("cents").cast("string"), 12, "0"),
+        F.lpad(F.col("us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("cents").alias("v_min_cents"),
+            F.max("cents").alias("v_max_cents"),
+            F.min_by("us", key).alias("ts_min_us"),
+            F.max_by("us", key).alias("ts_max_us"),
+        )
+        .orderBy("day")
+    )

@@ -90,6 +90,9 @@ _VERIFY_FIRST = (
     "udtf_analyze_dynamic",
     "dedup_semantic_semdedup",
     "impute_rbm_pipeline_persist",
+    "ts_downsample_minmax",
+    "dq_benford_distribution",
+    "source_binary_files",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -131,8 +134,6 @@ _VERIFY_FIRST = (
     "text_bigram_logprob",
     "text_heaps_law",
     "text_inverted_index",
-    "text_bm25_topk",
-    "text_bpe_regex_tokens",
 )
 
 
