@@ -813,3 +813,58 @@ def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").rlike('"k": [0-9]{2}\\}').alias("has_2digit_k"),
         F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_str"),
     ).orderBy("event_id")
+
+
+_TZ_TARGETS = ("America/New_York", "Asia/Kolkata", "Asia/Tokyo")
+
+
+@register(
+    "func_convert_timezone",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{tz}' AS tz,
+       EXTRACT(hour FROM (ts AT TIME ZONE 'UTC' AT TIME ZONE '{tz}'))::BIGINT
+         AS local_hour,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY local_hour"""
+        for tz in _TZ_TARGETS
+    )
+    + "\nORDER BY tz, local_hour",
+    tags=("functions", "timezone", "4.x"),
+)
+def func_convert_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``convert_timezone`` (4.x three-arg form) — the
+    local-business-hours lens every global events table needs: the UTC
+    event stream re-expressed in three operating regions' wall clocks
+    (including Asia/Kolkata's +5:30 half-hour offset, which breaks any
+    naive hour-shift arithmetic) and histogrammed by local hour.
+    Cross-engine exactness rides on BOTH engines resolving offsets from
+    the IANA tzdb (DST transitions included) — the conversion itself is
+    per-row and deterministic, the histogram an exact-count
+    aggregation. The session stays pinned to UTC (harness rule); all
+    zone math is explicit in the expression, never ambient. Plan: ONE
+    scan — the three conversions fan out row-locally (explode of a
+    3-struct array), then one map-combined aggregation; the UNION-ALL
+    oracle is the semantic twin but three scans."""
+    ev = load_table(spark, sf_dir, "events")
+    fanned = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(tz).alias("tz"),
+                    F.hour(F.expr(f"convert_timezone('UTC', '{tz}', ts)"))
+                    .cast("long")
+                    .alias("local_hour"),
+                )
+                for tz in _TZ_TARGETS
+            ]
+        )
+    )
+    return (
+        ev.select(fanned.alias("g"))
+        .select("g.tz", "g.local_hour")
+        .groupBy("tz", "local_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("tz", "local_hour")
+    )

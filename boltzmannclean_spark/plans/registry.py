@@ -93,6 +93,7 @@ _VERIFY_FIRST = (
     "ts_downsample_minmax",
     "dq_benford_distribution",
     "source_binary_files",
+    "func_convert_timezone",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -133,7 +134,6 @@ _VERIFY_FIRST = (
     "text_vocab_coverage",
     "text_bigram_logprob",
     "text_heaps_law",
-    "text_inverted_index",
 )
 
 
