@@ -577,3 +577,69 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.join(sd, "s").join(pd_, "p").localCheckpoint()
         snaps.append(snap(r, cur))
     return reduce(DataFrame.unionAll, snaps).orderBy("round")
+
+
+PROJ_DF_CAP = 30  # parts supplied by more suppliers than this are hubs
+PROJ_TOP = 50
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle=f"""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+ok AS (SELECT p FROM e GROUP BY p HAVING COUNT(*) <= {PROJ_DF_CAP}),
+ke AS (SELECT e.s, e.p FROM e JOIN ok USING (p)),
+pairs AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS shared_parts
+  FROM ke a JOIN ke b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT supp_a, supp_b, shared_parts, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY shared_parts DESC, supp_a, supp_b)
+         AS rk
+  FROM pairs
+) t WHERE rk <= {PROJ_TOP}
+ORDER BY rk
+""",
+    tags=("graph", "bipartite", "projection"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the supplier-part bipartite
+    graph: supplier pairs ranked by co-supplied part count — the
+    substitutability / supply-chain-risk signal (two suppliers sharing
+    many parts are interchangeable; losing both is correlated). The
+    projection is THE quadratic trap of bipartite analytics: a hub part
+    with degree d alone contributes C(d,2) pairs, so parts above
+    PROJ_DF_CAP suppliers are excluded BEFORE the self-join (the same
+    df-cap discipline as the n-gram dedup family) — candidate volume is
+    then Σ C(deg,2) over capped parts, corpus-linear for any realistic
+    degree distribution. One distinct + one capped equi-self-join +
+    one pair aggregation; top-{PROJ_TOP} via a ranking window over the
+    PAIR table (never the corpus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ok = (
+        e.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") <= PROJ_DF_CAP)
+        .select("p")
+    )
+    ke = e.join(ok, "p")
+    a = ke.select(F.col("s").alias("supp_a"), "p")
+    b = ke.select(F.col("s").alias("supp_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PROJ_TOP)
+        .orderBy("rk")
+    )

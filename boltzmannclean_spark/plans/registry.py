@@ -94,6 +94,8 @@ _VERIFY_FIRST = (
     "dq_benford_distribution",
     "source_binary_files",
     "func_convert_timezone",
+    "graph_bipartite_projection",
+    "stream_cdc_merge_snapshot",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",

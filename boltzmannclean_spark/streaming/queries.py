@@ -664,3 +664,99 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg).orderBy("device")
+
+
+@register(
+    "stream_cdc_merge_snapshot",
+    oracle="""
+SELECT user_id,
+       event_type AS last_type,
+       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS last_cents,
+       epoch_us(ts) AS last_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts) DESC, event_id DESC)
+         AS rn
+  FROM events
+) t WHERE rn = 1
+ORDER BY user_id
+""",
+    tags=("streaming", "cdc", "merge", "foreachBatch"),
+)
+def stream_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the change-data-capture consumer every
+    warehouse runs: the event stream is a keyed update feed, and each
+    micro-batch MERGEs into a persisted per-user snapshot with
+    last-writer-wins semantics ((ts, event_id)-newest value survives).
+    foreachBatch versions the snapshot per epoch (state_e{N} dirs —
+    write-new-then-repoint, never overwrite-what-you-read, which also
+    gives snapshot time travel for free); the merge itself is
+    union + max_by re-aggregation here, a Delta/Iceberg MERGE at
+    lakehouse scale (same keyed shape). Last-writer-wins is
+    associative and commutative in the (ts, event_id) key, so ANY
+    micro-batch partitioning of the feed converges to the same final
+    snapshot — which is exactly what the batch oracle computes with
+    one window. The fixture re-splits events into 3 files streamed one
+    per trigger, so the merge loop really runs multiple epochs."""
+    import os
+    import tempfile
+
+    from boltzmannclean_spark.sources.catalog import normalize_events_ts
+
+    base = tempfile.mkdtemp(prefix="bcs_cdc_")
+    feed_dir = os.path.join(base, "feed")
+    # Re-split the feed so the stream runs >1 micro-batch; correctness
+    # is split-invariant (associative merge), so repartition is safe.
+    load_table(spark, sf_dir, "events").repartition(3).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    updates = stream.select(
+        "user_id",
+        "event_type",
+        (dec("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    state: dict = {"path": None, "epoch": -1}
+
+    def apply_cdc(batch_df: DataFrame, epoch_id: int) -> None:
+        key = F.struct("us", "event_id")
+        latest = batch_df.groupBy("user_id").agg(
+            F.max_by("event_type", key).alias("last_type"),
+            F.max_by("cents", key).alias("last_cents"),
+            F.max("us").alias("last_us"),
+            F.max(key).alias("k"),
+        )
+        if state["path"] is not None:
+            cur = batch_df.sparkSession.read.parquet(state["path"])
+            merged = (
+                cur.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("last_type", F.col("k")).alias("last_type"),
+                    F.max_by("last_cents", F.col("k")).alias("last_cents"),
+                    F.max_by("last_us", F.col("k")).alias("last_us"),
+                    F.max("k").alias("k"),
+                )
+            )
+        else:
+            merged = latest
+        nxt = os.path.join(base, f"state_e{epoch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+        state["epoch"] = epoch_id
+
+    q = updates.writeStream.outputMode("append").foreachBatch(apply_cdc).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(state["path"])
+        .select("user_id", "last_type", "last_cents", "last_us")
+        .orderBy("user_id")
+    )
