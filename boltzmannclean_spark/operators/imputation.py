@@ -434,3 +434,219 @@ def impute_rbm_pipeline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm.stages[0].save(path)
     reloaded = RBMImputerModel.load(path)
     return reloaded.transform(holed).orderBy("c_custkey")
+
+
+MICE_ROUNDS = 2
+
+
+def _mice_oracle() -> str:
+    """Unrolled chained-equations rounds. Naming: cur{k}_y1 / cur{k}_y2
+    are the working tables after the k-th half-step."""
+    d19 = "DECIMAL(19,0)"
+
+    def fit(src: str, obs: str, x: str, y: str) -> str:
+        return f"""(
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST({x} AS {d19})) AS DOUBLE) AS sx,
+         CAST(SUM(CAST({y} AS {d19})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({x} AS {d19}) * CAST({x} AS {d19})) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({x} AS {d19}) * CAST({y} AS {d19})) AS DOUBLE) AS sxy
+  FROM {src} WHERE NOT {obs}
+)"""
+
+    steps = []
+    prev = "cur0"
+    for r in range(1, MICE_ROUNDS + 1):
+        steps.append(f"""
+f{r}a AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+  FROM {fit(prev, "m1", "y2", "y1")}
+),
+s{r}a AS (
+  SELECT rid, rf, y1t, y2t, m1, m2,
+         CASE WHEN m1 THEN CAST(FLOOR(b0 + b1 * y2) AS BIGINT)
+              ELSE y1 END AS y1,
+         y2
+  FROM {prev} CROSS JOIN f{r}a
+),
+f{r}b AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+  FROM {fit(f"s{r}a", "m2", "y1", "y2")}
+),
+cur{r} AS (
+  SELECT rid, rf, y1t, y2t, m1, m2, y1,
+         CASE WHEN m2 THEN CAST(FLOOR(b0 + b1 * y1) AS BIGINT)
+              ELSE y2 END AS y2
+  FROM s{r}a CROSS JOIN f{r}b
+)""")
+        prev = f"cur{r}"
+    return f"""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         l_returnflag AS rf,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS y1t,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y2t,
+         (l_orderkey * 10 + l_linenumber) % 11 = 3 AS m1,
+         (l_orderkey * 10 + l_linenumber) % 13 = 5 AS m2
+  FROM lineitem
+),
+mu AS (
+  SELECT CAST(SUM(CASE WHEN NOT m1 THEN CAST(y1t AS DECIMAL(19,0)) END) AS BIGINT)
+           // SUM(CASE WHEN NOT m1 THEN 1 ELSE 0 END) AS mu1,
+         CAST(SUM(CASE WHEN NOT m2 THEN CAST(y2t AS DECIMAL(19,0)) END) AS BIGINT)
+           // SUM(CASE WHEN NOT m2 THEN 1 ELSE 0 END) AS mu2
+  FROM base
+),
+cur0 AS (
+  SELECT rid, rf, y1t, y2t, m1, m2,
+         CASE WHEN m1 THEN mu1 ELSE y1t END AS y1,
+         CASE WHEN m2 THEN mu2 ELSE y2t END AS y2
+  FROM base CROSS JOIN mu
+),{",".join(steps)}
+SELECT rf AS l_returnflag,
+       CAST(SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS BIGINT) AS n_imp_qty,
+       CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_imp_price,
+       CAST(SUM(CASE WHEN m1 THEN y1 END) AS BIGINT) AS sum_imp_qty_cents,
+       CAST(SUM(CASE WHEN m2 THEN y2 END) AS BIGINT) AS sum_imp_price_cents,
+       SQRT(CAST(SUM(CASE WHEN m1 THEN CAST(y1 - y1t AS {d19})
+                                     * CAST(y1 - y1t AS {d19}) END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS DOUBLE)) AS rmse_qty,
+       SQRT(CAST(SUM(CASE WHEN m2 THEN CAST(y2 - y2t AS {d19})
+                                     * CAST(y2 - y2t AS {d19}) END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS DOUBLE)) AS rmse_price
+FROM {prev}
+GROUP BY rf
+ORDER BY l_returnflag
+""".replace("{d19}", d19)
+
+
+@register(
+    "impute_mice_chained",
+    oracle=_mice_oracle(),
+    tags=("imputation", "mice", "chained-equations"),
+)
+def impute_mice_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICE — Multivariate Imputation by Chained Equations (van Buuren,
+    the classical multivariate imputer and boltzmannclean's most-cited
+    baseline): quantity and price are masked on disjoint deterministic
+    row sets, initialized to the observed-column integer mean, then
+    imputed round-robin — fit OLS(y1 ~ y2) on y1-observed rows, impute
+    y1; fit OLS(y2 ~ y1) with the UPDATED y1, impute y2 — for
+    MICE_ROUNDS rounds, with held-out RMSE against the pre-mask truth
+    per return flag.
+
+    The cross-engine trick that keeps an ITERATIVE FLOAT algorithm
+    hash-exact: every imputed value is immediately quantized back to
+    integer cents (FLOOR of the per-row IEEE prediction), so the NEXT
+    round's regression consumes exact integers and its sufficient
+    statistics are order-free DECIMAL(38,0) sums — float order-noise
+    can never accumulate across rounds. Each fit is one partial+final
+    aggregation broadcast back as a 1-row β; 2 rounds = 4 aggregations
+    + 1 evaluation pass, no collect, no window — the same plan imputes
+    a 100 TB fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    base = li.select(
+        rid.alias("rid"),
+        F.col("l_returnflag").alias("rf"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y1t"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y2t"),
+        (rid % 11 == 3).alias("m1"),
+        (rid % 13 == 5).alias("m2"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mu = base.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT m1 THEN CAST(y1t AS DECIMAL(19,0)) END)"
+            " AS BIGINT) div SUM(CASE WHEN NOT m1 THEN 1 ELSE 0 END)"
+        ).alias("mu1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT m2 THEN CAST(y2t AS DECIMAL(19,0)) END)"
+            " AS BIGINT) div SUM(CASE WHEN NOT m2 THEN 1 ELSE 0 END)"
+        ).alias("mu2"),
+    )
+    cur = base.crossJoin(F.broadcast(mu)).select(
+        "rid",
+        "rf",
+        "y1t",
+        "y2t",
+        "m1",
+        "m2",
+        F.when(F.col("m1"), F.col("mu1")).otherwise(F.col("y1t")).alias("y1"),
+        F.when(F.col("m2"), F.col("mu2")).otherwise(F.col("y2t")).alias("y2"),
+    )
+
+    def ols(src: DataFrame, obs_col: str, x: str, y: str) -> DataFrame:
+        s = src.where(~F.col(obs_col)).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(d19(x)).cast("double").alias("sx"),
+            F.sum(d19(y)).cast("double").alias("sy"),
+            F.sum(d19(x) * d19(x)).cast("double").alias("sxx"),
+            F.sum(d19(x) * d19(y)).cast("double").alias("sxy"),
+        )
+        b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        return s.select(
+            b1.alias("b1"),
+            ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0"),
+        )
+
+    keep = ["rid", "rf", "y1t", "y2t", "m1", "m2"]
+    for _ in range(MICE_ROUNDS):
+        fa = ols(cur, "m1", "y2", "y1")
+        cur = cur.crossJoin(F.broadcast(fa)).select(
+            *keep,
+            F.when(
+                F.col("m1"),
+                F.floor(F.col("b0") + F.col("b1") * F.col("y2")),
+            )
+            .otherwise(F.col("y1"))
+            .alias("y1"),
+            "y2",
+        )
+        fb = ols(cur, "m2", "y1", "y2")
+        cur = cur.crossJoin(F.broadcast(fb)).select(
+            *keep,
+            "y1",
+            F.when(
+                F.col("m2"),
+                F.floor(F.col("b0") + F.col("b1") * F.col("y1")),
+            )
+            .otherwise(F.col("y2"))
+            .alias("y2"),
+        )
+
+    def rmse(mcol: str, y: str, yt: str):
+        se = F.sum(
+            F.when(F.col(mcol), (d19(y) - d19(yt)) * (d19(y) - d19(yt)))
+        ).cast("double")
+        n = F.sum(F.when(F.col(mcol), 1).otherwise(0)).cast("double")
+        return F.sqrt(se / n)
+
+    return (
+        cur.groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.sum(F.when(F.col("m1"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imp_qty"),
+            F.sum(F.when(F.col("m2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imp_price"),
+            F.sum(F.when(F.col("m1"), F.col("y1")))
+            .cast("long")
+            .alias("sum_imp_qty_cents"),
+            F.sum(F.when(F.col("m2"), F.col("y2")))
+            .cast("long")
+            .alias("sum_imp_price_cents"),
+            rmse("m1", "y1", "y1t").alias("rmse_qty"),
+            rmse("m2", "y2", "y2t").alias("rmse_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -96,6 +96,7 @@ _VERIFY_FIRST = (
     "func_convert_timezone",
     "graph_bipartite_projection",
     "stream_cdc_merge_snapshot",
+    "impute_mice_chained",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -132,7 +133,6 @@ _VERIFY_FIRST = (
     "dedup_prefix_filter_jaccard",
     "dedup_cluster_size_stats",
     "dedup_minhash_threshold_curve",
-    "text_repetition_ratio",
     "text_vocab_coverage",
     "text_bigram_logprob",
     "text_heaps_law",
