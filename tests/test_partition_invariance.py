@@ -90,6 +90,14 @@ INVARIANT_QUERIES = (
     "similarity_ann_delta_assign",
     "dedup_semantic_semdedup",
     "udtf_analyze_dynamic",
+    # round-6 closing batch: padded-key envelope picks, exact-decimal
+    # digit extraction, IANA per-row conversions, hub-capped pair
+    # weights, and the integer-requantized MICE iteration.
+    "ts_downsample_minmax",
+    "dq_benford_distribution",
+    "func_convert_timezone",
+    "graph_bipartite_projection",
+    "impute_mice_chained",
 )
 
 
