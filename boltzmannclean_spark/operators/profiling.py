@@ -982,3 +982,87 @@ def dq_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "stats_ab_did_uplift",
+    oracle="""
+WITH b AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+           FROM events),
+cells AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         (epoch_us(ts) >= (t0 + (t1 - t0) // 2)) AS post,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN b
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT treated, post,
+         CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents, n
+  FROM cells
+)
+SELECT t.treated, t.post, t.n, t.mean_cents,
+       (SELECT (tp.mean_cents - tb.mean_cents) - (cp.mean_cents - cb.mean_cents)
+        FROM m tp, m tb, m cp, m cb
+        WHERE tp.treated AND tp.post AND tb.treated AND NOT tb.post
+          AND NOT cp.treated AND cp.post AND NOT cb.treated AND NOT cb.post)
+         AS did_uplift_cents
+FROM m t
+ORDER BY t.treated, t.post
+""",
+    tags=("stats", "experiment", "did"),
+)
+def stats_ab_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift — the third leg of the
+    experimentation family (two-proportion z-test, CUPED, now DiD):
+    when assignment isn't randomized per-exposure, the treatment effect
+    is (treated post − treated pre) − (control post − control pre),
+    which cancels both the group baseline and the common time trend.
+    Cells: treated = even user_id, post = second half of the observed
+    time span (bounds from one 1-row broadcast aggregate — no
+    calendar, pure int64 µs). Per-cell sums are exact integer cents;
+    the four means are single divisions of exact operands and the DiD
+    estimate one fixed expression over them — hash-exact despite being
+    float. One pass over events + a 4-row self-combination."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (
+                F.unix_micros("ts")
+                >= F.col("t0") + F.expr("(t1 - t0) div 2")
+            ).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("cents").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+    )
+    pick = lambda tr, po: F.max(  # noqa: E731
+        F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("mean_cents"))
+    )
+    did = m.agg(
+        (
+            (pick(True, True) - pick(True, False))
+            - (pick(False, True) - pick(False, False))
+        ).alias("did_uplift_cents")
+    )
+    return (
+        m.crossJoin(F.broadcast(did))
+        .select("treated", "post", "n", "mean_cents", "did_uplift_cents")
+        .orderBy("treated", "post")
+    )

@@ -97,6 +97,7 @@ _VERIFY_FIRST = (
     "graph_bipartite_projection",
     "stream_cdc_merge_snapshot",
     "impute_mice_chained",
+    "stats_ab_did_uplift",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -124,7 +125,6 @@ _VERIFY_FIRST = (
     "tpch_q22_global_sales_opportunity",
     "dedup_keep_best",
     "dedup_levenshtein_verify",
-    "dedup_containment",
     "dedup_url_canonical",
     "dedup_minhash_mllib",
     "dedup_segments_exact",
