@@ -98,6 +98,7 @@ INVARIANT_QUERIES = (
     "func_convert_timezone",
     "graph_bipartite_projection",
     "impute_mice_chained",
+    "stats_ab_did_uplift",
 )
 
 
