@@ -1153,3 +1153,67 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+@register(
+    "dq_schema_drift_report",
+    oracle="""
+SELECT * FROM (VALUES
+  ('o_clerk',         'added',        CAST(NULL AS VARCHAR), 'string'),
+  ('o_comment',       'removed',      'string',              CAST(NULL AS VARCHAR)),
+  ('o_custkey',       'unchanged',    'bigint',              'bigint'),
+  ('o_orderdate',     'unchanged',    'timestamp_ntz',       'timestamp_ntz'),
+  ('o_orderkey',      'unchanged',    'bigint',              'bigint'),
+  ('o_orderpriority', 'unchanged',    'string',              'string'),
+  ('o_orderstatus',   'unchanged',    'string',              'string'),
+  ('o_totalprice',    'type_changed', 'double',              'decimal(14,2)')
+) AS t(column_name, status, type_v1, type_v2)
+ORDER BY column_name
+""",
+    tags=("dq", "schema", "drift"),
+)
+def dq_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report between two snapshot versions of a table —
+    the pre-flight check every scheduled ingest needs BEFORE
+    unionByName/mergeSchema silently null-fills a renamed column: the
+    fixture writes orders v1 as-is and v2 with a column added
+    (o_clerk), one dropped (o_comment ~ the drop is simulated by never
+    having it in v1's projection... v1 carries it, v2 drops it), and
+    one type-migrated (o_totalprice double -> DECIMAL(14,2)); the
+    report classifies every column across both parquet FOOTERS —
+    schema-only, zero data rows scanned, so the check is free at any
+    table size. The full-outer classification runs as a DataFrame over
+    the two schema listings (metadata-sized), and the oracle is the
+    literal expected report."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="bcs_drift_")
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    orders.withColumn("o_comment", F.lit("legacy note")).write.parquet(v1)
+    (
+        orders.withColumn("o_clerk", F.concat(F.lit("Clerk#"), F.col("o_custkey")))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(14,2)"))
+        .write.parquet(v2)
+    )
+    s1 = spark.read.parquet(v1).schema
+    s2 = spark.read.parquet(v2).schema
+    rows1 = [(f.name, f.dataType.simpleString()) for f in s1.fields]
+    rows2 = [(f.name, f.dataType.simpleString()) for f in s2.fields]
+    d1 = spark.createDataFrame(rows1, "column_name string, type_v1 string")
+    d2 = spark.createDataFrame(rows2, "column_name string, type_v2 string")
+    return (
+        d1.join(d2, "column_name", "full_outer")
+        .select(
+            "column_name",
+            F.when(F.col("type_v1").isNull(), "added")
+            .when(F.col("type_v2").isNull(), "removed")
+            .when(F.col("type_v1") != F.col("type_v2"), "type_changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            "type_v1",
+            "type_v2",
+        )
+        .orderBy("column_name")
+    )

@@ -98,6 +98,7 @@ _VERIFY_FIRST = (
     "stream_cdc_merge_snapshot",
     "impute_mice_chained",
     "stats_ab_did_uplift",
+    "dq_schema_drift_report",
     "events_survival_risk_table",
     "graph_kcore_peel",
     "dedup_embedding_cosine_recall_demo",
@@ -126,7 +127,6 @@ _VERIFY_FIRST = (
     "dedup_keep_best",
     "dedup_levenshtein_verify",
     "dedup_url_canonical",
-    "dedup_minhash_mllib",
     "dedup_segments_exact",
     "dedup_minhash_recall_eval",
     "dedup_normalized_exact",
