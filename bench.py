@@ -89,14 +89,20 @@ HEADLINE = CORE9 + [
     "tpch_q09_product_profit",
     "tpch_q21_waiting_suppliers",
     "sample_poisson_bootstrap",
-    # round-6: the ANN index lifecycle split — the offline build job
-    # (timed as a build benchmark; forces retraining each run) and the
-    # production query leg over the persisted artifact — plus the
-    # reference's own surface (RBM fit+transform), benched for the
-    # first time so A-path regressions are visible.
-    "sink_ann_index_build",
+    # round-6: the ANN production query leg over the persisted artifact,
+    # plus the reference's own surface (RBM fit+transform), benched so
+    # A-path regressions are visible.
     "similarity_ann_pq_adc_prebuilt",
     "impute_rbm_customer",
+]
+
+# Offline build/lifecycle jobs (r6 verdict item 3): timed and reported,
+# but under their own "build_jobs_total" bucket so the query-latency
+# headline stays round-over-round comparable. A build job runs once per
+# corpus in production, not per query — mixing its cost into the query
+# total misread r6 as a 38% regression that was actually 3 new entries.
+BUILD_JOBS = [
+    "sink_ann_index_build",
 ]
 
 
@@ -105,7 +111,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("boltzmannclean_spark-bench")
     registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    names = [n for n in HEADLINE + BUILD_JOBS if n in registry]
 
     # Warm the JVM: parquet-footer caches, vectorized-reader paths, and —
     # the dominant first-touch cost — whole-stage-codegen compilation of
@@ -168,18 +174,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 4)
+    query_names = [n for n in HEADLINE if n in timings]
+    build_names = [n for n in BUILD_JOBS if n in timings]
+    total = round(sum(timings[n] for n in query_names), 4)
     core9_total = round(sum(timings[n] for n in CORE9 if n in timings), 4)
+    # vs_baseline is only meaningful when ALL nine core queries produced
+    # a timing (ADVICE r6: a failed core query would otherwise shrink the
+    # numerator and let the <2x gate pass spuriously). null = not
+    # comparable this run; the per-query timings still show which failed.
+    core9_complete = all(n in timings for n in CORE9)
     report = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "core9_total": core9_total,
+        "core9_total": core9_total if core9_complete else None,
         # core9 vs the pinned round-1 absolute baseline (BASELINE.md):
         # < 1.0 = faster than baseline; the driver's gate is < 2.0.
-        "vs_baseline": round(core9_total / BASELINE_CORE9_TOTAL, 4),
-        "first_run_total": round(sum(first_runs.values()), 4),
+        "vs_baseline": (
+            round(core9_total / BASELINE_CORE9_TOTAL, 4)
+            if core9_complete
+            else None
+        ),
+        # Offline build/lifecycle jobs, separate bucket (see BUILD_JOBS).
+        "build_jobs_total": round(sum(timings[n] for n in build_names), 4),
+        "first_run_total": round(
+            sum(first_runs[n] for n in query_names if n in first_runs), 4
+        ),
         "queries_first_run": first_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -82,8 +82,34 @@ _INDEX_CONF = {
 
 
 def _index_dir(sf_dir: str) -> str:
+    # Scoped per-user (uid in the name; BCS_ANN_INDEX_DIR overrides the
+    # root) so parallel users/sessions on a shared host never serve each
+    # other's artifacts from a predictable world-shared path.
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"bcs_ann_index_{key}")
+    root = os.environ.get("BCS_ANN_INDEX_DIR", tempfile.gettempdir())
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(root, f"bcs_ann_index_u{uid}_{key}")
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings source: (relpath, size,
+    mtime_ns) of every file under it, hashed. Catches the
+    regenerated-with-same-row-count drift case without a Spark job —
+    a rewritten parquet always changes mtime/size."""
+    base = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    entries = []
+    if os.path.isdir(base):
+        for dirpath, _dirs, files in os.walk(base):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, base), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(base):
+        st = os.stat(base)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
 
 
 # Artifact dirs already validated (corpus count + config fingerprint)
@@ -105,14 +131,23 @@ def ensure_ann_index(
         os.path.join(path, "meta.json")
     ):
         return path
+    src_fp = _source_fingerprint(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
+
+    def _valid(meta: dict) -> bool:
+        return (
+            meta.get("n") == n_corpus
+            and meta.get("conf") == _INDEX_CONF
+            and meta.get("src_fp") == src_fp
+        )
+
     meta_file = os.path.join(path, "meta.json")
     if not force and os.path.exists(meta_file):
         try:
             with open(meta_file) as fh:
                 meta = json.load(fh)
-            if meta.get("n") == n_corpus and meta.get("conf") == _INDEX_CONF:
+            if _valid(meta):
                 _VALIDATED.add(path)
                 return path
         except (OSError, json.JSONDecodeError):
@@ -163,9 +198,24 @@ def ensure_ann_index(
     )
     cent.unpersist()
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
-        json.dump({"n": n_corpus, "conf": _INDEX_CONF}, fh)
+        json.dump({"n": n_corpus, "conf": _INDEX_CONF, "src_fp": src_fp}, fh)
     shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # Concurrent build race: another process recreated `path` between
+        # the rmtree and the rename. If the winner's artifact validates,
+        # serve it and discard ours; otherwise the artifact is unusable —
+        # surface that instead of guessing.
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            with open(meta_file) as fh:
+                if _valid(json.load(fh)):
+                    _VALIDATED.add(path)
+                    return path
+        except (OSError, json.JSONDecodeError):
+            pass
+        raise
     _VALIDATED.add(path)
     return path
 

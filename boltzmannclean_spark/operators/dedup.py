@@ -1993,9 +1993,16 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
+                # Guard: sequence(1, n) DESCENDS for n < 1 (yielding [1, 0]
+                # for a 4-token doc) and slice(a, i, 5) then throws on the
+                # out-of-range start — docs shorter than the shingle width
+                # must fan out to zero shingles, matching the oracle's
+                # range(1, len-3) which is empty for len <= 4.
                 F.expr(
-                    f"transform(sequence(1, greatest(size(a) - {SUBSTR_NGRAM - 1}, 0)), "
-                    f"i -> struct(i AS pos, concat_ws(' ', slice(a, i, {SUBSTR_NGRAM})) AS s))"
+                    f"CASE WHEN size(a) >= {SUBSTR_NGRAM} THEN "
+                    f"transform(sequence(1, size(a) - {SUBSTR_NGRAM - 1}), "
+                    f"i -> struct(i AS pos, concat_ws(' ', slice(a, i, {SUBSTR_NGRAM})) AS s)) "
+                    f"ELSE array() END"
                 )
             ).alias("g"),
         )

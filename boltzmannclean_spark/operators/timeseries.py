@@ -841,7 +841,7 @@ WITH e AS (
 ),
 k AS (
   SELECT day, us, cents,
-         lpad(CAST(cents AS VARCHAR), 12, '0')
+         lpad(CAST(cents + 1000000000000 AS VARCHAR), 13, '0')
            || lpad(CAST(us AS VARCHAR), 20, '0')
            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS key
   FROM e
@@ -860,10 +860,12 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered envelope is exact; Grafana/M3/Influx all ship this
     shape): per day-bucket, the min and max values plus the timestamps
     of the points that attain them. Tie-break is deterministic via the
-    zero-padded (cents, µs, event_id) string key — lexicographic order
-    equals numeric order on these non-negative fields (the
-    stream_ohlc_hourly recipe), so both engines pick the identical
-    point. ONE map-side-combined aggregation on the bucket key; state
+    zero-padded (cents, µs, event_id) string key — cents is
+    offset-encoded (+10^12, covering the full DECIMAL(12,2) cents
+    domain) so even NEGATIVE values lpad to a digit string whose
+    lexicographic order equals numeric order (ADVICE r6: a bare '-'
+    prefix would invert the ordering), so both engines pick the
+    identical point. ONE map-side-combined aggregation on the bucket key; state
     per bucket is four scalars + two pick keys — the same plan serves
     a 100 TB metrics table at any bucket granularity."""
     ev = load_table(spark, sf_dir, "events")
@@ -874,7 +876,7 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec("value") * 100).cast("long").alias("cents"),
     )
     key = F.concat(
-        F.lpad(F.col("cents").cast("string"), 12, "0"),
+        F.lpad((F.col("cents") + F.lit(1000000000000)).cast("string"), 13, "0"),
         F.lpad(F.col("us").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )

@@ -118,6 +118,32 @@ def test_substring_run_matches_brute_force(spark, tmp_path):
         )
 
 
+def test_substring_run_short_and_empty_docs(spark, tmp_path):
+    """ADVICE r6 regression: docs with < SUBSTR_NGRAM tokens used to
+    crash the shingle fan-out (sequence(1, 0) descends to [1, 0] and
+    slice then throws). Short/empty docs must contribute zero shingles
+    and never appear in any pair, while long docs still match."""
+    span = " ".join(f"s{i}" for i in range(12))
+    docs = {
+        0: "",  # empty -> 1 empty token after split
+        1: "one",
+        2: "one two",
+        3: "a b c d",  # exactly NGRAM-1 tokens
+        4: "a b c d e",  # exactly NGRAM tokens -> 1 shingle
+        5: span + " tail x y z",
+        6: "lead p q " + span,
+    }
+    sf_dir = _write_docs(spark, tmp_path / "short", docs)
+    got = {
+        (r.doc_a, r.doc_b): (r.longest_match_tokens, r.n_runs)
+        for r in QUERIES["dedup_substring_run"].spark_fn(spark, sf_dir).collect()
+    }
+    want = _brute_substring_runs(docs)
+    assert got == want
+    assert (5, 6) in got and got[(5, 6)][0] == 12
+    assert not any(a in (0, 1, 2, 3, 4) or b in (0, 1, 2, 3, 4) for a, b in got)
+
+
 def _brute_phash_pairs(docs):
     ph = {d: hashlib.md5(t.encode()).hexdigest() for d, t in docs.items()}
     out = {}
