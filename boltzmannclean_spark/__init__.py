@@ -20,6 +20,21 @@ Layout:
 
 __version__ = "0.1.0"
 
+# Parameterized LLM-data-pipeline operators (pipeline.py): the public
+# DataFrame-in/DataFrame-out library surface. The query registry
+# instantiates these same functions with fixture constants, so the
+# oracle suite continuously verifies the exact code paths users run.
+from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
+    bm25_topk,
+    cosine_topk,
+    exact_dedup,
+    minhash_dedup,
+    quality_filter,
+    semantic_dedup,
+    sessionize,
+    substring_dedup,
+)
+
 
 def clean(
     dataframe,

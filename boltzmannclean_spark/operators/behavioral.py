@@ -59,32 +59,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum of new-session flags — the standard island-building
     recipe). One shuffle on user_id serves the lag, the running sum and
     the per-session aggregate."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("t_us"), "value"
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US, 1
-        ).otherwise(0),
-    )
-    runs = flagged.withColumn(
-        "session_idx",
-        F.sum("new_sess")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
-    )
-    return (
-        runs.groupBy("user_id", "session_idx")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("t_us").alias("start_us"),
-            F.max("t_us").alias("end_us"),
-            (F.max("t_us") - F.min("t_us")).alias("duration_us"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
-        )
-        .orderBy("user_id", "session_idx")
+    from boltzmannclean_spark.pipeline import sessionize
+
+    return sessionize(
+        load_table(spark, sf_dir, "events"),
+        gap_minutes=SESSION_GAP_US / 60_000_000,
     )
 
 

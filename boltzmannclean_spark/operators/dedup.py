@@ -62,14 +62,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-groupBy keeping the lowest doc_id per digest.
 
     Shuffles 16-byte digests, not documents; dropDuplicates on the hash
-    is the equivalent retained-rows form."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.md5("text").alias("text_hash"))
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keep_doc_id")
-    )
+    is the equivalent retained-rows form. Instantiates the public
+    ``pipeline.exact_dedup`` with its defaults."""
+    from boltzmannclean_spark.pipeline import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
 MINHASH_ORACLE = f"""
@@ -133,71 +130,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output at docs, which is what a 100 TB pipeline actually emits
     (keep/drop per doc); transitive chains collapse to the bucket rep
     exactly like production LSH dedup."""
-    docs = load_table(spark, sf_dir, "documents")
-    # No sort: every downstream consumer (minhash MIN, intersect-size
-    # Jaccard) is order-independent, so sorting the vocab is dead work.
-    vocab = docs.select(
-        "doc_id",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
-    )
-    toks = vocab.select("doc_id", F.explode("toks").alias("sh"))
-    # All N_SEEDS minhashes in ONE aggregation, from N_SEEDS/4 md5
-    # evaluations: each md5 is 128 bits = four independent 32-bit (8 hex)
-    # slices, and the min over a doc's tokens of each slice is a proper
-    # minhash. Measured 1.9x faster than one md5 per seed at sf0.1, with
-    # no token×seed row blowup — a single doc_id shuffle carries 8
-    # partial mins per doc.
-    minh = toks.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{s // 4}|"), F.col("sh"))),
-                    1 + 8 * (s % 4),
-                    8,
-                )
-            ).alias(f"mh{s}")
-            for s in range(N_SEEDS)
-        ]
-    )
-    # Band keys derive from the minhash row directly — no second shuffle;
-    # posexplode fans each doc into its 4 (band, band_key) rows.
-    band_cols = [
-        F.concat(*[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
-        for b in range(N_SEEDS // BAND_ROWS)
-    ]
-    bands = minh.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
-    )
-    w_bucket = Window.partitionBy("band", "band_key")
-    edges = (
-        bands.withColumn("rep", F.min("doc_id").over(w_bucket))
-        .select("doc_id", "rep")
-        .distinct()
-        .where(F.col("doc_id") > F.col("rep"))
-    )
-    va = vocab.alias("va")
-    vb = vocab.alias("vb")
-    n_int = F.size(F.array_intersect(F.col("va.toks"), F.col("vb.toks")))
-    n_sum = F.size(F.col("va.toks")) + F.size(F.col("vb.toks"))
-    jac = (n_int.cast("double") / (n_sum - n_int).cast("double")).alias("jaccard")
-    e = edges.alias("e")
-    # edges is usually ≪ vocab (one row per near-dup doc) — but on a
-    # high-duplication crawl edges ~ docs, so no forced broadcast: AQE
-    # broadcasts the edge side at runtime when it is actually small and
-    # falls back to a shuffle join when it is not.
-    verified = (
-        e
-        .join(va, F.col("va.doc_id") == F.col("e.doc_id"))
-        .join(vb, F.col("vb.doc_id") == F.col("e.rep"))
-        .select(F.col("e.doc_id").alias("doc_id"), F.col("e.rep").alias("dup_of"), jac)
-        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("dup_of")
-    return (
-        verified.withColumn("rn", F.row_number().over(w_doc))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .orderBy("doc_id")
+    from boltzmannclean_spark.pipeline import minhash_dedup
+
+    return minhash_dedup(
+        load_table(spark, sf_dir, "documents"),
+        n_hashes=N_SEEDS,
+        band_rows=BAND_ROWS,
+        threshold=MINHASH_JACCARD_THRESHOLD,
     )
 
 
@@ -1987,62 +1926,13 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a, doc_b, diag) over the MATCH table (bounded by true shared
     content, not the corpus square). At 100 TB the same plan holds —
     the DF cap is what bounds the join fan-out."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.split("text", " ").alias("a"))
-        .select(
-            "doc_id",
-            F.explode(
-                # Guard: sequence(1, n) DESCENDS for n < 1 (yielding [1, 0]
-                # for a 4-token doc) and slice(a, i, 5) then throws on the
-                # out-of-range start — docs shorter than the shingle width
-                # must fan out to zero shingles, matching the oracle's
-                # range(1, len-3) which is empty for len <= 4.
-                F.expr(
-                    f"CASE WHEN size(a) >= {SUBSTR_NGRAM} THEN "
-                    f"transform(sequence(1, size(a) - {SUBSTR_NGRAM - 1}), "
-                    f"i -> struct(i AS pos, concat_ws(' ', slice(a, i, {SUBSTR_NGRAM})) AS s)) "
-                    f"ELSE array() END"
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
-    )
-    df_ok = (
-        sh.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("ndoc"))
-        .where(F.col("ndoc") <= SUBSTR_DF_CAP)
-        .select("s")
-    )
-    kept = sh.join(df_ok, "s")
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "s"
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "s"
-    )
-    m = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
-        m.withColumn("island", F.col("pa") - F.row_number().over(w))
-        .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(F.count(F.lit(1)).alias("rl"))
-        .where(F.col("rl") >= SUBSTR_MIN_RUN)
-    )
-    return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg(
-            (F.max("rl") + (SUBSTR_NGRAM - 1)).alias("longest_match_tokens"),
-            F.count(F.lit(1)).alias("n_runs"),
-        )
-        .orderBy("doc_a", "doc_b")
+    from boltzmannclean_spark.pipeline import substring_dedup
+
+    return substring_dedup(
+        load_table(spark, sf_dir, "documents"),
+        ngram=SUBSTR_NGRAM,
+        df_cap=SUBSTR_DF_CAP,
+        min_run=SUBSTR_MIN_RUN,
     )
 
 
@@ -2145,61 +2035,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split handles a hot cluster; per-row IEEE cosines (sequential
     folds) are bit-identical cross-engine, and MAX over them is
     order-free."""
-    from boltzmannclean_spark.functions.vectors import as_double, dot, norm
-    from boltzmannclean_spark.operators.similarity import _kmeans_cells, _qvec
+    from boltzmannclean_spark.pipeline import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_full = emb.select(
-        "vec_id",
-        F.lit("x").alias("label"),
-        as_double("embedding").alias("e"),
-        _qvec(F.col("embedding")).alias("qvec"),
-    ).withColumn("nrm", norm(F.col("e")))
-    cells = _kmeans_cells(n_full).select("vec_id", "e", "nrm", "cid").cache()
-    a = cells.select(
-        F.col("vec_id").alias("va"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "cid",
-    )
-    b = cells.select(
-        F.col("vec_id").alias("vb"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "cid",
-    )
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("va") < F.col("vb"))
-        .select(
-            "va",
-            "vb",
-            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
-        )
-        .where(F.col("cosine") >= SEMDEDUP_THETA)
-    )
-    partners = pairs.select(
-        F.col("va").alias("doc_id"), F.col("vb").alias("partner"), "cosine"
-    ).unionAll(
-        pairs.select(
-            F.col("vb").alias("doc_id"), F.col("va").alias("partner"), "cosine"
-        )
-    )
-    agg = partners.groupBy("doc_id").agg(
-        (F.max(F.when(F.col("partner") < F.col("doc_id"), 1).otherwise(0)) == 1).alias(
-            "removed"
-        ),
-        F.max("cosine").alias("best_dup_cos"),
-    )
-    return (
-        agg.join(cells.select("vec_id", "cid"), agg.doc_id == F.col("vec_id"))
-        .select(
-            "doc_id",
-            F.col("cid").cast("long").alias("cell"),
-            "removed",
-            "best_dup_cos",
-        )
-        .orderBy("doc_id")
-    )
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), theta=SEMDEDUP_THETA
+    ).withColumnRenamed("vec_id", "doc_id")

@@ -93,33 +93,12 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on N_QUERY tasks (the round-2 bench regression); the salted local
     stage keeps all 32 cores busy and the final window ranks only
     n_salt * k survivors per query."""
+    from boltzmannclean_spark.pipeline import cosine_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", "label", as_double("embedding").alias("e")
-    ).withColumn("nrm", norm(F.col("e")))
-    q = v.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
+    return cosine_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERY), k=TOP_K
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neighbor_label"),
-            (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    return topk_per_key(
-        scored,
-        keys=["query_id"],
-        order=[F.desc("cosine"), F.col("neighbor_id")],
-        k=TOP_K,
-        salt_col="neighbor_id",
-    ).orderBy("query_id", "rk")
 
 
 # Deterministic pseudo-random hyperplanes: coefficient for (plane p, dim i)

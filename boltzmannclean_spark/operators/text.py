@@ -312,32 +312,11 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, mean word length bounds, minimum stopword fraction), emitting
     per-rule flags plus the final keep decision — the auditable form a
     production pipeline logs. Pure JVM builtins; linear in corpus bytes."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    m = docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (
-            (F.col("n_chars") - F.size(toks) + 1).cast("double") / F.size(toks)
-        ).alias("mean_word_len"),
-        (
-            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
-            / F.size(toks)
-        ).alias("stop_frac"),
+    from boltzmannclean_spark.pipeline import quality_filter
+
+    return quality_filter(
+        load_table(spark, sf_dir, "documents"), stopwords=STOPWORDS
     )
-    ok_length = F.col("n_tokens").between(30, 100000)
-    ok_word_len = F.col("mean_word_len").between(2, 12)
-    ok_stop = F.col("stop_frac") >= 0.01
-    return m.select(
-        "doc_id",
-        "n_tokens",
-        "mean_word_len",
-        "stop_frac",
-        ok_length.alias("ok_length"),
-        ok_word_len.alias("ok_word_len"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_length & ok_word_len & ok_stop).alias("keep"),
-    ).orderBy("doc_id")
 
 
 @register(
@@ -1573,47 +1552,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering and output — both engines then rank and hash the identical
     value. Ties broken by doc_id. avg-doclen is folded as
     dl·N/total_len to keep one division."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .where(F.col("tok").isin(*BM25_QUERY))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B)
-        + F.lit(BM25_B) * F.col("dl") * F.col("n_docs") / F.col("total_len")
-    )
-    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    from boltzmannclean_spark.pipeline import bm25_topk
 
-    def term_sum(t: str):
-        return F.coalesce(
-            F.sum(F.when(F.col("tok") == t, contrib)), F.lit(0.0)
-        )
-
-    return (
-        tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            (term_sum("join") + term_sum("spark") + term_sum("window"))
-            .cast("float")
-            .alias("bm25"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOPK)
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        BM25_QUERY,
+        k1=BM25_K1,
+        b=BM25_B,
+        k=BM25_TOPK,
     )
 
 

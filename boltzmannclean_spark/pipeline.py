@@ -1,0 +1,531 @@
+"""Parameterized LLM-data-pipeline operators — the public library API.
+
+The query registry (``boltzmannclean_spark/operators/``) exercises each
+operator with fixture constants so the driver can oracle-check it
+against DuckDB; THESE are the same implementations with the knobs
+exposed, so a user can run them on their own tables with their own
+thresholds::
+
+    import boltzmannclean_spark as bcs
+    dups = bcs.minhash_dedup(docs, n_hashes=128, band_rows=4,
+                             threshold=0.8)
+    keep = bcs.quality_filter(docs, min_tokens=50, min_stop_frac=0.02)
+    sessions = bcs.sessionize(events, gap_minutes=15)
+
+Every function is DataFrame-in / DataFrame-out, builds a declarative
+plan (Catalyst optimizes it; nothing collects to the driver), and keeps
+the scale posture documented on the registry twin: banded/blocked
+candidate generation, salted top-k, broadcast-sized dictionaries. The
+registry queries call these with their module constants, so the oracle
+suite continuously verifies the exact code paths users run
+(tests/test_pipeline_api.py pins that delegation plus custom-parameter
+behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.functions.topk import topk_per_key
+from boltzmannclean_spark.functions.vectors import as_double, dot, norm
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dedup",
+    "substring_dedup",
+    "semantic_dedup",
+    "cosine_topk",
+    "bm25_topk",
+    "quality_filter",
+    "sessionize",
+]
+
+
+def exact_dedup(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact (byte-identical) dedup: md5-groupBy keeping the lowest id
+    per digest. Shuffles 16-byte digests, not documents — linear at any
+    corpus size. Returns one row per distinct text:
+    (text_hash, keep_<id_col>, n_copies)."""
+    return (
+        docs.select(F.col(id_col), F.md5(text_col).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy(f"keep_{id_col}")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate dedup, representative-based:
+    whitespace-token shingles → ``n_hashes`` deterministic md5-string
+    minhashes → ``n_hashes / band_rows`` banded bucket keys → each doc
+    verified against its bucket's min-id representative by EXACT
+    token-set Jaccard → rows (id, dup_of, jaccard) for docs at
+    jaccard >= ``threshold``.
+
+    More hashes / more rows per band sharpen the LSH S-curve around the
+    target threshold (production: 128 hashes, 4-8 rows/band at ~0.8).
+    Representative-based verification bounds work at docs x bands and
+    output at docs — the keep/drop form a 100 TB pipeline emits —
+    instead of the Θ(similar pairs) all-pairs blowup."""
+    if n_hashes % band_rows:
+        raise ValueError("n_hashes must be a multiple of band_rows")
+    vocab = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(text_col, " ")).alias("toks"),
+    )
+    toks = vocab.select("doc_id", F.explode("toks").alias("sh"))
+    # All minhashes in ONE aggregation from n_hashes/4 md5 evaluations:
+    # each md5 is four independent 32-bit (8-hex) slices, and the min
+    # over a doc's tokens of each slice is a proper minhash.
+    minh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s // 4}|"), F.col("sh"))),
+                    1 + 8 * (s % 4),
+                    8,
+                )
+            ).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
+        for b in range(n_hashes // band_rows)
+    ]
+    bands = minh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
+    )
+    w_bucket = Window.partitionBy("band", "band_key")
+    edges = (
+        bands.withColumn("rep", F.min("doc_id").over(w_bucket))
+        .select("doc_id", "rep")
+        .distinct()
+        .where(F.col("doc_id") > F.col("rep"))
+    )
+    va = vocab.alias("va")
+    vb = vocab.alias("vb")
+    n_int = F.size(F.array_intersect(F.col("va.toks"), F.col("vb.toks")))
+    n_sum = F.size(F.col("va.toks")) + F.size(F.col("vb.toks"))
+    jac = (n_int.cast("double") / (n_sum - n_int).cast("double")).alias(
+        "jaccard"
+    )
+    e = edges.alias("e")
+    # No forced broadcast: AQE broadcasts the edge side when it is
+    # actually small and falls back to a shuffle join on a
+    # high-duplication corpus where edges ~ docs.
+    verified = (
+        e.join(va, F.col("va.doc_id") == F.col("e.doc_id"))
+        .join(vb, F.col("vb.doc_id") == F.col("e.rep"))
+        .select(
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("e.rep").alias("dup_of"),
+            jac,
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("dup_of")
+    return (
+        verified.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("doc_id", id_col)
+        .orderBy(id_col)
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    df_cap: int = 20,
+    min_run: int = 3,
+) -> DataFrame:
+    """Substring-level duplication (Lee et al. 2022): per doc pair, the
+    longest VERBATIM shared span in words and the number of such runs.
+    A shared span of k words is a run of k-ngram+1 consecutive matching
+    ``ngram``-shingles on one (doc_a, doc_b, pos_a - pos_b) diagonal, so
+    the suffix-array approach distributes as: row-local shingling →
+    document-frequency cap (``df_cap`` — a shingle in more docs never
+    seeds a match: the stop-boilerplate guard keeping the join linear)
+    → shingle equi-join → gaps-and-islands per diagonal. Pairs need at
+    least ``min_run`` consecutive shared shingles
+    (= min_run + ngram - 1 shared words)."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("a")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                # Docs shorter than the shingle width fan out to zero
+                # shingles (sequence(1, n) DESCENDS for n < 1 and slice
+                # throws on the out-of-range start).
+                F.expr(
+                    f"CASE WHEN size(a) >= {ngram} THEN "
+                    f"transform(sequence(1, size(a) - {ngram - 1}), "
+                    f"i -> struct(i AS pos, concat_ws(' ', slice(a, i, {ngram})) AS s)) "
+                    f"ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
+    )
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("ndoc"))
+        .where(F.col("ndoc") <= df_cap)
+        .select("s")
+    )
+    kept = sh.join(df_ok, "s")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "s"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "s"
+    )
+    m = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .where(F.col("rl") >= min_run)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("rl") + (ngram - 1)).alias("longest_match_tokens"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    theta: float = 0.40,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dups found by
+    k-means-clustering the embedding space (this engine's exact-integer
+    IVF coarse quantizer) and comparing cosines ONLY within each
+    cluster — the confinement that makes web-scale semantic dedup
+    tractable. A doc is removed iff a same-cell partner with a smaller
+    id matches at cosine >= ``theta`` (production: ~0.95 on real
+    embeddings). Returns (id, cell, removed, best_dup_cos) for every
+    doc in at least one semantic-dup pair."""
+    from boltzmannclean_spark.operators.similarity import (
+        _kmeans_cells,
+        _qvec,
+    )
+
+    n_full = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.lit("x").alias("label"),
+        as_double(vec_col).alias("e"),
+        _qvec(F.col(vec_col)).alias("qvec"),
+    ).withColumn("nrm", norm(F.col("e")))
+    cells = _kmeans_cells(n_full).select("vec_id", "e", "nrm", "cid").cache()
+    a = cells.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cid",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "cid",
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            (
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= theta)
+    )
+    partners = pairs.select(
+        F.col("va").alias("doc_id"), F.col("vb").alias("partner"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("vb").alias("doc_id"), F.col("va").alias("partner"), "cosine"
+        )
+    )
+    agg = partners.groupBy("doc_id").agg(
+        (
+            F.max(F.when(F.col("partner") < F.col("doc_id"), 1).otherwise(0))
+            == 1
+        ).alias("removed"),
+        F.max("cosine").alias("best_dup_cos"),
+    )
+    return (
+        agg.join(cells.select("vec_id", "cid"), agg.doc_id == F.col("vec_id"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("cid").cast("long").alias("cell"),
+            "removed",
+            "best_dup_cos",
+        )
+        .orderBy(id_col)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k similarity search: broadcast the query
+    vectors against the corpus, score every (query, candidate) pair,
+    then salted two-stage top-k per query — a plain per-query window
+    would land the whole scored corpus on |queries| tasks; the salted
+    local stage keeps every core busy and the final window ranks only
+    n_salt * k survivors per query. ``queries`` shares the corpus
+    schema (id + vector columns); a query never matches itself.
+    Returns (query_id, neighbor_id[, neighbor_label], cosine, rk)."""
+    proj = [
+        F.col(id_col).alias("vec_id"),
+        as_double(vec_col).alias("e"),
+    ]
+    if label_col:
+        proj.insert(1, F.col(label_col).alias("label"))
+    v = corpus.select(*proj).withColumn("nrm", norm(F.col("e")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qe")
+        )
+        .withColumn("qnrm", norm(F.col("qe")))
+    )
+    out_cols = [
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    ]
+    if label_col:
+        out_cols.insert(2, F.col("label").alias("neighbor_label"))
+    scored = v.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(*out_cols)
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=k,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Iterable[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 keyword search: top-``k`` docs by Robertson/Sparck-Jones
+    score for ``query_terms``. The term filter lands BEFORE the tf
+    aggregation, so only query-term postings ever shuffle (at 100 TB:
+    |query| x df rows, not the corpus); document frequencies and the
+    corpus stats are tiny broadcasts. Per-doc combination is per-term
+    conditional sums added in fixed lexical term order (not a float SUM
+    whose merge order varies), and the score is float-cast after the
+    one libm op (ln), keeping results engine-portable. Ties broken by
+    id. Returns (id, bm25, n_terms_hit)."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("toks")
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+
+    def term_sum(t: str) -> Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("tok") == t, contrib)), F.lit(0.0)
+        )
+
+    score = term_sum(terms[0])
+    for t in terms[1:]:
+        score = score + term_sum(t)
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            score.cast("float").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 100000,
+    min_word_len: float = 2,
+    max_word_len: float = 12,
+    min_stop_frac: float = 0.01,
+    stopwords: Sequence[str] = ("the", "a", "of", "and"),
+) -> DataFrame:
+    """Rule-based quality filter (Gopher-style heuristics: token-count
+    bounds, mean word length bounds, minimum stopword fraction),
+    emitting per-rule flags plus the final keep decision — the
+    auditable form a production pipeline logs. Pure JVM builtins;
+    linear in corpus bytes. Returns (id, n_tokens, mean_word_len,
+    stop_frac, ok_length, ok_word_len, ok_stopwords, keep)."""
+    toks = F.split(text_col, " ")
+    n_chars = (
+        F.col("n_chars")
+        if "n_chars" in docs.columns
+        else F.length(text_col)
+    )
+    m = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        ((n_chars - F.size(toks) + 1).cast("double") / F.size(toks)).alias(
+            "mean_word_len"
+        ),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*stopwords))).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("stop_frac"),
+    )
+    ok_length = F.col("n_tokens").between(min_tokens, max_tokens)
+    ok_word_len = F.col("mean_word_len").between(min_word_len, max_word_len)
+    ok_stop = F.col("stop_frac") >= min_stop_frac
+    return m.select(
+        F.col(id_col),
+        "n_tokens",
+        "mean_word_len",
+        "stop_frac",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_stop).alias("keep"),
+    ).orderBy(id_col)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    value_col: str | None = "value",
+    gap_minutes: float = 30,
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when the gap
+    to the user's previous event exceeds ``gap_minutes`` (lag + running
+    sum of new-session flags — the standard island-building recipe).
+    ONE shuffle on the user key serves the lag, the running sum and the
+    per-session aggregate. Returns per (user, session_idx): n_events,
+    start_us, end_us, duration_us[, sum_value]."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    cols = [
+        F.col(user_col).alias("user_id"),
+        F.col(event_id_col).alias("event_id"),
+        F.unix_micros(ts_col).alias("t_us"),
+    ]
+    if value_col:
+        cols.append(F.col(value_col).alias("value"))
+    ev = events.select(*cols)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.col("t_us") - F.lag("t_us").over(w) > gap_us, 1).otherwise(
+            0
+        ),
+    )
+    runs = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+    ]
+    if value_col:
+        aggs.append(F.sum(dec("value")).cast("double").alias("sum_value"))
+    return (
+        runs.groupBy("user_id", "session_idx")
+        .agg(*aggs)
+        .withColumnRenamed("user_id", user_col)
+        .orderBy(user_col, "session_idx")
+    )

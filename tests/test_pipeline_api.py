@@ -1,0 +1,159 @@
+"""Public parameterized API (boltzmannclean_spark.pipeline) — the r6
+verdict's item 5: flagship LLM-pipeline operators as documented
+library functions with user-settable thresholds, importable straight
+from the package root, while the registry queries instantiate the same
+code (their parity is pinned by tests/test_oracle_parity.py).
+
+These tests exercise the knobs the registry does NOT: custom column
+names, custom thresholds, and semantic behavior of each parameter on
+hand-built data where the expected answer is computable by eye.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from boltzmannclean_spark import (
+    bm25_topk,
+    cosine_topk,
+    exact_dedup,
+    minhash_dedup,
+    quality_filter,
+    sessionize,
+    substring_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),  # near dup of 1
+        (4, "totally different content entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "id long, body string")
+
+
+def test_exact_dedup_custom_columns(docs):
+    out = exact_dedup(docs, id_col="id", text_col="body").collect()
+    assert {r.keep_id: r.n_copies for r in out} == {1: 2, 3: 1, 4: 1}
+    assert sorted(out[0].asDict()) == ["keep_id", "n_copies", "text_hash"]
+
+
+def test_minhash_dedup_threshold_knob(docs):
+    # exact duplicate always survives any threshold
+    strict = minhash_dedup(
+        docs, id_col="id", text_col="body", threshold=0.999
+    ).collect()
+    assert [(r.id, r.dup_of) for r in strict] == [(2, 1)]
+    # loosening the threshold lets the 5/7-token near-dup through too
+    loose = minhash_dedup(
+        docs, id_col="id", text_col="body", threshold=0.5
+    ).collect()
+    assert (3, 1) in [(r.id, r.dup_of) for r in loose]
+
+
+def test_minhash_dedup_validates_banding(docs):
+    with pytest.raises(ValueError):
+        minhash_dedup(docs, id_col="id", text_col="body", n_hashes=7,
+                      band_rows=2)
+
+
+def test_minhash_dedup_wide_signature(docs):
+    # 16 hashes x 4 rows/band still finds the exact dup — the md5-slice
+    # minhash generalizes beyond the registry's 8x2 fixture config.
+    out = minhash_dedup(
+        docs, id_col="id", text_col="body", n_hashes=16, band_rows=4,
+        threshold=0.9,
+    ).collect()
+    assert [(r.id, r.dup_of, r.jaccard) for r in out] == [(2, 1, 1.0)]
+
+
+def test_substring_dedup_ngram_and_min_run(spark):
+    span = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, span + " xx yy"), (2, "aa bb " + span), (3, "zz qq rr ss tt")],
+        "doc long, txt string",
+    )
+    out = substring_dedup(
+        df, id_col="doc", text_col="txt", ngram=3, min_run=2
+    ).collect()
+    assert len(out) == 1 and (out[0].doc_a, out[0].doc_b) == (1, 2)
+    assert out[0].longest_match_tokens == 10
+    # raising min_run beyond the span's run length suppresses the pair
+    none = substring_dedup(
+        df, id_col="doc", text_col="txt", ngram=3, min_run=9
+    ).collect()
+    assert none == []
+
+
+def test_cosine_topk_k_knob(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vid long, vec array<double>",
+    )
+    out = cosine_topk(
+        corpus,
+        corpus.where(F.col("vid") == 0),
+        id_col="vid",
+        vec_col="vec",
+        label_col=None,
+        k=3,
+    ).collect()
+    assert len(out) == 3
+    assert all(r.query_id == 0 for r in out)
+    # query [0,1]: cosine decreases with i, so top-3 neighbors are 1,2,3
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert [r.rk for r in out] == [1, 2, 3]
+
+
+def test_bm25_topk_custom_terms(docs):
+    out = bm25_topk(
+        docs, ["alpha", "content"], id_col="id", text_col="body", k=2
+    ).collect()
+    assert len(out) == 2
+    assert all(r.n_terms_hit == 1 for r in out)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [], id_col="id", text_col="body")
+
+
+def test_quality_filter_custom_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "a b")],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in quality_filter(
+            df, id_col="id", min_tokens=3, min_stop_frac=0.1
+        ).collect()
+    }
+    assert out[1].keep and out[1].ok_length and out[1].ok_stopwords
+    assert not out[2].ok_length  # 2 tokens < min_tokens=3
+    # n_chars derived from length(text) when no n_chars column exists
+    assert out[1].n_tokens == 5
+
+
+def test_sessionize_gap_knob(spark):
+    base = 1_700_000_000_000_000  # µs
+    rows = [
+        (7, 1, base),
+        (7, 2, base + 5 * 60_000_000),  # +5 min
+        (7, 3, base + 26 * 60_000_000),  # +21 min after event 2
+    ]
+    ev = spark.createDataFrame(
+        [(u, e, t) for u, e, t in rows], "uid long, eid long, t_us long"
+    ).select("uid", "eid", F.timestamp_micros("t_us").alias("when"))
+    one = sessionize(
+        ev, user_col="uid", ts_col="when", event_id_col="eid",
+        value_col=None, gap_minutes=30,
+    ).collect()
+    assert [(r.session_idx, r.n_events) for r in one] == [(0, 3)]
+    two = sessionize(
+        ev, user_col="uid", ts_col="when", event_id_col="eid",
+        value_col=None, gap_minutes=10,
+    ).collect()
+    assert [(r.session_idx, r.n_events) for r in two] == [(0, 2), (1, 1)]
+    assert "sum_value" not in two[0].asDict()
