@@ -43,3 +43,35 @@ def test_rows_only_output_is_stable_and_atomic(spark, sf_dir, name):
         f"{name}: row count unstable across runs ({len(a)} vs {len(b)})"
     )
     assert sorted(a.columns) == sorted(b.columns)
+
+
+def test_local_correctness_artifact_covers_full_registry():
+    """r6 verdict item 2: the committed full-registry artifact
+    (LOCAL_CORRECTNESS_r{N}.json, emitted by tests/driver_replica.py
+    --emit) must cover EXACTLY the registered queries — the newest
+    artifact's key set == queries(). Catches the staleness class where
+    a query lands after the round's artifact refresh (r6 shipped
+    316/317). Regenerate with:
+        python tests/driver_replica.py --emit LOCAL_CORRECTNESS_r{N}.json
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(repo, "LOCAL_CORRECTNESS_r*.json"))
+    assert arts, "no LOCAL_CORRECTNESS_r*.json artifact committed"
+    latest = max(
+        arts,
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    with open(latest) as fh:
+        art = json.load(fh)
+    missing = sorted(set(QUERIES) - set(art))
+    stale = sorted(set(art) - set(QUERIES))
+    assert not missing and not stale, (
+        f"{os.path.basename(latest)} drifted from the registry: "
+        f"missing={missing[:10]} stale={stale[:10]} — regenerate via "
+        f"tests/driver_replica.py --emit"
+    )
