@@ -1132,17 +1132,26 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     through Arrow untouched."""
     import os
 
-    docs = (
+    base = tempfile.mkdtemp(prefix="bcs_binfiles_") + "/blobs"
+    os.makedirs(base, exist_ok=True)
+
+    def write_blobs(rows) -> None:
+        # Executor-side blob writes (one file per row, names disjoint by
+        # doc_id, so parallel tasks never collide). Local mode shares
+        # the filesystem; a cluster deployment would target an object
+        # store here — the point is that payload bytes never transit
+        # the driver (r6 verdict: keeps the no-driver-data rule
+        # unconditional).
+        for r in rows:
+            with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as fh:
+                fh.write(bytes(r.payload))
+
+    (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < _NBIN)
         .select("doc_id", F.unhex(F.md5("text")).alias("payload"))
-        .collect()
+        .foreachPartition(write_blobs)
     )
-    base = tempfile.mkdtemp(prefix="bcs_binfiles_") + "/blobs"
-    os.makedirs(base, exist_ok=True)
-    for r in docs:
-        with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as fh:
-            fh.write(bytes(r.payload))
     return (
         spark.read.format("binaryFile")
         .load(base)
