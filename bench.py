@@ -94,6 +94,10 @@ HEADLINE = CORE9 + [
     # A-path regressions are visible.
     "similarity_ann_pq_adc_prebuilt",
     "impute_rbm_customer",
+    # round-7: community detection (the third iterative-graph shape)
+    # and the public-API dedup funnel composition.
+    "graph_label_propagation",
+    "pipeline_dedup_funnel",
 ]
 
 # Offline build/lifecycle jobs (r6 verdict item 3): timed and reported,

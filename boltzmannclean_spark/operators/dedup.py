@@ -2040,3 +2040,166 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), theta=SEMDEDUP_THETA
     ).withColumnRenamed("vec_id", "doc_id")
+
+
+FUNNEL_ORACLE = f"""
+WITH s0 AS (SELECT doc_id, text FROM documents),
+ex AS (SELECT MIN(doc_id) AS keep FROM s0 GROUP BY md5(text)),
+s1 AS (SELECT s0.* FROM s0 JOIN ex ON s0.doc_id = ex.keep),
+vocab AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM s1
+),
+toks AS (SELECT doc_id, UNNEST(toks) AS sh FROM vocab),
+seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed),
+minh AS (
+  SELECT doc_id, seed,
+         MIN(substring(md5((seed // 4)::VARCHAR || '|' || sh),
+                       1 + 8 * (seed % 4), 8)) AS mh
+  FROM toks CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_ROWS} AS band,
+         STRING_AGG(mh, '' ORDER BY seed) AS band_key
+  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
+),
+edges AS (
+  SELECT DISTINCT b.doc_id,
+         MIN(b.doc_id) OVER (PARTITION BY b.band, b.band_key) AS rep
+  FROM bands b
+),
+mh_removed AS (
+  SELECT DISTINCT e.doc_id
+  FROM edges e
+  JOIN vocab va ON va.doc_id = e.doc_id
+  JOIN vocab vb ON vb.doc_id = e.rep
+  WHERE e.doc_id > e.rep
+    AND CAST(LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+          / CAST(LEN(va.toks) + LEN(vb.toks)
+                 - LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+        >= {MINHASH_JACCARD_THRESHOLD}
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM mh_removed)),
+tk2 AS (SELECT doc_id, string_split(text, ' ') AS a FROM s2),
+sh2 AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(a, i, i + {SUBSTR_NGRAM - 1}), ' ') AS s
+  FROM tk2, UNNEST(range(1, len(a) - {SUBSTR_NGRAM - 2})) t(i)
+),
+df2 AS (SELECT s FROM sh2 GROUP BY s
+        HAVING COUNT(DISTINCT doc_id) <= {SUBSTR_DF_CAP}),
+kept2 AS (SELECT sh2.* FROM sh2 JOIN df2 USING (s)),
+m2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, a.pos - b.pos AS diag
+  FROM kept2 a JOIN kept2 b USING (s) WHERE a.doc_id < b.doc_id
+),
+isl2 AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS island
+  FROM m2
+),
+runs2 AS (
+  SELECT doc_a, doc_b, diag, island, COUNT(*) AS rl
+  FROM isl2 GROUP BY doc_a, doc_b, diag, island
+),
+ss_removed AS (
+  SELECT DISTINCT doc_b AS doc_id FROM runs2 WHERE rl >= {SUBSTR_MIN_RUN}
+),
+c0 AS (SELECT COUNT(*) AS n FROM s0),
+c1 AS (SELECT COUNT(*) AS n FROM s1),
+c2 AS (SELECT COUNT(*) AS n FROM s2),
+cs AS (SELECT COUNT(*) AS n FROM ss_removed)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS method,
+         c0.n AS n_in, c0.n - c1.n AS n_removed, c1.n AS n_out
+  FROM c0, c1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'minhash_lsh', c1.n, c1.n - c2.n, c2.n
+  FROM c1, c2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'substring_run', c2.n, cs.n, c2.n - cs.n
+  FROM c2, cs
+) t ORDER BY stage
+"""
+
+
+@register(
+    "pipeline_dedup_funnel",
+    oracle=FUNNEL_ORACLE,
+    tags=("dedup", "pipeline", "funnel", "composition"),
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage dedup FUNNEL report — the observability artifact
+    every production curation run logs next to its output: how many
+    documents each successive dedup stage removed, with each stage
+    running only on the SURVIVORS of the previous one (exact →
+    MinHash-LSH near-dup → substring-run verbatim-span), exactly the
+    cost-ordering a 100 TB pipeline uses (cheapest-first shrinks the
+    input of the expensive stages). Composes the PUBLIC parameterized
+    API (`pipeline.exact_dedup` / `minhash_dedup` / `substring_dedup`)
+    with the registry's fixture constants, so this one query
+    oracle-checks the user-facing composition end-to-end. All stage
+    counts are 1-row aggregates unioned plan-side (no driver collect);
+    the survivor chain ships only doc_ids between stages."""
+    from boltzmannclean_spark.pipeline import (
+        exact_dedup,
+        minhash_dedup,
+        substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep1 = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    s1 = docs.join(keep1, "doc_id")
+    mh = minhash_dedup(
+        s1,
+        n_hashes=N_SEEDS,
+        band_rows=BAND_ROWS,
+        threshold=MINHASH_JACCARD_THRESHOLD,
+    ).select("doc_id")
+    s2 = s1.join(mh, "doc_id", "left_anti")
+    ss = (
+        substring_dedup(
+            s2,
+            ngram=SUBSTR_NGRAM,
+            df_cap=SUBSTR_DF_CAP,
+            min_run=SUBSTR_MIN_RUN,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    base = (
+        docs.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(ss.agg(F.count(F.lit(1)).alias("nss")))
+        .localCheckpoint()  # 1 row; avoid re-running the chain 3x
+    )
+    stage = [
+        base.select(
+            F.lit(1).cast("long").alias("stage"),
+            F.lit("exact").alias("method"),
+            F.col("n0").alias("n_in"),
+            (F.col("n0") - F.col("n1")).alias("n_removed"),
+            F.col("n1").alias("n_out"),
+        ),
+        base.select(
+            F.lit(2).cast("long").alias("stage"),
+            F.lit("minhash_lsh").alias("method"),
+            F.col("n1").alias("n_in"),
+            (F.col("n1") - F.col("n2")).alias("n_removed"),
+            F.col("n2").alias("n_out"),
+        ),
+        base.select(
+            F.lit(3).cast("long").alias("stage"),
+            F.lit("substring_run").alias("method"),
+            F.col("n2").alias("n_in"),
+            F.col("nss").alias("n_removed"),
+            (F.col("n2") - F.col("nss")).alias("n_out"),
+        ),
+    ]
+    out = stage[0]
+    for s in stage[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("stage")

@@ -643,3 +643,114 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= PROJ_TOP)
         .orderBy("rk")
     )
+
+
+LP_ITERS = 3
+
+
+def _labelprop_oracle() -> str:
+    its = []
+    for i in range(1, LP_ITERS + 1):
+        its.append(
+            f"""
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.dst AS node, l.lbl, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+    FROM edges e JOIN l{i - 1} l ON l.node = e.src
+    GROUP BY e.dst, l.lbl
+  ) t WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+base AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
+),
+nodes AS (SELECT DISTINCT src AS node FROM base),
+edges AS (
+  SELECT src, dst FROM base
+  UNION ALL
+  SELECT node, node FROM nodes
+),
+l0 AS (SELECT node, node AS lbl FROM nodes),{",".join(its)}
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+            ELSE 's:' || CAST(node // 2 AS VARCHAR) END AS node,
+       CASE WHEN lbl % 2 = 0 THEN 'c:' || CAST(lbl // 2 AS VARCHAR)
+            ELSE 's:' || CAST(lbl // 2 AS VARCHAR) END AS community
+FROM l{LP_ITERS}
+ORDER BY community, node
+"""
+
+
+def _labelprop_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LP round: label⋈edges SHUFFLE join on src (the
+    label vector is node-count sized — it grows with the graph and must
+    never be broadcast, the PageRank rule), map-side-combined
+    (node, lbl) counts, then the per-node plurality argmax with
+    smallest-label ties via max_by over (count, -lbl). Exposed so the
+    plan gate in tests/test_plans.py asserts the no-broadcast contract
+    on the exact iteration body the operator runs (the registered plan
+    itself ends at a localCheckpoint scan)."""
+    nl = (
+        edges.join(labels.hint("shuffle_hash"), labels.node == edges.src)
+        .groupBy(F.col("dst").alias("n"), "lbl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return nl.groupBy(F.col("n").alias("node")).agg(
+        F.max_by(
+            "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("t"))
+        ).alias("lbl")
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_labelprop_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the customer↔supplier graph, {LP_ITERS}
+    iterations: every node starts labeled with its own id and each
+    round adopts the PLURALITY label among its neighbors-plus-itself
+    (the self-loop both anchors stable nodes and prevents the pure
+    two-coloring oscillation synchronous LP exhibits on bipartite
+    graphs), ties broken by the SMALLEST label — fully deterministic
+    integer state, so every engine and parallelism agrees bit-for-bit
+    (the async/random-order variant of LP is explicitly NOT portable).
+
+    Scale shape per iteration: label⋈edges equi-join on src (label
+    vector is node-count sized — shuffled, never broadcast, the
+    PageRank rule), a (dst, lbl) count aggregation (map-side combined;
+    state per node bounded by its distinct neighbor labels ≤ degree),
+    and a per-dst plurality argmax via max_by — one pass over the
+    cached edge list + two narrow shuffles, the same contract as the
+    other iterative operators; labels are localCheckpoint'ed so
+    lineage stays one iteration deep."""
+    ed, _, _ = _pagerank_state(spark, sf_dir)
+    nodes = ed.select("src").distinct()
+    edges = (
+        ed.select("src", "dst")
+        .unionAll(nodes.select("src", F.col("src").alias("dst")))
+        .cache()
+    )
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(LP_ITERS):
+        labels = _labelprop_step(edges, labels).localCheckpoint()
+    render = (
+        "CASE WHEN {0} % 2 = 0 THEN 'c:' || CAST({0} div 2 AS STRING)"
+        " ELSE 's:' || CAST({0} div 2 AS STRING) END"
+    )
+    return labels.selectExpr(
+        render.format("node") + " AS node",
+        render.format("lbl") + " AS community",
+    ).orderBy("community", "node")

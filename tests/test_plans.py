@@ -496,3 +496,33 @@ def test_semdedup_pair_join_is_cell_keyed(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "cid" in plan, plan
+
+
+def test_label_propagation_label_join_is_never_broadcast(spark, sf_dir):
+    # Same contract as PageRank: the label vector is node-count sized
+    # and GROWS with the graph — the label⋈edges join must stay a
+    # shuffle join. Gate the exact iteration body the operator runs
+    # (the registered plan ends at localCheckpoint scans, so the loop's
+    # joins are invisible there).
+    from boltzmannclean_spark.operators.graph import (
+        _labelprop_step,
+        _pagerank_state,
+    )
+    from pyspark.sql import functions as F
+
+    ed, _, _ = _pagerank_state(spark, sf_dir)
+    nodes = ed.select("src").distinct()
+    edges = ed.select("src", "dst").unionAll(
+        nodes.select("src", F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    plan = _plan(_labelprop_step(edges, labels))
+    label_join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "node#" in ln
+    ]
+    assert label_join_lines, plan
+    for ln in label_join_lines:
+        assert "BroadcastHashJoin" not in ln, ln
+        assert "ShuffledHashJoin" in ln or "SortMergeJoin" in ln, ln

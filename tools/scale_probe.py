@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     "join_geo_grid_distance",
     "events_peak_concurrency",
     "dedup_minhash_threshold_curve",
+    # round-7: iterative community detection and the sequential
+    # public-API dedup funnel (exact -> minhash -> substring chain).
+    "graph_label_propagation",
+    "pipeline_dedup_funnel",
 ]
 
 # (table, key columns to offset per copy) — facts grow, dims stay.
