@@ -28,11 +28,13 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     bm25_topk,
     cosine_topk,
     exact_dedup,
+    language_id,
     minhash_dedup,
     quality_filter,
     semantic_dedup,
     sessionize,
     substring_dedup,
+    token_stats,
 )
 
 

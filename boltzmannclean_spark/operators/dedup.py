@@ -2151,14 +2151,18 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     keep1 = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    s1 = docs.join(keep1, "doc_id")
+    # Survivor sets are cache()d: each feeds BOTH its own stage count
+    # and the next stage's input, and a production funnel materializes
+    # inter-stage survivors anyway (they are the stage outputs). Without
+    # the pin the 4-agg crossJoin would re-run the minhash chain twice.
+    s1 = docs.join(keep1, "doc_id").cache()
     mh = minhash_dedup(
         s1,
         n_hashes=N_SEEDS,
         band_rows=BAND_ROWS,
         threshold=MINHASH_JACCARD_THRESHOLD,
     ).select("doc_id")
-    s2 = s1.join(mh, "doc_id", "left_anti")
+    s2 = s1.join(mh, "doc_id", "left_anti").cache()
     ss = (
         substring_dedup(
             s2,

@@ -205,17 +205,9 @@ ORDER BY doc_id
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, regex word-run splits, and the
     chars/4 BPE-token heuristic used for budget estimates."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        (F.size(F.split("text", "[a-z]+")) - 1).alias("nonword_runs"),
-        F.ceil(F.col("n_chars").cast("double") / 4).alias("approx_bpe_tokens"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), " ", ""))
-        ).alias("n_spaces"),
-    ).orderBy("doc_id")
+    from boltzmannclean_spark.pipeline import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -883,45 +875,10 @@ def text_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 100-row profile back over exploded trigrams — the train-
     then-score loop entirely in one declarative plan; argmax breaks
     ties on (hits desc, lang) so predictions are shuffle-stable."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Texts under 3 chars yield no trigrams: unguarded, sequence(1, n-2)
-    # would descend for n < 3 (ANSI error / bogus partial trigrams) while
-    # the oracle's generate_series is empty.
-    tri = docs.selectExpr(
-        "doc_id",
-        "lang",
-        "explode(CASE WHEN length(text) >= 3"
-        " THEN array_distinct(transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3)))"
-        " ELSE array() END) AS g",
-    )
-    wp = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
-    profile = (
-        tri.groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(wp))
-        .where(F.col("rk") <= PROFILE_TOP_K)
-        .select(F.col("lang").alias("plang"), "g")
-    )
-    overlap = (
-        tri.join(F.broadcast(profile), "g")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    wb = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "plang")
-    return (
-        overlap.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("lang").alias("labeled_lang"),
-            F.col("plang").alias("predicted_lang"),
-            "n_hits",
-            F.when(F.col("lang") == F.col("plang"), 1).otherwise(0).alias(
-                "correct"
-            ),
-        )
-        .orderBy("doc_id")
+    from boltzmannclean_spark.pipeline import language_id
+
+    return language_id(
+        load_table(spark, sf_dir, "documents"), profile_top_k=PROFILE_TOP_K
     )
 
 

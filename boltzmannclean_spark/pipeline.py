@@ -42,6 +42,8 @@ __all__ = [
     "bm25_topk",
     "quality_filter",
     "sessionize",
+    "language_id",
+    "token_stats",
 ]
 
 
@@ -529,3 +531,97 @@ def sessionize(
         .withColumnRenamed("user_id", user_col)
         .orderBy(user_col, "session_idx")
     )
+
+
+def language_id(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    ngram: int = 3,
+    profile_top_k: int = 20,
+) -> DataFrame:
+    """Character-n-gram language ID, the textcat/fastText-style
+    classifier shape: per-language top-``profile_top_k`` character
+    ``ngram`` profiles trained from the labeled corpus (deterministic
+    count-desc cut), then each doc votes for the profile it overlaps
+    most. Two corpus aggregations plus a broadcast of the (langs x
+    top_k)-row profile back over exploded n-grams — train-then-score in
+    one declarative plan; argmax ties break on (hits desc, lang) so
+    predictions are shuffle-stable. Returns (id, labeled_lang,
+    predicted_lang, n_hits, correct)."""
+    # Texts under `ngram` chars yield no n-grams: unguarded,
+    # sequence(1, n-k+1) would descend below 1 while a SQL
+    # generate_series is empty.
+    tri = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        f"explode(CASE WHEN length(text) >= {ngram}"
+        f" THEN array_distinct(transform(sequence(1, length(text) - {ngram - 1}),"
+        f" i -> substring(text, i, {ngram})))"
+        " ELSE array() END) AS g",
+    )
+    wp = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
+    profile = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= profile_top_k)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    overlap = (
+        tri.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "plang")
+    return (
+        overlap.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("lang").alias("labeled_lang"),
+            F.col("plang").alias("predicted_lang"),
+            "n_hits",
+            F.when(F.col("lang") == F.col("plang"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def token_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bpe_chars_per_token: float = 4,
+) -> DataFrame:
+    """Token counting for budget estimation: whitespace tokens, regex
+    word-run splits, the chars/``bpe_chars_per_token`` BPE heuristic,
+    and the space count — all row-local JVM expressions in one codegen
+    stage, linear in corpus bytes. Returns (id, ws_tokens,
+    nonword_runs, approx_bpe_tokens, n_spaces)."""
+    n_chars = (
+        F.col("n_chars")
+        if "n_chars" in docs.columns
+        else F.length(text_col)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).alias("ws_tokens"),
+        (F.size(F.split(text_col, "[a-z]+")) - 1).alias("nonword_runs"),
+        F.ceil(n_chars.cast("double") / bpe_chars_per_token).alias(
+            "approx_bpe_tokens"
+        ),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        ).alias("n_spaces"),
+    ).orderBy(id_col)

@@ -157,3 +157,39 @@ def test_sessionize_gap_knob(spark):
     ).collect()
     assert [(r.session_idx, r.n_events) for r in two] == [(0, 2), (1, 1)]
     assert "sum_value" not in two[0].asDict()
+
+
+def test_language_id_custom_ngram_and_columns(spark):
+    from boltzmannclean_spark import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "en"),
+            (2, "bonjour le monde", "fr"),
+            (3, "hello there", "en"),
+            (4, "le monde entier", "fr"),
+        ],
+        "id long, body string, lg string",
+    )
+    out = language_id(
+        df, id_col="id", text_col="body", lang_col="lg", ngram=2,
+        profile_top_k=5,
+    ).collect()
+    assert all(r.correct == 1 for r in out)
+    assert {r.predicted_lang for r in out} == {"en", "fr"}
+
+
+def test_token_stats_custom_ratio(spark):
+    from boltzmannclean_spark import token_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a b c")], "id long, body string"
+    )
+    out = {
+        r.id: r
+        for r in token_stats(
+            df, id_col="id", text_col="body", bpe_chars_per_token=2
+        ).collect()
+    }
+    assert out[1].ws_tokens == 2 and out[1].approx_bpe_tokens == 6
+    assert out[2].ws_tokens == 3 and out[2].n_spaces == 2
