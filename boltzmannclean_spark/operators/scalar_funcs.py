@@ -868,3 +868,54 @@ def func_convert_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("tz", "local_hour")
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key (AES-128)
+AES_WRONG_KEY = "fedcba9876543210"
+
+
+@register(
+    "func_crypto_aes",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS roundtrip,
+       CAST(16 * (length(n_name) // 16 + 1) AS BIGINT) AS ct_bytes,
+       TRUE AS wrong_key_is_null,
+       TRUE AS ct_differs_from_plain
+FROM nation
+ORDER BY n_nationkey
+""",
+    tags=("functions", "crypto", "aes"),
+)
+def func_crypto_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption scalars — the at-rest PII pattern
+    (encrypt on write, decrypt on read, tolerate bad keys):
+    ``aes_encrypt`` in ECB/PKCS mode (deterministic — no random IV —
+    so the query is reproducible; GCM is the at-rest default when
+    nondeterminism is fine), ``aes_decrypt`` proving the exact
+    roundtrip IN-QUERY (DuckDB has no AES, so the oracle checks the
+    recovered plaintext plus the PKCS ciphertext-length law
+    16*(len/16+1) and the two boolean proofs), and ``try_aes_decrypt``
+    returning NULL — not an exception — under a wrong key, the
+    total-function form a pipeline needs when key rotation leaves
+    mixed-key data. Pure row-local JVM crypto; one scan, no shuffle
+    before the output sort."""
+    nation = load_table(spark, sf_dir, "nation")
+    ct = F.expr(
+        f"aes_encrypt(n_name, '{AES_KEY}', 'ECB', 'PKCS')"
+    )
+    return (
+        nation.select("n_nationkey", "n_name", ct.alias("ct"))
+        .select(
+            "n_nationkey",
+            F.expr(
+                f"CAST(aes_decrypt(ct, '{AES_KEY}', 'ECB', 'PKCS') AS STRING)"
+            ).alias("roundtrip"),
+            F.length("ct").cast("long").alias("ct_bytes"),
+            F.expr(
+                f"try_aes_decrypt(ct, '{AES_WRONG_KEY}', 'ECB', 'PKCS')"
+            ).isNull().alias("wrong_key_is_null"),
+            (F.base64("ct") != F.col("n_name")).alias("ct_differs_from_plain"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -193,3 +193,38 @@ def test_token_stats_custom_ratio(spark):
     }
     assert out[1].ws_tokens == 2 and out[1].approx_bpe_tokens == 6
     assert out[2].ws_tokens == 3 and out[2].n_spaces == 2
+
+
+def test_api_tolerates_empty_corpus(spark):
+    """Every pipeline function must return an EMPTY result — never
+    crash — on an empty input (the short-doc shingle crash class,
+    checked fleet-wide): a scheduled run on a day with no new data is
+    routine, not exceptional."""
+    from boltzmannclean_spark import (
+        bm25_topk,
+        cosine_topk,
+        exact_dedup,
+        language_id,
+        minhash_dedup,
+        quality_filter,
+        semantic_dedup,
+        sessionize,
+        substring_dedup,
+        token_stats,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, value double"
+    )
+    assert exact_dedup(docs).count() == 0
+    assert minhash_dedup(docs).count() == 0
+    assert substring_dedup(docs).count() == 0
+    assert quality_filter(docs).count() == 0
+    assert token_stats(docs).count() == 0
+    assert language_id(docs).count() == 0
+    assert bm25_topk(docs, ["anything"]).count() == 0
+    assert sessionize(ev).count() == 0
+    assert cosine_topk(emb, emb, label_col=None).count() == 0
+    assert semantic_dedup(emb).count() == 0
