@@ -228,3 +228,84 @@ def test_api_tolerates_empty_corpus(spark):
     assert sessionize(ev).count() == 0
     assert cosine_topk(emb, emb, label_col=None).count() == 0
     assert semantic_dedup(emb).count() == 0
+
+
+def _brute_minhash(docs, n_hashes, band_rows, threshold):
+    """Python replication of the deterministic md5-slice MinHash+LSH
+    representative dedup, for arbitrary (n_hashes, band_rows)."""
+    import hashlib
+
+    vocab = {d: set(t.split(" ")) for d, t in docs.items()}
+
+    def mh(d, s):
+        return min(
+            hashlib.md5(f"{s // 4}|{tok}".encode()).hexdigest()[
+                8 * (s % 4) : 8 * (s % 4) + 8
+            ]
+            for tok in vocab[d]
+        )
+
+    sigs = {d: [mh(d, s) for s in range(n_hashes)] for d in docs}
+    buckets = {}
+    for d in sorted(docs):
+        for b in range(n_hashes // band_rows):
+            key = (b, "".join(sigs[d][b * band_rows + r] for r in range(band_rows)))
+            buckets.setdefault(key, []).append(d)
+    out = {}
+    for d in sorted(docs):
+        candidates = set()
+        for b in range(n_hashes // band_rows):
+            key = (b, "".join(sigs[d][b * band_rows + r] for r in range(band_rows)))
+            rep = min(buckets[key])
+            if rep < d:
+                candidates.add(rep)
+        best = None
+        for rep in sorted(candidates):
+            inter = len(vocab[d] & vocab[rep])
+            jac = inter / (len(vocab[d]) + len(vocab[rep]) - inter)
+            if jac >= threshold:
+                best = (rep, jac)
+                break  # smallest dup_of wins (rn=1 over dup_of asc)
+        if best:
+            out[d] = best
+    return out
+
+
+def test_minhash_dedup_matches_brute_force_generalized(spark, tmp_path):
+    """The banding generalization (any n_hashes x band_rows, not just
+    the registry's 8x2) must agree with a Python brute-force replication
+    of the identical deterministic algorithm on a random corpus with
+    planted near-duplicates."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = {}
+    for d in range(40):
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+    # planted near-dups: copy with small perturbations
+    for d in range(40, 52):
+        src = rng.randrange(40)
+        toks = docs[src].split(" ")
+        if rng.random() < 0.7 and len(toks) > 3:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs[d] = " ".join(toks)
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    for n_hashes, band_rows, theta in [(8, 2, 0.9), (16, 4, 0.5), (12, 3, 0.7)]:
+        got = {
+            r.doc_id: (r.dup_of, r.jaccard)
+            for r in minhash_dedup(
+                df, n_hashes=n_hashes, band_rows=band_rows, threshold=theta
+            ).collect()
+        }
+        want = _brute_minhash(docs, n_hashes, band_rows, theta)
+        assert set(got) == set(want), (
+            f"{n_hashes}x{band_rows}@{theta}: "
+            f"missing={sorted(set(want) - set(got))[:5]} "
+            f"extra={sorted(set(got) - set(want))[:5]}"
+        )
+        for d in got:
+            assert got[d][0] == want[d][0], (d, got[d], want[d])
+            assert abs(got[d][1] - want[d][1]) < 1e-12
