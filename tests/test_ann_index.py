@@ -73,3 +73,45 @@ def test_artifact_rebuilt_on_fingerprint_mismatch(spark, sf_dir):
     assert _artifact_mtime(path) != t0  # rebuilt
     with open(meta_file) as fh:
         assert json.load(fh)["n"] == meta["n"] - 1  # true count restored
+
+
+def test_source_content_drift_forces_rebuild(spark, sf_dir, tmp_path):
+    """ADVICE r6: a corpus regenerated with the SAME row count must
+    invalidate the index — the meta fingerprint covers source file
+    size/mtime, not just count+config. Also covers the per-run
+    BCS_ANN_INDEX_DIR scoping."""
+    import shutil
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dst = str(corpus / "embeddings.parquet")
+    shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+
+    old_env = os.environ.get("BCS_ANN_INDEX_DIR")
+    os.environ["BCS_ANN_INDEX_DIR"] = str(tmp_path / "idx")
+    (tmp_path / "idx").mkdir()
+    try:
+        path = ann_index.ensure_ann_index(spark, str(corpus))
+        assert str(tmp_path / "idx") in path
+        with open(os.path.join(path, "meta.json")) as fh:
+            fp1 = json.load(fh)["src_fp"]
+        # valid artifact: reused
+        assert ann_index.ensure_ann_index(spark, str(corpus)) == path
+        m1 = _artifact_mtime(path)
+        # regenerate the source with identical contents AND row count —
+        # only mtime changes; the index must rebuild anyway
+        shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+        shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+        ann_index._VALIDATED.discard(path)  # simulate a fresh process
+        path2 = ann_index.ensure_ann_index(spark, str(corpus))
+        assert path2 == path
+        with open(os.path.join(path, "meta.json")) as fh:
+            fp2 = json.load(fh)["src_fp"]
+        assert fp2 != fp1, "source fingerprint did not track content drift"
+        assert _artifact_mtime(path) > m1, "stale artifact served"
+    finally:
+        if old_env is None:
+            os.environ.pop("BCS_ANN_INDEX_DIR", None)
+        else:
+            os.environ["BCS_ANN_INDEX_DIR"] = old_env
