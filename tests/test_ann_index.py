@@ -115,3 +115,44 @@ def test_source_content_drift_forces_rebuild(spark, sf_dir, tmp_path):
             os.environ.pop("BCS_ANN_INDEX_DIR", None)
         else:
             os.environ["BCS_ANN_INDEX_DIR"] = old_env
+
+
+def test_rename_race_falls_back_to_winner(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r6: rmtree+rename is not atomic — simulate a concurrent
+    builder winning the race (path recreated between our rmtree and
+    rename, making rename raise ENOTEMPTY) and assert the loser
+    revalidates and serves the winner's artifact instead of crashing."""
+    import shutil
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dst = str(corpus / "embeddings.parquet")
+    shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+    monkeypatch.setenv("BCS_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    (tmp_path / "idx").mkdir()
+
+    path = ann_index.ensure_ann_index(spark, str(corpus))
+    winner = str(tmp_path / "winner_copy")
+    shutil.copytree(path, winner)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def racing_rename(a, b):
+        if b == path:
+            # the competitor finishes first: path exists again, rename
+            # onto a non-empty directory fails
+            calls["n"] += 1
+            if not os.path.exists(path):
+                shutil.copytree(winner, path)
+            raise OSError(39, "Directory not empty", a)
+        return real_rename(a, b)
+
+    monkeypatch.setattr(ann_index.os, "rename", racing_rename)
+    ann_index._VALIDATED.discard(path)
+    got = ann_index.ensure_ann_index(spark, str(corpus), force=True)
+    assert calls["n"] == 1, "simulated race never hit the rename"
+    assert got == path
+    # the served artifact is the WINNER's and is complete/readable
+    assert spark.read.parquet(os.path.join(got, "codebook")).count() > 0
