@@ -99,6 +99,12 @@ INVARIANT_QUERIES = (
     "graph_bipartite_projection",
     "impute_mice_chained",
     "stats_ab_did_uplift",
+    # round-7: integer plurality labels under max_by (order-free),
+    # survivor-chain stage counts, and the AES-ECB deterministic
+    # roundtrip booleans.
+    "graph_label_propagation",
+    "pipeline_dedup_funnel",
+    "func_crypto_aes",
 )
 
 
