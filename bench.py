@@ -1,7 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-8 protocol; BASELINE.md): the FINAL stdout line
+is ONE compact JSON gate line — {"metric": "headline_queries_total",
+"value": total_sec, "unit": "sec", "queries": {core9 name: sec, ...},
+"core9_total": ..., "vs_baseline": ..., "build_jobs_total": ...,
+"first_run_total": ..., "noise_med_spread": ..., "canary_drift": ...,
+"sf": ...} — guaranteed under 1 KiB (tests/test_bench_contract.py),
+because the driver captures only the LAST 2000 bytes of stdout and
+parses a JSON line out of that window: round 7's fully-inlined line
+outgrew it and the round's perf numbers became machine-unreadable
+("parsed": null). Full per-query detail (every headline + build-job
+timing, both raw samples, first-run times, per-query spread, and the
+per-query ratio vs the pinned round-1 baseline) goes to
+BENCH_DETAIL.json in the repo root ($SPARK_GRAFT_BENCH_DETAIL to
+override), committed per round as BENCH_DETAIL_r{N}.json.
 
 Methodology (stated explicitly so round-over-round numbers compare
 like-for-like): plan shapes are warmed once at sf0.001 (whole-stage
@@ -12,6 +25,17 @@ best-of-2 total over the original round-1 nine (the cross-round
 comparable); "first_run_total" is the sum of FIRST samples — the
 conservative number including any residual first-touch cost, reported
 so a methodology change can never masquerade as an engine win.
+
+Noise sentinels (round-8, after r7's unexplained +14% common-set
+drift): "noise_med_spread" is the median over queries of
+(max-min)/min across each query's two samples — a loaded host shows a
+large spread because co-tenant interference hits one sample and not
+the other; a quiet host stays in single-digit percent.
+"canary_drift" re-times the first core query (pricing_summary) at the
+END of the session and reports best_end/best_begin — sustained >1
+drift means the session itself degrades (heap/GC creep), which
+per-query spread cannot see. Both are in the gate line so a noisy
+round self-identifies in the committed artifact.
 """
 
 from __future__ import annotations
@@ -63,6 +87,11 @@ BASELINE_CORE9 = {
 }
 BASELINE_CORE9_TOTAL = 13.6253
 
+# The gate line must stay parseable inside the driver's 2000-byte stdout
+# tail window, with margin for a "failed" map in a bad round. Enforced
+# by tests/test_bench_contract.py against a worst-case synthetic report.
+GATE_LINE_BYTE_BUDGET = 1024
+
 # Headline queries: the flagship plus the heaviest representatives of each
 # operator family (kept in sync as families land). Additions track the
 # families that now dominate the registry.
@@ -109,10 +138,110 @@ BUILD_JOBS = [
     "sink_ann_index_build",
 ]
 
+# End-of-session canary: re-timed last; best_end/best_begin exposes
+# session-long degradation (heap/GC creep) that per-query spread misses.
+CANARY = "pricing_summary"
+
+
+def build_reports(
+    timings: dict[str, float],
+    first_runs: dict[str, float],
+    samples: dict[str, list[float]],
+    failed: dict[str, str],
+    sf,
+    canary_drift: float | None,
+) -> tuple[dict, dict]:
+    """Assemble (gate_line, detail) reports from raw measurements.
+
+    Pure function so tests/test_bench_contract.py can pin the gate
+    line's byte budget against worst-case synthetic inputs.
+    """
+    query_names = [n for n in HEADLINE if n in timings]
+    build_names = [n for n in BUILD_JOBS if n in timings]
+    total = round(sum(timings[n] for n in query_names), 4)
+    core9_total = round(sum(timings[n] for n in CORE9 if n in timings), 4)
+    # vs_baseline is only meaningful when ALL nine core queries produced
+    # a timing (ADVICE r6: a failed core query would otherwise shrink the
+    # numerator and let the <2x gate pass spuriously). null = not
+    # comparable this run; the per-query timings still show which failed.
+    core9_complete = all(n in timings for n in CORE9)
+    spreads = {
+        n: round((max(s) - min(s)) / min(s), 4)
+        for n, s in samples.items()
+        if len(s) == 2 and min(s) > 0
+    }
+    med_spread = None
+    if spreads:
+        vals = sorted(spreads.values())
+        mid = len(vals) // 2
+        med_spread = round(
+            vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2, 4
+        )
+    gate = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        # Per-query detail for ALL headline entries lives in the detail
+        # file; the gate line carries only the cross-round-comparable
+        # core nine so it stays inside the driver's tail window.
+        "queries": {n: timings[n] for n in CORE9 if n in timings},
+        "core9_total": core9_total if core9_complete else None,
+        # core9 vs the pinned round-1 absolute baseline (BASELINE.md):
+        # < 1.0 = faster than baseline; the driver's gate is < 2.0.
+        "vs_baseline": (
+            round(core9_total / BASELINE_CORE9_TOTAL, 4)
+            if core9_complete
+            else None
+        ),
+        "build_jobs_total": round(sum(timings[n] for n in build_names), 4),
+        "first_run_total": round(
+            sum(first_runs[n] for n in query_names if n in first_runs), 4
+        ),
+        "noise_med_spread": med_spread,
+        "canary_drift": canary_drift,
+        "n_queries": len(query_names),
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    if failed:
+        # Names only — messages live in the detail file (byte budget).
+        gate["failed"] = sorted(failed)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_first_run": first_runs,
+        "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
+        "spread": spreads,
+        "vs_baseline_per_query": {
+            n: round(timings[n] / BASELINE_CORE9[n], 4)
+            for n in CORE9
+            if n in timings
+        },
+        "core9_total": core9_total if core9_complete else None,
+        "vs_baseline": gate["vs_baseline"],
+        "build_jobs_total": gate["build_jobs_total"],
+        "first_run_total": gate["first_run_total"],
+        "noise_med_spread": med_spread,
+        "canary_drift": canary_drift,
+        "failed": failed,
+        "sf": sf,
+    }
+    return gate, detail
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = os.environ.get(
+        "SPARK_GRAFT_SF_LABEL", sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    )
+    sf = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
     spark = get_spark("boltzmannclean_spark-bench")
     registry = all_queries()
     names = [n for n in HEADLINE + BUILD_JOBS if n in registry]
@@ -137,18 +266,12 @@ def main() -> None:
 
     # Best-of-2 per query: the minimum of two runs estimates the true
     # plan cost under co-tenant interference (standard practice for
-    # shared hosts); both samples go to stderr for transparency and the
-    # first-sample sum is reported alongside the best-of total.
+    # shared hosts); both samples go to the detail file and stderr.
     # Per-query fault isolation: a single failing query must cost ONE
     # entry, never the whole bench line (round 3 lost every number to one
     # AnalysisException). Failures are reported in "failed" so a partial
     # total is never mistaken for a full one.
-    timings: dict[str, float] = {}
-    first_runs: dict[str, float] = {}
-    failed: dict[str, str] = {}
-    for name in names:
-        q = registry[name]
-        samples = []
+    def run_query(name: str) -> list[float]:
         # Hygiene between queries, OUTSIDE the timed region: several
         # operators cache()/localCheckpoint() internally (PQ codebooks,
         # shingle tables, CC edge sets). In one long bench session those
@@ -159,58 +282,60 @@ def main() -> None:
         # per-query steady state a fresh session would see.
         spark.catalog.clearCache()
         gc.collect()
+        q = registry[name]
+        out = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            df.count()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    failed: dict[str, str] = {}
+    for name in names:
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = q.spark_fn(spark, sf_dir)
-                n = df.count()
-                samples.append(time.perf_counter() - t0)
+            s = run_query(name)
         except Exception as exc:
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
             continue
-        timings[name] = round(min(samples), 4)
-        first_runs[name] = round(samples[0], 4)
+        samples[name] = s
+        timings[name] = round(min(s), 4)
+        first_runs[name] = round(s[0], 4)
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows; samples "
-            + ", ".join(f"{s:.3f}" for s in samples)
+            f"# {name}: {timings[name]:.3f}s (samples "
+            + ", ".join(f"{x:.3f}" for x in s)
             + ")",
             file=sys.stderr,
         )
 
-    query_names = [n for n in HEADLINE if n in timings]
-    build_names = [n for n in BUILD_JOBS if n in timings]
-    total = round(sum(timings[n] for n in query_names), 4)
-    core9_total = round(sum(timings[n] for n in CORE9 if n in timings), 4)
-    # vs_baseline is only meaningful when ALL nine core queries produced
-    # a timing (ADVICE r6: a failed core query would otherwise shrink the
-    # numerator and let the <2x gate pass spuriously). null = not
-    # comparable this run; the per-query timings still show which failed.
-    core9_complete = all(n in timings for n in CORE9)
-    report = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "core9_total": core9_total if core9_complete else None,
-        # core9 vs the pinned round-1 absolute baseline (BASELINE.md):
-        # < 1.0 = faster than baseline; the driver's gate is < 2.0.
-        "vs_baseline": (
-            round(core9_total / BASELINE_CORE9_TOTAL, 4)
-            if core9_complete
-            else None
-        ),
-        # Offline build/lifecycle jobs, separate bucket (see BUILD_JOBS).
-        "build_jobs_total": round(sum(timings[n] for n in build_names), 4),
-        "first_run_total": round(
-            sum(first_runs[n] for n in query_names if n in first_runs), 4
-        ),
-        "queries_first_run": first_runs,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    if failed:
-        report["failed"] = failed
-    print(json.dumps(report))
+    # Canary rerun at session end (see module docstring).
+    canary_drift = None
+    if CANARY in timings:
+        try:
+            end_best = min(run_query(CANARY))
+            canary_drift = round(end_best / timings[CANARY], 4)
+            print(
+                f"# canary {CANARY}: end {end_best:.3f}s vs begin "
+                f"{timings[CANARY]:.3f}s (drift x{canary_drift:.2f})",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"# canary rerun failed: {exc}", file=sys.stderr)
+
+    gate, detail = build_reports(
+        timings, first_runs, samples, failed, sf, canary_drift
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"# detail -> {detail_path}", file=sys.stderr)
+    # The compact gate line is the FINAL stdout line, alone — the driver
+    # parses it from a 2000-byte tail window (see module docstring).
+    print(json.dumps(gate))
     spark.stop()
 
 

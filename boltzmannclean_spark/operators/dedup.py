@@ -2142,7 +2142,19 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the registry's fixture constants, so this one query
     oracle-checks the user-facing composition end-to-end. All stage
     counts are 1-row aggregates unioned plan-side (no driver collect);
-    the survivor chain ships only doc_ids between stages."""
+    the survivor chain ships only doc_ids between stages.
+
+    Inter-stage reuse pins the ID SETS, not the full survivor rows:
+    each stage's doc_id survivor set feeds both its own stage count and
+    the next stage's input, so it is localCheckpoint()ed (eager, tiny —
+    one long per surviving doc) and the full-row stage input is rebuilt
+    as docs ⋈ id-set per consumer. cache()ing the full-text survivor
+    rows instead (the r7 shape) held corpus bytes in executor storage
+    with no unpersist — safe only under bench.py's clearCache hygiene
+    (r7 ADVICE); checkpointed id-sets are reaped promptly by the
+    ContextCleaner once the returned plan drops its references, and at
+    100 TB an extra columnar re-scan of docs is far cheaper than
+    pinning the corpus in memory."""
     from boltzmannclean_spark.pipeline import (
         exact_dedup,
         minhash_dedup,
@@ -2150,19 +2162,22 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    keep1 = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    # Survivor sets are cache()d: each feeds BOTH its own stage count
-    # and the next stage's input, and a production funnel materializes
-    # inter-stage survivors anyway (they are the stage outputs). Without
-    # the pin the 4-agg crossJoin would re-run the minhash chain twice.
-    s1 = docs.join(keep1, "doc_id").cache()
+    keep1 = (
+        exact_dedup(docs)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+        .localCheckpoint()
+    )
+    s1 = docs.join(keep1, "doc_id")
     mh = minhash_dedup(
         s1,
         n_hashes=N_SEEDS,
         band_rows=BAND_ROWS,
         threshold=MINHASH_JACCARD_THRESHOLD,
     ).select("doc_id")
-    s2 = s1.join(mh, "doc_id", "left_anti").cache()
+    keep2 = (
+        s1.join(mh, "doc_id", "left_anti").select("doc_id").localCheckpoint()
+    )
+    s2 = docs.join(keep2, "doc_id")
     ss = (
         substring_dedup(
             s2,
@@ -2175,8 +2190,12 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         docs.agg(F.count(F.lit(1)).alias("n0"))
-        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n1")))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        # Stage counts come off the checkpointed ID SETS (one long per
+        # row), not the rebuilt full-row survivor frames — counting
+        # those would re-join docs twice for numbers the id-sets
+        # already hold.
+        .crossJoin(keep1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(keep2.agg(F.count(F.lit(1)).alias("n2")))
         .crossJoin(ss.agg(F.count(F.lit(1)).alias("nss")))
         .localCheckpoint()  # 1 row; avoid re-running the chain 3x
     )

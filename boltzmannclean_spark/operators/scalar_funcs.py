@@ -880,7 +880,7 @@ AES_WRONG_KEY = "fedcba9876543210"
 SELECT n_nationkey,
        n_name AS roundtrip,
        CAST(16 * (length(n_name) // 16 + 1) AS BIGINT) AS ct_bytes,
-       TRUE AS wrong_key_is_null,
+       TRUE AS wrong_key_never_recovers,
        TRUE AS ct_differs_from_plain
 FROM nation
 ORDER BY n_nationkey
@@ -899,7 +899,17 @@ def func_crypto_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning NULL — not an exception — under a wrong key, the
     total-function form a pipeline needs when key rotation leaves
     mixed-key data. Pure row-local JVM crypto; one scan, no shuffle
-    before the output sort."""
+    before the output sort.
+
+    Oracle-robustness note (r7 ADVICE): a wrong AES-ECB key is caught
+    only by the PKCS padding check, which random garbage PASSES with
+    probability ~1/256 per row — so asserting NULL-ness alone is a
+    latent fixture-sensitive trap (a future key/data change could
+    produce one non-NULL garbage decrypt and break the oracle
+    confusingly). wrong_key_never_recovers therefore asserts the
+    semantically meaningful property — the wrong key never yields the
+    PLAINTEXT — true whether the padding check fires (NULL) or garbage
+    slips through (bytes != n_name)."""
     nation = load_table(spark, sf_dir, "nation")
     ct = F.expr(
         f"aes_encrypt(n_name, '{AES_KEY}', 'ECB', 'PKCS')"
@@ -912,9 +922,14 @@ def func_crypto_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(aes_decrypt(ct, '{AES_KEY}', 'ECB', 'PKCS') AS STRING)"
             ).alias("roundtrip"),
             F.length("ct").cast("long").alias("ct_bytes"),
-            F.expr(
-                f"try_aes_decrypt(ct, '{AES_WRONG_KEY}', 'ECB', 'PKCS')"
-            ).isNull().alias("wrong_key_is_null"),
+            F.coalesce(
+                F.expr(
+                    f"CAST(try_aes_decrypt(ct, '{AES_WRONG_KEY}',"
+                    " 'ECB', 'PKCS') AS STRING)"
+                )
+                != F.col("n_name"),
+                F.lit(True),
+            ).alias("wrong_key_never_recovers"),
             (F.base64("ct") != F.col("n_name")).alias("ct_differs_from_plain"),
         )
         .orderBy("n_nationkey")

@@ -207,7 +207,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars/4 BPE-token heuristic used for budget estimates."""
     from boltzmannclean_spark.pipeline import token_stats
 
-    return token_stats(load_table(spark, sf_dir, "documents"))
+    # Opt into the precomputed-length fast path: documents.n_chars is
+    # generated as length(text), and scanning the int column beats
+    # re-measuring the string bytes (r7 ADVICE made this explicit).
+    return token_stats(
+        load_table(spark, sf_dir, "documents"), n_chars_col="n_chars"
+    )
 
 
 @register(
@@ -306,8 +311,12 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline logs. Pure JVM builtins; linear in corpus bytes."""
     from boltzmannclean_spark.pipeline import quality_filter
 
+    # n_chars_col opt-in: the fixture guarantees n_chars == length(text)
+    # and the int column is the narrower scan (r7 ADVICE).
     return quality_filter(
-        load_table(spark, sf_dir, "documents"), stopwords=STOPWORDS
+        load_table(spark, sf_dir, "documents"),
+        stopwords=STOPWORDS,
+        n_chars_col="n_chars",
     )
 
 

@@ -256,7 +256,18 @@ def semantic_dedup(
         as_double(vec_col).alias("e"),
         _qvec(F.col(vec_col)).alias("qvec"),
     ).withColumn("nrm", norm(F.col("e")))
-    cells = _kmeans_cells(n_full).select("vec_id", "e", "nrm", "cid").cache()
+    # localCheckpoint, not cache(): the cell assignment feeds three
+    # consumers (both pair sides + the final cell lookup) and must not
+    # re-run the k-means iterations, but a public-API function cannot
+    # unpersist a block backing the lazy frame it returns — cache()d
+    # blocks would outlive the call until someone clears the cache
+    # (r7 ADVICE). Checkpointed blocks are reaped by the ContextCleaner
+    # as soon as the returned plan is garbage-collected.
+    cells = (
+        _kmeans_cells(n_full)
+        .select("vec_id", "e", "nrm", "cid")
+        .localCheckpoint()
+    )
     a = cells.select(
         F.col("vec_id").alias("va"),
         F.col("e").alias("ea"),
@@ -439,18 +450,25 @@ def quality_filter(
     max_word_len: float = 12,
     min_stop_frac: float = 0.01,
     stopwords: Sequence[str] = ("the", "a", "of", "and"),
+    n_chars_col: str | None = None,
 ) -> DataFrame:
     """Rule-based quality filter (Gopher-style heuristics: token-count
     bounds, mean word length bounds, minimum stopword fraction),
     emitting per-rule flags plus the final keep decision — the
     auditable form a production pipeline logs. Pure JVM builtins;
     linear in corpus bytes. Returns (id, n_tokens, mean_word_len,
-    stop_frac, ok_length, ok_word_len, ok_stopwords, keep)."""
+    stop_frac, ok_length, ok_word_len, ok_stopwords, keep).
+
+    ``n_chars_col`` — OPT-IN precomputed-length fast path: name a
+    column already holding ``length(text_col)`` and mean_word_len is
+    derived from it instead of re-measuring the text (at 100 TB the
+    int column is a far narrower scan than the string bytes). The
+    column's semantics are the caller's responsibility — a normalized
+    or whitespace-stripped count silently skews mean_word_len, which
+    is why this is never inferred from the schema (r7 ADVICE)."""
     toks = F.split(text_col, " ")
     n_chars = (
-        F.col("n_chars")
-        if "n_chars" in docs.columns
-        else F.length(text_col)
+        F.col(n_chars_col) if n_chars_col else F.length(text_col)
     )
     m = docs.select(
         F.col(id_col),
@@ -602,16 +620,19 @@ def token_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     bpe_chars_per_token: float = 4,
+    n_chars_col: str | None = None,
 ) -> DataFrame:
     """Token counting for budget estimation: whitespace tokens, regex
     word-run splits, the chars/``bpe_chars_per_token`` BPE heuristic,
     and the space count — all row-local JVM expressions in one codegen
     stage, linear in corpus bytes. Returns (id, ws_tokens,
-    nonword_runs, approx_bpe_tokens, n_spaces)."""
+    nonword_runs, approx_bpe_tokens, n_spaces).
+
+    ``n_chars_col`` — OPT-IN precomputed-length fast path for
+    approx_bpe_tokens (see quality_filter; never inferred from the
+    schema, because a caller's n_chars may not mean length(text))."""
     n_chars = (
-        F.col("n_chars")
-        if "n_chars" in docs.columns
-        else F.length(text_col)
+        F.col(n_chars_col) if n_chars_col else F.length(text_col)
     )
     return docs.select(
         F.col(id_col),

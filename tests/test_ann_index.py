@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from boltzmannclean_spark.operators import ann_index
 from boltzmannclean_spark.plans.registry import all_queries
@@ -103,6 +104,17 @@ def test_source_content_drift_forces_rebuild(spark, sf_dir, tmp_path):
         # only mtime changes; the index must rebuild anyway
         shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
         shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+        # Force the drift explicitly rather than relying on the copy
+        # function's mtime semantics: shutil.copy happens to reset
+        # mtime, but copytree preserves it via copy2, so a future
+        # directory-style fixture would make this test fail spuriously
+        # while blaming the implementation (r7 ADVICE).
+        now = time.time()
+        if os.path.isdir(dst):
+            for root, _dirs, files in os.walk(dst):
+                for f in files:
+                    os.utime(os.path.join(root, f), (now, now))
+        os.utime(dst, (now, now))
         ann_index._VALIDATED.discard(path)  # simulate a fresh process
         path2 = ann_index.ensure_ann_index(spark, str(corpus))
         assert path2 == path
