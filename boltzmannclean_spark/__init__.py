@@ -14,6 +14,8 @@ Layout:
     plans/        — query registry: name -> (spark_fn, oracle_sql)
     operators/    — relational + LLM-pipeline operators, one module per family
     functions/    — reusable column expressions (vector math, text, hashing)
+    ann.py        — parameterized ANN index lifecycle (build/persist/search)
+    pipeline.py   — parameterized LLM-pipeline operators (public API)
     ml/           — RBMImputer estimator/transformer (numpy CD-1, mapInPandas)
     streaming/    — Structured Streaming ops over the events table
 """
@@ -25,7 +27,9 @@ __version__ = "0.1.0"
 # instantiates these same functions with fixture constants, so the
 # oracle suite continuously verifies the exact code paths users run.
 from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
+    ann_search,
     bm25_topk,
+    build_ann_index,
     cosine_topk,
     exact_dedup,
     language_id,

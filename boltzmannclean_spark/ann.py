@@ -1,0 +1,461 @@
+"""Parameterized ANN index lifecycle — the public build/search API
+(round-7 verdict item 4).
+
+``operators/ann_index.py`` exercises this lifecycle with fixture
+constants so the driver can oracle-check it against DuckDB; THESE are
+the same implementations with every knob exposed, so a user can build
+an index over their own embedding table::
+
+    import boltzmannclean_spark as bcs
+    path = bcs.build_ann_index(vectors, "/data/idx", dims=768,
+                               pq_m=96, pq_k=256, n_cells=4096)
+    hits = bcs.ann_search(spark, path, queries, k=10, nprobe=8)
+
+Design (FAISS IVF×PQ re-expressed as Spark dataflow, all exact-integer
+micro-unit arithmetic so training is deterministic and parquet
+round-trips losslessly):
+
+- **build**: PQ per-block codebooks via Lloyd rounds where assignment
+  is a grouped ``min_by`` over the broadcast codebook (map-side partial
+  aggregation — the corpus×K fan-out never shuffles) and the update
+  shuffles only (block, code, dim) partial sums — constant in corpus
+  size. Optional IVF coarse quantizer trained the same way over the
+  full vectors. Artifacts land as parquet: ``codebook/`` (pq_m×pq_k
+  rows), ``codes/`` (corpus×pq_m rows — 1 byte/block/vector at scale),
+  ``cells/`` + ``ivf_centroids/`` (when ``n_cells``), ``meta.json``.
+- **search**: broadcast the stored codebook, compute each query's
+  exact block-distance LUT (queries×pq_m×pq_k rows, broadcast), score
+  by a code-table equi-join + sum (ADC), salted two-stage top-k. With
+  ``nprobe`` the stored cell table restricts the scan to each query's
+  ``nprobe`` nearest coarse cells — the multiplicative pruning that
+  makes a billion-vector store answer. The serve plan contains ZERO
+  training (plan-gated on the registry twins).
+
+At cluster scale ``codes`` would be written partitioned/bucketed by
+cell so the probed scan prunes files; the lifecycle wrapper
+(``operators/ann_index.ensure_ann_index``) adds fingerprinting,
+idempotence, and atomic tmp-dir+rename on top of ``build_ann_index``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boltzmannclean_spark.functions.topk import topk_per_key
+
+DEFAULT_MICRO = 1_000_000
+
+META_FILE = "meta.json"
+
+
+def _sdiv(num: str, den: str) -> str:
+    """Truncate-toward-zero integer division (SQL expr): both Spark and
+    DuckDB round their micro-unit centroid means identically under it —
+    the one integer op where the engines' defaults differ (Spark DIV
+    truncates, DuckDB // floors) and negatives would diverge."""
+    return (
+        f"CAST(CASE WHEN {num} >= 0 THEN {num} DIV {den} "
+        f"ELSE -((-{num}) DIV {den}) END AS BIGINT)"
+    )
+
+
+def _quantize(col, micro: int):
+    """array<float> -> array<long> micro-unit quantization."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * micro, 0).cast("long")
+    )
+
+
+def _int_dist(a, b):
+    """Exact squared-L2 between two array<long> vectors (HOF form — use
+    for full-dim vectors where unrolling would bloat codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_dist_unrolled(a, b, dims: int):
+    """Exact squared-L2 as a fixed sum of ``dims`` element terms — same
+    integer result as ``_int_dist`` (adds commute) but plain
+    whole-stage-codegen arithmetic; use for SMALL fixed dims in hot
+    inner loops (the PQ sub-vector distance runs corpus×pq_k times per
+    Lloyd round)."""
+    terms = [
+        (F.element_at(a, d) - F.element_at(b, d))
+        * (F.element_at(a, d) - F.element_at(b, d))
+        for d in range(1, dims + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _subvectors(q: DataFrame, pq_m: int, pq_dsub: int) -> DataFrame:
+    """(id, qvec) -> one row per (id, block) with the block's
+    ``pq_dsub``-dim integer sub-vector. Row-local explode — no
+    shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.slice("qvec", b * pq_dsub + 1, pq_dsub).alias("qsub"),
+            )
+            for b in range(pq_m)
+        ]
+    )
+    return q.select("id", F.explode(subs).alias("s")).select(
+        "id", F.col("s.b").alias("b"), F.col("s.qsub").alias("qsub")
+    )
+
+
+def _smallest_ids(q: DataFrame, n: int) -> DataFrame:
+    """Deterministic default seeding: the ``n`` smallest ids. Tiny
+    sort-limit job (n rows collected into a broadcast side)."""
+    return q.select("id").orderBy("id").limit(n)
+
+
+def _pq_train(
+    sub: DataFrame,
+    *,
+    pq_k: int,
+    pq_iters: int,
+    pq_dsub: int,
+    seeds: DataFrame,
+) -> DataFrame:
+    """Per-block codebooks via ``pq_iters`` Lloyd rounds in exact
+    integer units. Returns (b, cid, cvec array<long>). Seeded by the
+    ``seeds`` id frame so training is deterministic."""
+    cent = sub.join(F.broadcast(seeds), "id").select(
+        F.col("id").alias("cid"), "b", F.col("qsub").alias("cvec")
+    )
+    for _ in range(pq_iters):
+        # (id, b) already identifies qsub, so the array never enters
+        # the aggregation hash key; min_by carries it out instead.
+        assigned = (
+            sub.join(F.broadcast(cent), "b")
+            .select(
+                "id",
+                "b",
+                "qsub",
+                "cid",
+                _int_dist_unrolled(
+                    F.col("qsub"), F.col("cvec"), pq_dsub
+                ).alias("dist"),
+            )
+            .groupBy("id", "b")
+            .agg(
+                F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+                F.min_by("qsub", F.struct("dist", "cid")).alias("qsub"),
+            )
+        )
+        # Update in ONE shuffle: per-dim sums as pq_dsub fixed
+        # element_at aggregates (map-side partial agg), then a
+        # row-local array rebuild.
+        sums = assigned.groupBy("b", "cid").agg(
+            F.count(F.lit(1)).alias("m"),
+            *[
+                F.sum(F.element_at("qsub", d)).alias(f"s{d}")
+                for d in range(1, pq_dsub + 1)
+            ],
+        )
+        cent = sums.selectExpr(
+            "b",
+            "cid",
+            "array("
+            + ", ".join(_sdiv(f"s{d}", "m") for d in range(1, pq_dsub + 1))
+            + ") AS cvec",
+        )
+    return cent
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame, pq_dsub: int) -> DataFrame:
+    """Encode every vector against a (frozen) codebook: one broadcast
+    join + grouped argmin. Returns (id, b, cid). This is also the
+    incremental-update path — newly arrived vectors are absorbed by
+    assignment alone, no retraining."""
+    return (
+        sub.join(F.broadcast(cent), "b")
+        .select(
+            "id",
+            "b",
+            "cid",
+            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), pq_dsub).alias(
+                "dist"
+            ),
+        )
+        .groupBy("id", "b")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+
+
+def _ivf_train(
+    q: DataFrame, *, dims: int, kmeans_iters: int, seeds: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: ``kmeans_iters`` Lloyd rounds over the
+    full vectors. Returns (centroids (cell, cvec), assignments
+    (id, cell)). Assignment is a grouped min_by over the broadcast
+    centroid table — map-side partial aggregation, never a k× shuffle
+    of the fanned corpus; the update is ONE (cell) shuffle of ``dims``
+    fixed per-dim element_at sums. Empty cells drop out of the update
+    deterministically."""
+    cent = q.join(F.broadcast(seeds), "id").select(
+        F.col("id").alias("cell"), F.col("qvec").alias("cvec")
+    )
+    for _ in range(kmeans_iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "id",
+                "qvec",
+                "cell",
+                _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
+            )
+            .groupBy("id", "qvec")
+            .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("m"),
+            *[
+                F.sum(F.element_at("qvec", d)).alias(f"s{d}")
+                for d in range(1, dims + 1)
+            ],
+        )
+        cent = sums.selectExpr(
+            "cell",
+            "array("
+            + ", ".join(_sdiv(f"s{d}", "m") for d in range(1, dims + 1))
+            + ") AS cvec",
+        )
+    assigned = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "id",
+            "cell",
+            _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
+        )
+        .groupBy("id")
+        .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+    )
+    return cent, assigned
+
+
+def build_ann_index(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    n_cells: int | None = None,
+    kmeans_iters: int = 2,
+    micro: int = DEFAULT_MICRO,
+    pq_seed_pred: Column | None = None,
+    cell_seed_pred: Column | None = None,
+) -> str:
+    """Train and persist a PQ (optionally IVF×PQ) ANN index for
+    ``df[(id_col, vec_col)]`` under ``out_dir``. Returns ``out_dir``.
+
+    - ``dims`` — vector dimensionality; must be divisible by ``pq_m``
+      (each block quantizes a ``dims/pq_m``-dim sub-vector).
+    - ``pq_m`` / ``pq_k`` / ``pq_iters`` — blocks per vector, codes per
+      block, Lloyd rounds. At scale a code is 1 byte/block (pq_k ≤
+      256), so the stored corpus is ``pq_m`` bytes/vector — the 64×
+      compression that lets the scan never touch a float vector.
+    - ``n_cells`` — train an IVF coarse quantizer with this many cells
+      and persist both assignments and centroids, enabling
+      ``ann_search(..., nprobe=...)`` pruning.
+    - ``pq_seed_pred`` / ``cell_seed_pred`` — optional boolean Columns
+      over ``id_col`` selecting the Lloyd seed vectors (FAISS-style
+      explicit init); default = the ``pq_k`` / ``n_cells`` smallest
+      ids. Seeding is the ONLY stochasticity-shaped knob and it is
+      fully deterministic either way.
+
+    Everything is exact integer micro-unit arithmetic (``micro``), so
+    rebuilds are bit-identical and parquet round-trips losslessly —
+    the registry's ``sink_ann_index_build`` proves the persisted
+    artifact matches an independent DuckDB re-derivation. The write is
+    plain (no tmp+rename): idempotence/atomicity belongs to the
+    lifecycle wrapper (``ensure_ann_index``) or the caller's
+    orchestrator."""
+    if dims % pq_m:
+        raise ValueError(f"dims={dims} not divisible by pq_m={pq_m}")
+    pq_dsub = dims // pq_m
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), micro).alias("qvec")
+    )
+    sub = _subvectors(q, pq_m, pq_dsub).localCheckpoint()
+    # Seed predicates evaluate against the CALLER'S frame (their own
+    # column names); the default is the pq_k / n_cells smallest ids.
+    pq_seeds = (
+        df.where(pq_seed_pred).select(F.col(id_col).alias("id"))
+        if pq_seed_pred is not None
+        else _smallest_ids(q, pq_k)
+    )
+    cent = _pq_train(
+        sub, pq_k=pq_k, pq_iters=pq_iters, pq_dsub=pq_dsub, seeds=pq_seeds
+    )
+    # The codebook feeds both the persist and the encode pass; pin the
+    # tiny frame so Lloyd never re-runs (checkpoint, not cache — reaped
+    # by the ContextCleaner once references drop).
+    cent = cent.localCheckpoint()
+    codes = _pq_assign(sub, cent, pq_dsub)
+    cent.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codebook")
+    )
+    # At cluster scale: .write.partitionBy(cell) / bucketBy so the
+    # probed ADC scan prunes files; at test SF a handful is right.
+    codes.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codes")
+    )
+    if n_cells is not None or cell_seed_pred is not None:
+        cell_seeds = (
+            df.where(cell_seed_pred).select(F.col(id_col).alias("id"))
+            if cell_seed_pred is not None
+            else _smallest_ids(q, n_cells)
+        )
+        ivf_cent, cells = _ivf_train(
+            q, dims=dims, kmeans_iters=kmeans_iters, seeds=cell_seeds
+        )
+        cells.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "cells")
+        )
+        ivf_cent.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "ivf_centroids")
+        )
+    n_corpus = df.count()
+    conf = {
+        "dims": dims,
+        "pq_m": pq_m,
+        "pq_dsub": pq_dsub,
+        "pq_k": pq_k,
+        "pq_iters": pq_iters,
+        "n_cells": n_cells,
+        "kmeans_iters": kmeans_iters,
+        "micro": micro,
+        "has_ivf": n_cells is not None or cell_seed_pred is not None,
+    }
+    with open(os.path.join(out_dir, META_FILE), "w") as fh:
+        json.dump({"n": n_corpus, "conf": conf}, fh)
+    return out_dir
+
+
+def read_index_conf(index_dir: str) -> dict:
+    """The persisted build configuration (meta.json ``conf`` block)."""
+    with open(os.path.join(index_dir, META_FILE)) as fh:
+        return json.load(fh)["conf"]
+
+
+def ann_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-``k`` against a persisted index built by
+    ``build_ann_index``. Returns (query_id, neighbor_id, adc_dist, rk)
+    with rk 1..k per query, ordered (query_id, rk).
+
+    The plan contains ZERO training: the stored codebook (pq_m×pq_k
+    rows) broadcasts; each query's exact block-distance LUT
+    (queries×pq_m×pq_k rows) is computed from its raw sub-vectors ×
+    the codebook and broadcast; candidates are scored by a code-table
+    equi-join + map-side partial-aggregated sum; the final top-k is
+    the salted two-stage reduction (never a single-partition window).
+
+    ``nprobe`` (requires an IVF build): assign each query to its
+    ``nprobe`` nearest coarse cells via the stored centroids and
+    restrict the code scan to those cells — scan cost drops by
+    ~n_cells/nprobe. ``exclude_self`` drops neighbor_id == query_id,
+    the right default when queries are corpus members."""
+    conf = read_index_conf(index_dir)
+    pq_dsub, pq_m, micro = conf["pq_dsub"], conf["pq_m"], conf["micro"]
+    cent = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    q = queries.select(
+        F.col(id_col).alias("id"),
+        _quantize(F.col(vec_col), micro).alias("qvec"),
+    )
+    qsub = _subvectors(q, pq_m, pq_dsub)
+    lut = qsub.join(F.broadcast(cent), "b").select(
+        F.col("id").alias("query_id"),
+        "b",
+        "cid",
+        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), pq_dsub).alias(
+            "pdist"
+        ),
+    )
+    scan = codes
+    if nprobe is not None:
+        if not conf.get("has_ivf"):
+            raise ValueError(
+                f"index at {index_dir} was built without n_cells; "
+                "nprobe requires an IVF build"
+            )
+        ivf_cent = spark.read.parquet(
+            os.path.join(index_dir, "ivf_centroids")
+        )
+        cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+        # Query -> nprobe nearest cells: the centroid table is tiny, so
+        # fan out queries×n_cells and keep the nprobe best per query
+        # (salted top-k; ties to the smaller cell id, matching the
+        # build's assignment tie-break).
+        qcells = topk_per_key(
+            q.crossJoin(F.broadcast(ivf_cent)).select(
+                F.col("id").alias("qc_query"),
+                "cell",
+                _int_dist(F.col("qvec"), F.col("cvec")).alias("cdist"),
+            ),
+            keys=["qc_query"],
+            order=[F.col("cdist"), F.col("cell")],
+            k=nprobe,
+            salt_col="cell",
+        ).select("qc_query", F.col("cell").alias("qcell"))
+        scan = codes.join(cells.withColumnRenamed("cell", "vcell"), "id")
+        scored = (
+            scan.join(F.broadcast(lut), ["b", "cid"])
+            .join(
+                F.broadcast(qcells),
+                (F.col("vcell") == F.col("qcell"))
+                & (F.col("query_id") == F.col("qc_query")),
+            )
+            .where(
+                (F.col("id") != F.col("query_id"))
+                if exclude_self
+                else F.lit(True)
+            )
+            .groupBy("query_id", F.col("id").alias("neighbor_id"))
+            .agg(F.sum("pdist").alias("adc_dist"))
+        )
+    else:
+        scored = (
+            scan.join(F.broadcast(lut), ["b", "cid"])
+            .where(
+                (F.col("id") != F.col("query_id"))
+                if exclude_self
+                else F.lit(True)
+            )
+            .groupBy("query_id", F.col("id").alias("neighbor_id"))
+            .agg(F.sum("pdist").alias("adc_dist"))
+        )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.col("adc_dist"), F.col("neighbor_id")],
+        k=k,
+        salt_col="neighbor_id",
+    ).orderBy("query_id", "rk")

@@ -50,9 +50,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from boltzmannclean_spark.functions.topk import topk_per_key
-from boltzmannclean_spark.functions.vectors import as_double, norm
+from boltzmannclean_spark.ann import ann_search, build_ann_index
 from boltzmannclean_spark.operators.similarity import (
+    CENT_MOD,
+    KMEANS_ITERS,
     N_QUERY,
     PQ_DSUB,
     PQ_ITERS,
@@ -61,7 +62,6 @@ from boltzmannclean_spark.operators.similarity import (
     TOP_K,
     _int_dist_unrolled,
     _ivfpq_oracle,
-    _kmeans_cells,
     _pq_iter_sql,
     _pq_oracle,
     _pq_subvectors,
@@ -72,12 +72,24 @@ from boltzmannclean_spark.operators.similarity import (
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
 
+# The fixture instantiation of the PUBLIC parameterized builder
+# (boltzmannclean_spark/ann.py) — dims/blocks/codes/iters/seeding all
+# pinned so the DuckDB oracles re-derive the identical artifact. This
+# dict IS the validation fingerprint (meta.json "conf"); version bumps
+# force a rebuild on layout changes (v2 = ann.py layout: generic `id`
+# column + persisted ivf_centroids/).
+_EMB_DIMS = 64
 _INDEX_CONF = {
+    "dims": _EMB_DIMS,
     "pq_m": PQ_M,
     "pq_dsub": PQ_DSUB,
     "pq_k": PQ_K,
     "pq_iters": PQ_ITERS,
-    "version": 1,
+    "n_cells": None,
+    "kmeans_iters": KMEANS_ITERS,
+    "micro": MICRO,
+    "has_ivf": True,
+    "version": 2,
 }
 
 
@@ -157,46 +169,29 @@ def ensure_ann_index(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    # -- PQ training: per-block codebooks + corpus codes (exact integer
-    #    Lloyd; identical math to similarity_ann_pq_adc's in-query leg).
-    sub = _pq_subvectors(
-        emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
-    ).localCheckpoint()
-    cent = _pq_train(sub).cache()
-    codes = (
-        sub.join(F.broadcast(cent), "b")
-        .select(
-            "vec_id",
-            "b",
-            "cid",
-            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
-                "dist"
-            ),
-        )
-        .groupBy("vec_id", "b")
-        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    # Delegate the actual training+persist to the PUBLIC parameterized
+    # builder (ann.build_ann_index), instantiated with the fixture
+    # constants and the fixture's deterministic seed predicates (PQ:
+    # the first PQ_K ids; IVF: ids divisible by CENT_MOD) — the exact
+    # integer math the DuckDB oracles re-derive. This wrapper owns only
+    # the LIFECYCLE: fingerprint, idempotence, atomic tmp+rename.
+    build_ann_index(
+        emb,
+        tmp,
+        dims=_EMB_DIMS,
+        id_col="vec_id",
+        vec_col="embedding",
+        pq_m=PQ_M,
+        pq_k=PQ_K,
+        pq_iters=PQ_ITERS,
+        kmeans_iters=KMEANS_ITERS,
+        micro=MICRO,
+        pq_seed_pred=F.col("vec_id") < PQ_K,
+        cell_seed_pred=F.col("vec_id") % CENT_MOD == 0,
     )
-    # -- IVF coarse quantizer cell assignments.
-    n_full = emb.select(
-        "vec_id",
-        "label",
-        as_double("embedding").alias("e"),
-        _qvec(F.col("embedding")).alias("qvec"),
-    ).withColumn("nrm", norm(F.col("e")))
-    cells = _kmeans_cells(n_full).select("vec_id", F.col("cid").alias("cell"))
-
-    cent.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "codebook")
-    )
-    # At cluster scale: .write.partitionBy("b") (or bucketBy cell) so the
-    # ADC scan prunes files; at test SF a handful of files is right.
-    codes.coalesce(4).write.mode("overwrite").parquet(
-        os.path.join(tmp, "codes")
-    )
-    cells.coalesce(4).write.mode("overwrite").parquet(
-        os.path.join(tmp, "cells")
-    )
-    cent.unpersist()
+    # Re-stamp meta with the lifecycle fields: the full conf (including
+    # the layout version) is the validation fingerprint, and src_fp
+    # catches regenerated-with-same-row-count source drift.
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump({"n": n_corpus, "conf": _INDEX_CONF, "src_fp": src_fp}, fh)
     shutil.rmtree(path, ignore_errors=True)
@@ -303,35 +298,19 @@ def similarity_ann_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFram
     the CODE table (1 byte/block/vector at scale), and the only
     shuffle is the per-query partial-aggregated ADC sum. Results are
     bit-identical to the train-in-query variant (the artifact is exact
-    integers), so the same oracle applies."""
+    integers), so the same oracle applies. Delegates to the PUBLIC
+    ``ann.ann_search`` (this query is its fixture instantiation)."""
     path = ensure_ann_index(spark, sf_dir)
-    cent = spark.read.parquet(os.path.join(path, "codebook"))
-    codes = spark.read.parquet(os.path.join(path, "codes"))
     emb = load_table(spark, sf_dir, "embeddings")
-    qsub = _pq_subvectors(
-        emb.where(F.col("vec_id") < N_QUERY).select(
-            "vec_id", _qvec(F.col("embedding")).alias("qvec")
-        )
-    )
-    lut = qsub.join(F.broadcast(cent), "b").select(
-        F.col("vec_id").alias("query_id"),
-        "b",
-        "cid",
-        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias("pdist"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["b", "cid"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("pdist").alias("adc_dist"))
-    )
-    return topk_per_key(
-        scored,
-        keys=["query_id"],
-        order=[F.col("adc_dist"), F.col("neighbor_id")],
+    return ann_search(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < N_QUERY),
         k=TOP_K,
-        salt_col="neighbor_id",
-    ).orderBy("query_id", "rk")
+        id_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
+    )
 
 
 _DELTA_MOD = 5  # vec_id % 5 == 0 is the "newly arrived" 20%
@@ -440,42 +419,21 @@ def similarity_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame
     over stored 1-byte-per-block codes via the broadcast LUT. The plan
     contains zero training; both artifacts come off parquet. Same
     oracle as the train-in-query variant — bit-identical by exact
-    integer construction."""
+    integer construction. Delegates to the PUBLIC ``ann.ann_search``
+    with ``nprobe=1``: the query's probed cell (argmin distance to the
+    persisted centroids, ties to the smaller cell id) is by
+    construction the same cell the build assigned it, since queries
+    here are corpus members and build assignment uses the identical
+    argmin over the identical final centroids."""
     path = ensure_ann_index(spark, sf_dir)
-    cent = spark.read.parquet(os.path.join(path, "codebook"))
-    codes = spark.read.parquet(os.path.join(path, "codes"))
-    cells = spark.read.parquet(os.path.join(path, "cells"))
     emb = load_table(spark, sf_dir, "embeddings")
-    qsub = _pq_subvectors(
-        emb.where(F.col("vec_id") < N_QUERY).select(
-            "vec_id", _qvec(F.col("embedding")).alias("qvec")
-        )
-    )
-    lut = qsub.join(F.broadcast(cent), "b").select(
-        F.col("vec_id").alias("query_id"),
-        "b",
-        "cid",
-        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias("pdist"),
-    )
-    qcells = cells.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("qc_query"), F.col("cell").alias("qcell")
-    )
-    scored = (
-        codes.join(cells, "vec_id")
-        .join(F.broadcast(lut), ["b", "cid"])
-        .join(
-            F.broadcast(qcells),
-            (F.col("cell") == F.col("qcell"))
-            & (F.col("query_id") == F.col("qc_query"))
-            & (F.col("vec_id") != F.col("qc_query")),
-        )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("pdist").alias("adc_dist"))
-    )
-    return topk_per_key(
-        scored,
-        keys=["query_id"],
-        order=[F.col("adc_dist"), F.col("neighbor_id")],
+    return ann_search(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < N_QUERY),
         k=TOP_K,
-        salt_col="neighbor_id",
-    ).orderBy("query_id", "rk")
+        nprobe=1,
+        id_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
+    )

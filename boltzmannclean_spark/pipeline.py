@@ -29,6 +29,7 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from boltzmannclean_spark.ann import ann_search, build_ann_index
 from boltzmannclean_spark.functions.exact import dec
 from boltzmannclean_spark.functions.topk import topk_per_key
 from boltzmannclean_spark.functions.vectors import as_double, dot, norm
@@ -44,6 +45,10 @@ __all__ = [
     "sessionize",
     "language_id",
     "token_stats",
+    # ANN lifecycle (ann.py; re-exported here so the public surface is
+    # one import): build once / persist / search many times.
+    "build_ann_index",
+    "ann_search",
 ]
 
 

@@ -309,3 +309,171 @@ def test_minhash_dedup_matches_brute_force_generalized(spark, tmp_path):
         for d in got:
             assert got[d][0] == want[d][0], (d, got[d], want[d])
             assert abs(got[d][1] - want[d][1]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ANN lifecycle public API (ann.py; r7 verdict item 4): a NON-fixture
+# configuration — 12-dim vectors, pq_m=3 blocks, pq_k=4 codes, 3 IVF
+# cells, default smallest-id seeding — built into a tmp dir and
+# searched, with the ADC result verified against a numpy brute-force
+# over the PERSISTED artifacts (so the check is independent of the
+# Spark scoring plan).
+
+
+@pytest.fixture(scope="module")
+def ann_fixture(spark, tmp_path_factory):
+    import random
+
+    from boltzmannclean_spark import build_ann_index
+
+    rng = random.Random(8)
+    rows = [
+        (100 + i, [round(rng.uniform(-1, 1), 3) for _ in range(12)])
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vid long, vec array<float>")
+    out = str(tmp_path_factory.mktemp("annidx") / "idx")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    path = build_ann_index(
+        vecs,
+        out,
+        dims=12,
+        id_col="vid",
+        vec_col="vec",
+        pq_m=3,
+        pq_k=4,
+        pq_iters=2,
+        n_cells=3,
+        kmeans_iters=2,
+    )
+    return path, rows
+
+
+def _brute_adc(path, rows, query_ids, k, exclude_self=True):
+    """numpy ADC replication straight off the persisted parquet:
+    LUT[q][b][cid] = ||qsub - cvec||^2 in micro units; score(q, v) =
+    sum_b LUT[q][b][codes[v][b]]; top-k by (score, neighbor_id)."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    conf = _json.load(open(os.path.join(path, "meta.json")))["conf"]
+    micro, dsub = conf["micro"], conf["pq_dsub"]
+    cb = pq.read_table(os.path.join(path, "codebook")).to_pydict()
+    cvec = {
+        (b, c): np.array(v, dtype=np.int64)
+        for b, c, v in zip(cb["b"], cb["cid"], cb["cvec"])
+    }
+    ct = pq.read_table(os.path.join(path, "codes")).to_pydict()
+    codes = {}
+    for i, b, c in zip(ct["id"], ct["b"], ct["cid"]):
+        codes.setdefault(i, {})[b] = c
+    qv = {
+        vid: np.round(np.array(v, dtype=np.float64) * micro).astype(np.int64)
+        for vid, v in rows
+    }
+    out = {}
+    for q in query_ids:
+        scores = []
+        for v in codes:
+            if exclude_self and v == q:
+                continue
+            s = 0
+            for b in sorted(codes[v]):
+                qsub = qv[q][b * dsub : (b + 1) * dsub]
+                d = qsub - cvec[(b, codes[v][b])]
+                s += int((d * d).sum())
+            scores.append((s, v))
+        out[q] = sorted(scores)[:k]
+    return out
+
+
+def test_ann_search_matches_brute_force_adc(spark, ann_fixture):
+    from boltzmannclean_spark import ann_search
+
+    path, rows = ann_fixture
+    queries = spark.createDataFrame(rows[:4], "vid long, vec array<float>")
+    got = ann_search(
+        spark, path, queries, k=5, id_col="vid", vec_col="vec"
+    ).collect()
+    want = _brute_adc(path, rows, [r[0] for r in rows[:4]], k=5)
+    for r in got:
+        s, v = want[r.query_id][r.rk - 1]
+        assert (r.adc_dist, r.neighbor_id) == (s, v), (
+            r.query_id,
+            r.rk,
+            (r.adc_dist, r.neighbor_id),
+            (s, v),
+        )
+
+
+def test_ann_search_probe_all_cells_equals_full_scan(spark, ann_fixture):
+    """nprobe = n_cells must return exactly the full-scan result —
+    probing every cell covers every candidate, so IVF pruning is
+    recall-lossless at the limit (the invariant that makes nprobe a
+    pure efficiency knob)."""
+    from boltzmannclean_spark import ann_search
+
+    path, rows = ann_fixture
+    queries = spark.createDataFrame(rows[:3], "vid long, vec array<float>")
+    full = ann_search(
+        spark, path, queries, k=4, id_col="vid", vec_col="vec"
+    ).collect()
+    probed = ann_search(
+        spark, path, queries, k=4, nprobe=3, id_col="vid", vec_col="vec"
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, probed))
+
+
+def test_ann_search_exclude_self_knob(spark, ann_fixture):
+    from boltzmannclean_spark import ann_search
+
+    path, rows = ann_fixture
+    queries = spark.createDataFrame(rows[:2], "vid long, vec array<float>")
+    with_self = ann_search(
+        spark, path, queries, k=1, id_col="vid", vec_col="vec",
+        exclude_self=False,
+    ).collect()
+    # A corpus member's nearest neighbor including itself is itself:
+    # ADC distance vs its own codes is the minimum possible for its
+    # code assignment (and neighbor_id ties break to the smaller id —
+    # but distance 0-vs-own-codes is not guaranteed, so assert rank-1
+    # is never WORSE than the self row).
+    for r in with_self:
+        assert r.rk == 1
+    without = ann_search(
+        spark, path, queries, k=1, id_col="vid", vec_col="vec",
+        exclude_self=True,
+    ).collect()
+    for a, b in zip(sorted(with_self), sorted(without)):
+        assert a.adc_dist <= b.adc_dist
+
+
+def test_ann_build_validates_dims(spark, ann_fixture):
+    from boltzmannclean_spark import ann_search, build_ann_index
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0] * 10)], "vid long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ann_index(vecs, "/tmp/never", dims=10, pq_m=3)
+    path, _rows = ann_fixture
+    q = spark.createDataFrame([(1, [0.0] * 12)], "vid long, vec array<float>")
+    # nprobe on a no-IVF index must raise, not silently full-scan: build
+    # a PQ-only index in a fresh dir.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        vecs12 = spark.createDataFrame(
+            [(i, [float(i)] * 12) for i in range(8)],
+            "vid long, vec array<float>",
+        )
+        p = build_ann_index(
+            vecs12, d, dims=12, id_col="vid", vec_col="vec", pq_m=3, pq_k=2
+        )
+        with pytest.raises(ValueError, match="nprobe"):
+            ann_search(spark, p, q, id_col="vid", vec_col="vec", nprobe=1)
