@@ -50,7 +50,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from boltzmannclean_spark.ann import ann_search, build_ann_index
+from boltzmannclean_spark.ann import ann_search, build_ann_index, _int_dist
+from boltzmannclean_spark.functions.topk import topk_per_key
 from boltzmannclean_spark.operators.similarity import (
     CENT_MOD,
     KMEANS_ITERS,
@@ -310,6 +311,141 @@ def similarity_ann_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFram
         id_col="vec_id",
         vec_col="embedding",
         exclude_self=True,
+    )
+
+
+RECALL_ORACLE = f"""{_BUILD_CTES},
+pdf AS (
+  SELECT q.vec_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM pq q JOIN {_BUILD_FINAL} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+),
+codes AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                 ORDER BY dist, cid) AS rn
+    FROM pdf
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, b, cid, dist AS pdist
+  FROM pdf WHERE vec_id < {N_QUERY}
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON c.b = l.b AND c.cid = l.cid
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+adc_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rk
+    FROM scored
+  ) t WHERE rk <= {TOP_K}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(SUM((q.qx - v.qx) * (q.qx - v.qx)) AS BIGINT) AS dist
+  FROM pq q JOIN pq v ON q.b = v.b AND q.d = v.d AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY}
+  GROUP BY q.vec_id, v.vec_id
+),
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rk
+    FROM exact
+  ) t WHERE rk <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact_topk e
+LEFT JOIN adc_topk a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@register(
+    "similarity_ann_recall_eval",
+    oracle=RECALL_ORACLE,
+    tags=("similarity", "ann", "recall", "eval"),
+)
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY measurement — recall@k of the persisted PQ-ADC index
+    against the exact integer-L2 ground truth, per query. The piece a
+    production vector store cannot ship without: compression (PQ) and
+    pruning (IVF) trade recall for speed, and this query quantifies the
+    trade on the served index so an nprobe/pq_k change is a measured
+    decision, not a guess. Composes the PUBLIC lifecycle (ann_search on
+    the ensure_ann_index artifact) with a brute-force exact leg:
+    corpus ⋈ broadcast(query set) integer distances, salted top-k —
+    at 100 TB the exact leg runs on a SAMPLED query set (as here:
+    N_QUERY probes), which is exactly how recall is audited in
+    production (the corpus-side scan stays one linear pass). Output:
+    (query_id, n_overlap, recall_at_k), integer overlap so the oracle
+    hash-matches bit-exactly; the DuckDB oracle re-derives codebooks,
+    codes, ADC top-k AND the exact top-k from scratch."""
+    path = ensure_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY)
+    adc = ann_search(
+        spark,
+        path,
+        queries,
+        k=TOP_K,
+        id_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
+    ).select("query_id", "neighbor_id")
+    corpus = emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _qvec(F.col("embedding")).alias("q_qvec"),
+    )
+    dists = (
+        corpus.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_dist(F.col("qvec"), F.col("q_qvec")).alias("dist"),
+        )
+    )
+    exact = topk_per_key(
+        dists,
+        keys=["query_id"],
+        order=[F.col("dist"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(
+            adc.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(TOP_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
     )
 
 

@@ -158,6 +158,65 @@ def tpch_q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q05_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (canonical): revenue by nation where the SUPPLYING
+    nation equals the CUSTOMER nation — the local-supplier condition
+    (``c_nationkey = s_nationkey``) that distinguishes Q5 from the
+    plain revenue-by-nation rollup (``join_revenue_by_nation`` is the
+    Q5-shaped variant WITHOUT it; this completes the canonical suite:
+    Q3/Q7/Q13 live as ``join_shipping_priority_topk`` /
+    ``join_volume_shipping`` / ``join_left_order_counts``).
+
+    Plan: the year filter prunes orders before the one fact⋈fact
+    shuffle (lineitem⋈orders); customer joins on custkey (AQE picks
+    broadcast while it fits); supplier/nation/region broadcast. The
+    locality predicate is an extra equi-condition ON the supplier
+    join — Catalyst evaluates it inside the broadcast hash join, so
+    non-local rows never reach the aggregation. Exact decimal revenue.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
     "tpch_q06_revenue_forecast",
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
