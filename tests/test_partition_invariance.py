@@ -105,6 +105,11 @@ INVARIANT_QUERIES = (
     "graph_label_propagation",
     "pipeline_dedup_funnel",
     "func_crypto_aes",
+    # round-8: canonical Q5's exact decimal revenue through the
+    # locality-conditioned join, and the ANN recall audit (integer
+    # overlap counts off two salted exact top-ks).
+    "tpch_q05_local_supplier_volume",
+    "similarity_ann_recall_eval",
 )
 
 
