@@ -35,7 +35,13 @@ from oracle_utils import (  # noqa: E402
 )
 
 SF001 = "/root/testdata/sf0.001"
-SF01 = "/root/testdata/sf0.01"
+# SPARK_GRAFT_REPLICA_SF overrides the per-query dir: pointing it at a
+# scaled replica (tools/scale_probe.py output) runs the ENTIRE oracle
+# suite at that scale — Spark and DuckDB both read the same parquet, so
+# the hash comparison is as strict at 6M rows as at 60k (round 8).
+import os  # noqa: E402
+
+SF01 = os.environ.get("SPARK_GRAFT_REPLICA_SF", "/root/testdata/sf0.01")
 
 
 def compare_to_oracle(df, sql: str, sf_dir: str, name: str) -> dict:

@@ -10,6 +10,7 @@ themselves so the driver's exact value-hash can match).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 
@@ -19,8 +20,13 @@ from boltzmannclean_spark.sources.catalog import TABLES
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the x10/x30
+        # scale replicas); the driver's fixtures are single files. DuckDB
+        # needs a glob for the former.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con.execute(sql).fetchdf()
 
