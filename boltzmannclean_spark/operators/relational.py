@@ -28,20 +28,28 @@ from boltzmannclean_spark.sources.catalog import load_table
 # aggregation reduces each partition to ≤ (#flag × #status) rows before the
 # shuffle, so the exchange moves KBs regardless of input size.
 # --------------------------------------------------------------------------
+# Decimal→double casts go VIA VARCHAR on the DuckDB side: DuckDB's
+# direct DECIMAL→DOUBLE cast is not correctly rounded once the decimal's
+# integer mantissa exceeds 2^53 (it scales the int128 in floating
+# point), while Spark's Decimal.toDouble (java BigDecimal.doubleValue)
+# IS correctly rounded — a 1-ulp divergence invisible at sf0.01/sf0.1
+# that the round-8 sweep at 6M rows exposed on sum_charge. String→double
+# parsing is correctly rounded in DuckDB, so the VARCHAR hop restores
+# bit-equality at every magnitude.
 PRICING_SUMMARY_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)      AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
            * (1 - CAST(l_discount AS DECIMAL(4,2)))
-           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)      AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)      AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)       AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
