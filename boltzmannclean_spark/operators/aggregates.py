@@ -183,16 +183,21 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_exact",
+    # Decimal→double casts hop via VARCHAR: DuckDB's direct cast is not
+    # correctly rounded past a 2^53 mantissa (the x10 sweep flipped
+    # corr's last ulp at 6M rows via the ~1e20 sums of squares);
+    # string→double parsing matches Spark's correctly-rounded
+    # Decimal.toDouble at every magnitude. See pricing_summary.
     oracle="""
 WITH s AS (
   SELECT
     l_returnflag,
     COUNT(*) AS n,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT

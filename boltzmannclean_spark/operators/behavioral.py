@@ -423,19 +423,25 @@ COVER_DAYS = 30  # each order "covers" [o_orderdate, o_orderdate + 30d)
     "intervals_merge_overlapping",
     oracle=f"""
 WITH iv AS (
-  SELECT o_custkey,
+  SELECT o_custkey, o_orderkey,
          epoch_us(o_orderdate) AS s,
          epoch_us(o_orderdate) + {COVER_DAYS}::BIGINT * 86400000000 AS e
   FROM orders
 ),
+-- o_orderkey tiebreak: duplicate (s, e) intervals otherwise leave the
+-- island flag's row and the cumsum's row order unpinned (see the
+-- Spark twin's comment; surfaced by the x10 replica's duplicated
+-- order dates).
 flagged AS (
-  SELECT *, CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+  SELECT *, CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey
+                                       ORDER BY s, e, o_orderkey
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  THEN 1 ELSE 0 END AS new_island
   FROM iv
 ),
 islands AS (
-  SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+  SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey
+                                  ORDER BY s, e, o_orderkey
                                   ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
 )
@@ -460,13 +466,21 @@ def intervals_merge_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     iv = orders.select(
         "o_custkey",
+        "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
         (
             F.unix_micros(F.col("o_orderdate").cast("timestamp"))
             + F.lit(COVER_DAYS * 86_400_000_000)
         ).alias("e"),
     )
-    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    # o_orderkey makes the sweep order TOTAL: with duplicate (s, e)
+    # intervals (same customer ordering twice on one day — common at
+    # scale; the x10 replica surfaced it), an (s, e)-only ROWS window
+    # leaves which tied row carries the new-island flag up to physical
+    # row order, and the flag window and the cumsum window need not
+    # agree on it — the islands come out split nondeterministically.
+    # A unique tiebreak pins both windows to one order in BOTH engines.
+    w = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = iv.withColumn(
         "new_island",
