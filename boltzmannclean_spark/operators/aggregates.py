@@ -76,7 +76,7 @@ SELECT
   COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
   GROUPING(n_name, c_mktsegment) AS gid,
   COUNT(*) AS n_customers,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
 ORDER BY gid, n_name, c_mktsegment
@@ -116,7 +116,7 @@ SELECT
   COALESCE(l_linestatus, '(all)') AS l_linestatus,
   GROUPING(l_returnflag, l_linestatus) AS gid,
   COUNT(*) AS n_items,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
@@ -151,9 +151,9 @@ SELECT
   c_mktsegment,
   COUNT(*) AS n_orders,
   COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
-  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
                 THEN CAST(o_totalprice AS DECIMAL(12,2))
-                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_value
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE) AS finished_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -193,11 +193,11 @@ WITH s AS (
   SELECT
     l_returnflag,
     COUNT(*) AS n,
-    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
-    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
-    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
-    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
-    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT
@@ -259,21 +259,21 @@ WITH s AS (
   SELECT
     l_returnflag,
     COUNT(*) AS n,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s2,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
              * CAST(l_quantity AS DECIMAL(12,2))
-             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s3,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s3,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
              * CAST(l_quantity AS DECIMAL(12,2))
              * CAST(l_quantity AS DECIMAL(12,2))
-             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s4,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+             * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s4,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy
   FROM lineitem
   GROUP BY l_returnflag
 ),
@@ -419,7 +419,7 @@ SELECT
   COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
   GROUPING(o_orderstatus, o_orderpriority) AS gid,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY gid, o_orderstatus, o_orderpriority
@@ -438,7 +438,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
           GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
           COUNT(*) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
         FROM bcs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY gid, o_orderstatus, o_orderpriority
@@ -492,7 +492,7 @@ SELECT o_orderpriority, metric, value FROM (
   FROM orders GROUP BY o_orderpriority
   UNION ALL
   SELECT o_orderpriority, 'total_value' AS metric,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS value
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS value
   FROM orders GROUP BY o_orderpriority
   UNION ALL
   SELECT o_orderpriority, 'max_value' AS metric,
@@ -561,15 +561,18 @@ def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_linreg_sufficient_stats",
     oracle="""
 WITH s AS (
+  -- decimal->double via VARCHAR: DuckDB's direct DECIMAL->DOUBLE cast is
+  -- not correctly rounded past 2^53 mantissas (the price-squared sums
+  -- cross it at ~6M rows); string->double parsing is.
   SELECT l_returnflag, COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -697,11 +700,11 @@ ORDER BY n_regionkey
     "agg_weighted_avg",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-         / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
          AS qty_weighted_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*)
          AS plain_avg_price,
        COUNT(*) AS n_items
 FROM lineitem
@@ -1174,7 +1177,7 @@ SELECT o_orderstatus, bucket,
        COUNT(*) AS n_orders,
        MIN(o_totalprice) AS lo,
        MAX(o_totalprice) AS hi,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_sum
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS bucket_sum
 FROM t
 GROUP BY o_orderstatus, bucket
 ORDER BY o_orderstatus, bucket

@@ -46,7 +46,7 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events,
        MIN(t_us) AS start_us, MAX(t_us) AS end_us,
        MAX(t_us) - MIN(t_us) AS duration_us,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_value
 FROM runs
 GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
@@ -214,7 +214,7 @@ SELECT user_id,
        MIN(t_us) AS session_start_us,
        MAX(t_us) + {SESSION_GAP_US} AS session_end_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_value
 FROM runs
 GROUP BY user_id, sid
 ORDER BY user_id, session_start_us
@@ -302,7 +302,7 @@ WITH base AS (
   SELECT user_id,
          MAX(epoch_us(ts)) AS last_us,
          COUNT(*) AS frequency,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS monetary
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id
 ),
@@ -904,7 +904,7 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH y95 AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS rev,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS STRING) AS DOUBLE) AS rev,
          RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(16,2))) DESC,
                       o_custkey) AS rk
   FROM orders WHERE YEAR(o_orderdate) = 1995
@@ -912,7 +912,7 @@ WITH y95 AS (
 ),
 y96 AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS rev,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS STRING) AS DOUBLE) AS rev,
          RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(16,2))) DESC,
                       o_custkey) AS rk
   FROM orders WHERE YEAR(o_orderdate) = 1996

@@ -110,7 +110,7 @@ WITH holed AS (
   FROM customer
 ),
 stats AS (
-  SELECT CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(acctbal)
+  SELECT CAST(CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(acctbal)
            AS mean_bal
   FROM holed
 ),
@@ -184,12 +184,10 @@ WITH feat AS (
 ),
 fit AS (
   SELECT COUNT(*) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y_true AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2)))
-              AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y_true AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxy
   FROM feat WHERE NOT masked
 ),
 beta AS (
@@ -200,14 +198,11 @@ beta AS (
 ev AS (
   SELECT o_orderstatus,
          COUNT(*) AS n_masked,
-         CAST(SUM(CAST(y_true AS DECIMAL(18,2))) AS DOUBLE) AS msy,
-         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS msx,
-         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
-              AS DOUBLE) AS msxx,
-         CAST(SUM(CAST(y_true AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2)))
-              AS DOUBLE) AS msyy,
-         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2)))
-              AS DOUBLE) AS msxy
+         CAST(CAST(SUM(CAST(y_true AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS msy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS msx,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS msxx,
+         CAST(CAST(SUM(CAST(y_true AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS msyy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y_true AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS msxy
   FROM feat WHERE masked GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n_masked,

@@ -30,8 +30,8 @@ from boltzmannclean_spark.sources.catalog import load_table
     oracle="""
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -265,7 +265,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_bucket",
     oracle="""
 SELECT p_size, COUNT(*) AS n_parts,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_price
 FROM part
 JOIN region ON p_size BETWEEN r_regionkey * 10 AND r_regionkey * 10 + 9
 GROUP BY p_size
@@ -304,8 +304,8 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderpriority,
   COUNT(*) AS n_items,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -352,8 +352,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_orderkey,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
   o_orderpriority
 FROM customer
@@ -540,8 +540,8 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOLUME_SHIPPING_SQL_DUCK = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        YEAR(l_shipdate) AS l_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -686,8 +686,8 @@ BLOOM_K = 4
     oracle="""
 SELECT date_trunc('month', o_orderdate) AS order_month,
        COUNT(*) AS n_lineitems,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY date_trunc('month', o_orderdate)
@@ -786,7 +786,7 @@ BUCKETS_COLOCATED = 8
     oracle="""
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
          AS total_revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

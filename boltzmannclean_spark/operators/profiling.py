@@ -89,9 +89,8 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH stats AS (
   SELECT user_id, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
-              AS DOUBLE) AS ss
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS ss
   FROM events GROUP BY user_id
 ),
 m AS (

@@ -97,7 +97,7 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   c_mktsegment,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_acctbal
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment

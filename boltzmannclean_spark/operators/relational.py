@@ -40,16 +40,16 @@ PRICING_SUMMARY_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)      AS sum_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE)      AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_base_price,
   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS sum_disc_price,
   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
            * (1 - CAST(l_discount AS DECIMAL(4,2)))
-           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)      AS sum_charge,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)      AS avg_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)       AS avg_disc,
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)      AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*)      AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS STRING) AS DOUBLE) / COUNT(*)       AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -198,7 +198,7 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_hash_reproducible",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_sampled,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sampled_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS sampled_value
 FROM orders
 WHERE substring(md5(o_orderkey::VARCHAR), 1, 1) IN ('0')
 GROUP BY o_orderpriority
@@ -355,7 +355,7 @@ WITH RECURSIVE months(m) AS (
 )
 SELECT CAST(m AS STRING) AS month,
        COUNT(o_orderkey) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS revenue
 FROM months
 LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
 GROUP BY m
@@ -373,7 +373,7 @@ WITH RECURSIVE months(m) AS (
 )
 SELECT CAST(m AS VARCHAR) AS month,
        COUNT(o_orderkey) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS revenue
 FROM months
 LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
 GROUP BY m
@@ -395,7 +395,7 @@ def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARAM_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 WHERE o_totalprice >= :min_price AND o_orderstatus = :status
 GROUP BY ALL
@@ -408,7 +408,7 @@ ORDER BY ALL
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -484,7 +484,7 @@ FROM orders
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -695,7 +695,7 @@ WITH folded AS (
 SELECT fold,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_customers,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
          AS total_price
 FROM folded
 GROUP BY fold
@@ -860,8 +860,8 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
          AS net_revenue
 FROM lineitem
 GROUP BY l_returnflag
@@ -908,7 +908,7 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
          AS total_value
 FROM orders
 WHERE o_orderstatus = 'F'
@@ -934,7 +934,7 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXECUTE IMMEDIATE
           'SELECT o_orderpriority,
                   COUNT(*) AS n_orders,
-                  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
                     AS total_value
            FROM orders
            WHERE o_orderstatus = ?
@@ -1051,7 +1051,7 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus AS grp,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY grp
@@ -1072,7 +1072,7 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT IDENTIFIER(:grp_col) AS grp,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
                  AS total_value
         FROM IDENTIFIER(:tbl)
         GROUP BY IDENTIFIER(:grp_col)

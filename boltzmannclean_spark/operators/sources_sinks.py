@@ -62,7 +62,7 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   s_nationkey,
   COUNT(*) AS n_suppliers,
-  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+  CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_acctbal
 FROM supplier
 GROUP BY s_nationkey
 ORDER BY s_nationkey
@@ -121,7 +121,7 @@ def source_inmemory_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderpriority,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -149,7 +149,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_orc_roundtrip",
     oracle="""
 SELECT p_brand, COUNT(*) AS n_parts,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_price
 FROM part
 GROUP BY p_brand
 ORDER BY p_brand
@@ -179,7 +179,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_partitioned_pruning",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -371,7 +371,7 @@ def source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_dynamic_partition_overwrite",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_value
 FROM (
   SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
   UNION ALL
@@ -556,7 +556,7 @@ COMPACT_TARGET_FILES = 4
     "sink_compact_small_files",
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE l_orderkey < 5000
 GROUP BY l_returnflag
@@ -621,7 +621,7 @@ SELECT morton // 4096 AS zbucket,
        COUNT(*) AS n_rows,
        MIN(za) AS min_a, MAX(za) AS max_a,
        MIN(zb) AS min_b, MAX(zb) AS max_b,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS sum_price
 FROM z
 GROUP BY morton // 4096
 ORDER BY zbucket
@@ -946,7 +946,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT COUNT(*) AS n_rows,
        COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null_price,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_price,
        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
 FROM orders
 """,
@@ -997,7 +997,7 @@ def source_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_xml_roundtrip",
     oracle="""
 SELECT n_name, COUNT(*) AS n_suppliers,
-       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_bal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name

@@ -39,7 +39,7 @@ grid AS (
 ),
 agg AS (
   SELECT user_id, h, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS v
   FROM e GROUP BY user_id, h
 ),
 joined AS (
@@ -191,7 +191,7 @@ SELECT epoch_us(h) AS hour_us,
        MIN(value) AS low,
        MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS volume
 FROM t
 GROUP BY h
 ORDER BY hour_us

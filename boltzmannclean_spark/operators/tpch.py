@@ -219,8 +219,8 @@ def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "tpch_q06_revenue_forecast",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS STRING) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -334,10 +334,10 @@ def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q09_product_profit",
     oracle="""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
                 - CAST(p_retailprice AS DECIMAL(12,2))
-                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -670,11 +670,11 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 WITH pq AS (
   SELECT l_partkey AS avg_key,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
          / COUNT(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
        / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -716,7 +716,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
 WITH big AS (
   SELECT l_orderkey AS big_key,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
 )
@@ -938,12 +938,12 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_global_sales_opportunity",
     oracle="""
 WITH ab AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
          / COUNT(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS totacctbal
 FROM customer, ab
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders

@@ -106,18 +106,18 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   event_id,
   user_id,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
     / COUNT(*) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg_5,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
     PARTITION BY user_id ORDER BY epoch_us(ts)
-    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hourly_value
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS hourly_value
 FROM events
 ORDER BY event_id
 """,

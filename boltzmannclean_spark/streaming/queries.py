@@ -34,7 +34,7 @@ SELECT
   epoch_us(ts) - epoch_us(ts) % {_US_HOUR} AS window_start_us,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -185,7 +185,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   c_mktsegment,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -218,7 +218,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   user_id,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value,
   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
 FROM events
 GROUP BY user_id
@@ -300,7 +300,7 @@ def _register_if_protobuf(name: str, **kw):
 SELECT
   user_id,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value,
   CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
 FROM events
 GROUP BY user_id
@@ -453,7 +453,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -501,7 +501,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_value
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -549,7 +549,7 @@ SELECT
   arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                  || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS volume
 FROM events
 GROUP BY 1
 ORDER BY 1
