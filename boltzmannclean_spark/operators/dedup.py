@@ -1118,42 +1118,104 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup — the idiomatic-Spark alternate to the
     SQL-composable pipeline (SURVEY §2.B names both): tokens →
-    HashingTF binary vectors → MinHashLSH(numHashTables=8, fixed seed)
-    → approxSimilarityJoin at Jaccard distance ≤ 0.1 (the same
-    similarity ≥ 0.9 cut as the SQL pipeline's
-    MINHASH_JACCARD_THRESHOLD).
+    HashingTF binary vectors → MinHashLSH(numHashTables=32, fixed
+    seed) signatures, banded 8 bands × 4 rows, bucket-representative
+    candidates, then EXACT token-set Jaccard verification at
+    similarity ≥ 0.9 (the SQL pipeline's MINHASH_JACCARD_THRESHOLD
+    cut). Output is (rep, member) dup pairs — star per cluster, like
+    the SQL twin's drop decisions — not the all-pairs clique.
 
-    approxSimilarityJoin is the same LSH shape as the hand-built
-    pipeline — explode hash tables, equi-join on (table, hash), then
-    verify candidates with the EXACT distance — so output pairs are
-    precision-1.0 and only recall is approximate. Seeded, so results
-    are deterministic; rows-only at the harness because the hash family
-    is JVM-internal. Scale: identical banding economics to
-    dedup_minhash_lsh (candidates ~ colliding pairs, never the cross
-    product); HashingTF at 2^18 features keeps collisions ~0 for this
-    vocabulary while bounding vector width."""
+    Why not approxSimilarityJoin: MLlib's self-join pins the banding
+    at r=1 — every hash table is a SINGLE minhash, so any pair
+    collides somewhere with probability 1-(1-s)^b, and even weakly
+    similar pairs (s≈0.1-0.3, endemic in template-generated corpora)
+    become candidates; it also emits the full within-cluster clique
+    (Θ(similar pairs) — ~1M pairs at the 10× replica) and cuts at a
+    STRICT distance <, silently dropping every pair at exactly
+    s=0.9. At 10× the candidate-verify stage ran 45+ minutes before
+    being killed. Banding the SAME MLlib hash family by hand (one
+    projection over model.transform's signature array) restores the
+    r=4 economics (per-band collision probability s^4) and the
+    representative join bounds candidates at docs × bands. Recall at
+    s=0.9 is 1-(1-0.9^4)^8 ≈ 99.98% per (rep, member) edge;
+    precision is 1.0 because every candidate is verified with the
+    exact Jaccard over distinct lowercased tokens, cut INCLUSIVELY at
+    ≥ 0.9 like the twin. Seeded and deterministic; rows-only at the
+    harness because the hash family is JVM-internal."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.functions import vector_to_array
 
+    BANDS, ROWS_PER_BAND = 8, 4
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = Tokenizer(inputCol="text", outputCol="toks")
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(tok.transform(docs)).select("doc_id", "features")
+    toked = tok.transform(docs)
+    feats = tf.transform(toked).select("doc_id", "features")
     mh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=BANDS * ROWS_PER_BAND,
+        seed=42,
     )
     model = mh.fit(feats)
+    # signature array -> 8 band keys in one projection (hashes[i] is a
+    # singleton vector; band key = hash of its 4 consecutive minhashes)
+    band_cols = F.array(
+        *[
+            F.hash(
+                F.lit(j),
+                *[
+                    vector_to_array(F.col("hashes")[j * ROWS_PER_BAND + k])
+                    .getItem(0)
+                    .cast("long")
+                    for k in range(ROWS_PER_BAND)
+                ],
+            )
+            for j in range(BANDS)
+        ]
+    )
+    banded = (
+        model.transform(feats)
+        .select("doc_id", F.posexplode(band_cols).alias("band", "band_key"))
+    )
+    # representative-based verification (same plan shape as the SQL
+    # twin): each bucket's MIN doc_id is its representative, every
+    # other member is verified against the rep only — candidates are
+    # bounded by docs × bands, never the within-bucket cross product
+    # (which is the true near-dup pair mass: ~1M pairs at 10× on this
+    # template-heavy corpus, the thing a 100 TB dedup never emits).
+    reps = banded.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    cand = (
+        banded.join(reps, ["band", "band_key"])
+        .where(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toksets = toked.select(
+        "doc_id", F.array_distinct("toks").alias("tokset")
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
     pairs = (
-        model.approxSimilarityJoin(
-            feats, feats, 1.0 - MINHASH_JACCARD_THRESHOLD, distCol="jaccard_dist"
+        cand.join(
+            toksets.select(
+                F.col("doc_id").alias("doc_a"), F.col("tokset").alias("ta")
+            ),
+            "doc_a",
         )
-        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.col("jaccard_dist").cast("double").alias("jaccard_dist"),
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tb")
+            ),
+            "doc_b",
         )
+        .where(jac >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", (1.0 - jac).alias("jaccard_dist"))
     )
     return pairs.orderBy("doc_a", "doc_b")
 

@@ -17,6 +17,7 @@ scales horizontally; watermarks bound it in time.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,12 +42,20 @@ def events_stream(
     # batch read (driver-side metadata only) so the stream schema tracks
     # whichever ts layout (long-ns vs timestamp[us]) the testdata has.
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = spark.readStream.schema(batch_schema).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        # Spark-written table directory (scaled replicas, sink outputs):
+        # stream the part files inside it directly — pathGlobFilter
+        # matches FILE names, so filtering the parent dir for
+        # "events.parquet" would match nothing and stream zero rows.
+        src, reader = f"{sf_dir}/events.parquet", reader
+    else:
+        # driver testdata layout: one file per table inside sf_dir
+        src = sf_dir
+        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return normalize_events_ts(reader.parquet(sf_dir))
+    return normalize_events_ts(reader.parquet(src))
 
 
 def run_to_memory(

@@ -123,6 +123,13 @@ def main() -> int:
             status = "FAIL"
         results[name] = rec
         print(f"  {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+        if emit:
+            # incremental emit: a killed/timed-out run (long at-scale
+            # sweeps are chunked under `timeout`) keeps every completed
+            # query's record instead of losing the whole chunk
+            with open(emit + ".part", "w") as fh:
+                json.dump(results, fh, indent=2)
+            os.replace(emit + ".part", emit)
     print(f"total {time.time() - t_all:.0f}s, {len(failures)} failures", flush=True)
     if emit:
         with open(emit, "w") as fh:
