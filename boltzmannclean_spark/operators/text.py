@@ -1855,3 +1855,166 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPE_ROUNDS = 8
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB twin of text_bpe_learn_merges: one CTE trio
+    (pairs → best → merged vocab) per learned merge, stitched by
+    UNION ALL. Data-dependent iteration cannot be a recursive CTE
+    (each round re-tokenizes with the merge just learned), so the
+    oracle unrolls the fixed round count instead."""
+    parts = [
+        """
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE len(w) > 0
+  GROUP BY w
+),
+w0 AS (
+  SELECT word, freq,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
+  FROM words
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT pair, freq FROM (
+    SELECT sym || ' ' || LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+             AS pair,
+           freq
+    FROM (
+      SELECT word, freq, UNNEST(string_split(seq, ' ')) AS sym,
+             generate_subscripts(string_split(seq, ' '), 1) AS pos
+      FROM w{r}
+    )
+  ) WHERE pair IS NOT NULL
+),
+b{r} AS (
+  SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM p{r} GROUP BY pair
+  ORDER BY SUM(freq) DESC, pair ASC LIMIT 1
+),
+w{r + 1} AS (
+  SELECT word, freq,
+         trim(replace(
+           replace(' ' || replace(seq, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '  ') || ' ',
+                   ' ' || b.merged || ' '),
+           '  ', ' ')) AS seq
+  FROM w{r}, b{r} b
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT round, pair, merged, pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"\n{sel}\nORDER BY round")
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=_bpe_oracle(BPE_ROUNDS),
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS byte-pair-encoding merges from the
+    corpus (Sennrich et al. 2016) — tokenizer TRAINING, the step
+    upstream of every text_*token* query: per round, count adjacent
+    symbol pairs weighted by word frequency, take the most frequent
+    (ties broken lexicographically — a total order, so the learned
+    merge table is deterministic in any engine at any parallelism),
+    fuse that pair everywhere, repeat. Words start as characters plus
+    a '</w>' end-of-word marker.
+
+    Scale shape: BPE learning consumes the word-FREQUENCY table, not
+    the corpus — one linear wordcount pass reduces 100 TB of text to a
+    vocab-sized (≤ millions of rows) state table, and every round is
+    then (a) one explode → map-side-combined pair-count aggregate over
+    that table, (b) a LIMIT-1 argmax on the aggregated pair counts,
+    (c) a broadcast 1-row crossJoin applying the merge. Round state is
+    localCheckpoint()ed so lineage stays flat across iterations (the
+    graph_label_propagation discipline). The merge application uses a
+    separator-doubling rewrite (' a  b ' → ' ab ' on a double-spaced
+    sequence, then collapse) so plain non-overlapping replace() —
+    identical left-to-right semantics in Spark and DuckDB — implements
+    BPE's leftmost-non-overlapping merge exactly; the oracle unrolls
+    the same rounds as CTE stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wf = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" </w>"),
+        ).alias("seq"),
+    ).localCheckpoint()
+    bests = []
+    for r in range(BPE_ROUNDS):
+        syms = F.split("seq", " ")
+        n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(syms, 1, n_pairs),
+            F.slice(syms, 2, n_pairs),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        best = (
+            wf.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        bests.append(best)
+        doubled = F.concat(
+            F.lit(" "),
+            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        patt = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        repl = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        wf = (
+            wf.crossJoin(F.broadcast(best.select("pair", "merged")))
+            .select(
+                "word",
+                "freq",
+                F.trim(
+                    F.replace(
+                        F.replace(doubled, patt, repl),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ).alias("seq"),
+            )
+            .localCheckpoint()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("round")

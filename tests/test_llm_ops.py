@@ -286,3 +286,59 @@ def test_pq_adc_recall_vs_exact_l2(spark, oracle_sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(brute & got) / len(brute)
     assert recall >= 0.15, f"PQ-ADC recall {recall:.2f} vs exact L2"
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    """text_bpe_learn_merges vs a pure-Python reference BPE (Sennrich
+    et al.'s algorithm: count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent with lexicographic tie-break,
+    repeat) over the sf0.001 corpus — the learned merge table must be
+    IDENTICAL, pair counts included."""
+    from collections import Counter
+
+    from boltzmannclean_spark.operators.text import BPE_ROUNDS
+
+    sf = "/root/testdata/sf0.001"
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wordfreq = Counter(
+        w for t in texts for w in t.lower().split(" ") if w
+    )
+    vocab = {
+        tuple(list(w) + ["</w>"]): f for w, f in wordfreq.items()
+    }
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        # most frequent, ties broken by lexicographically smallest pair
+        best, cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        expected.append((best[0] + " " + best[1], best[0] + best[1], cnt))
+        merged_tok = best[0] + best[1]
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged_tok)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    rows = QUERIES["text_bpe_learn_merges"].spark_fn(spark, sf).collect()
+    got = [(r.pair, r.merged, r.pair_count) for r in rows]
+    assert got == expected, f"\ngot:      {got}\nexpected: {expected}"
