@@ -981,3 +981,128 @@ def join_geo_grid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist_km") < 50.0)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "join_geo_knn_grid",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(('0x' || substring(md5(c_custkey::VARCHAR), 1, 8))::BIGINT
+              % 1800000 AS BIGINT) AS lat_m,
+         CAST(('0x' || substring(md5(c_custkey::VARCHAR), 9, 8))::BIGINT
+              % 3600000 AS BIGINT) AS lon_m
+  FROM customer
+),
+cells AS (
+  SELECT id, lat_m, lon_m,
+         lat_m // 300000 AS cy, lon_m // 300000 AS cx
+  FROM pts
+),
+probes AS (
+  SELECT c.id, c.lat_m, c.lon_m, c.cy + dy.d AS cy, c.cx + dx.d AS cx
+  FROM cells c
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+  WHERE c.id < 400
+),
+cand AS (
+  SELECT p.id, n.id AS nbr_id,
+         (p.lat_m - n.lat_m) * (p.lat_m - n.lat_m)
+       + (p.lon_m - n.lon_m) * (p.lon_m - n.lon_m) AS d2
+  FROM probes p JOIN cells n ON p.cy = n.cy AND p.cx = n.cx
+  WHERE p.id <> n.id
+),
+ranked AS (
+  SELECT id, nbr_id, d2,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY d2, nbr_id) AS INT) AS rank
+  FROM cand
+)
+SELECT id, rank, nbr_id, d2
+FROM ranked WHERE rank <= 3
+ORDER BY id, rank
+""",
+    tags=("join", "spatial", "knn", "grid"),
+)
+def join_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor SPATIAL join via grid blocking: each query
+    point probes its 3×3 cell neighborhood (explode to 9 cell keys →
+    one EQUI-join against points keyed by home cell), and only
+    candidates pay the distance + per-query top-k. This is the
+    geohash-kNN pattern that replaces the quadratic all-pairs ranking:
+    candidate count is Θ(k-neighborhood density), linear in corpus at
+    fixed density, and the per-query top-3 is a row_number window over
+    candidates, never over the full table. Distances are EXACT integer
+    squared micro-degree deltas (coordinates derive from key hashes as
+    in join_geo_grid_distance — testdata has no geo columns; the
+    OPERATOR is the point), so ranking has no float ties and parity is
+    bit-exact. Honest caveats, as in production grid kNN: a true k-th
+    neighbor beyond the 3×3 ring is missed (production expands the
+    ring until k candidates are inside the guaranteed radius), and
+    this fixture ignores lon wraparound; the oracle replicates the
+    same candidate generation, so parity checks the pattern.
+
+    Scale: the probe side explodes 9×, the candidate side shuffles
+    once on the cell key; dense cells are AQE skew-join territory.
+    The top-k window partitions by query id — no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = lambda lo, n: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col("c_custkey").cast("string")), lo, 8), 16, 10
+    ).cast("long") % n
+    cells = cust.select(
+        F.col("c_custkey").alias("id"),
+        h(1, 1800000).alias("lat_m"),
+        h(9, 3600000).alias("lon_m"),
+    ).select(
+        "id",
+        "lat_m",
+        "lon_m",
+        F.expr("lat_m div 300000").alias("cy"),
+        F.expr("lon_m div 300000").alias("cx"),
+    )
+    probes = (
+        cells.where(F.col("id") < 400)
+        .select(
+            "id",
+            "lat_m",
+            "lon_m",
+            F.explode(F.expr("array(cy - 1, cy, cy + 1)")).alias("cy"),
+            "cx",
+        )
+        .select(
+            "id",
+            "lat_m",
+            "lon_m",
+            "cy",
+            F.explode(F.expr("array(cx - 1, cx, cx + 1)")).alias("cx"),
+        )
+    )
+    n = cells.select(
+        F.col("id").alias("nbr_id"),
+        F.col("lat_m").alias("nlat"),
+        F.col("lon_m").alias("nlon"),
+        "cy",
+        "cx",
+    )
+    cand = (
+        probes.join(n, ["cy", "cx"])
+        .where(F.col("id") != F.col("nbr_id"))
+        .select(
+            "id",
+            "nbr_id",
+            (
+                (F.col("lat_m") - F.col("nlat"))
+                * (F.col("lat_m") - F.col("nlat"))
+                + (F.col("lon_m") - F.col("nlon"))
+                * (F.col("lon_m") - F.col("nlon"))
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("d2", "nbr_id")
+    return (
+        cand.select("id", "nbr_id", "d2", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 3)
+        .select("id", "rank", "nbr_id", "d2")
+        .orderBy("id", "rank")
+    )

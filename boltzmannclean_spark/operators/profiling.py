@@ -1065,3 +1065,127 @@ def stats_ab_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("treated", "post", "n", "mean_cents", "did_uplift_cents")
         .orderBy("treated", "post")
     )
+
+
+# SPRT hypotheses and Wald boundaries, hardcoded as full-precision
+# literals so both engines parse the SAME doubles and every LLR value
+# k*A + (n-k)*B is a bit-identical IEEE computation. H0: p=0.35,
+# H1: p=0.40, alpha=beta=0.05.
+_SPRT_LA = 0.13353139262452263  # ln(0.40/0.35)
+_SPRT_LB = -0.08004270767353637  # ln(0.60/0.65)
+_SPRT_UPPER = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19)
+_SPRT_LOWER = -2.9444389791664403  # ln(beta/(1-alpha))
+
+
+@register(
+    "stats_sequential_sprt",
+    oracle=f"""
+WITH trials AS (
+  SELECT event_type,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS success,
+         ts, event_id
+  FROM events
+),
+walk AS (
+  SELECT event_type,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(success) OVER w AS BIGINT) AS k
+  FROM trials
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+llrs AS (
+  SELECT event_type, n, k,
+         (k * {_SPRT_LA}) + ((n - k) * {_SPRT_LB}) AS llr
+  FROM walk
+),
+crossings AS (
+  SELECT event_type,
+         MIN(n) FILTER (WHERE llr >= {_SPRT_UPPER}
+                           OR llr <= {_SPRT_LOWER}) AS n_dec
+  FROM llrs GROUP BY event_type
+),
+finals AS (
+  SELECT event_type, MAX(n) AS n_total FROM llrs GROUP BY event_type
+)
+SELECT f.event_type,
+       CASE WHEN c.n_dec IS NULL THEN 'continue'
+            WHEN l.llr >= {_SPRT_UPPER} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       COALESCE(c.n_dec, f.n_total) AS n_at_decision,
+       l2.k AS k_at_decision,
+       CAST(l2.llr AS FLOAT) AS llr_at_decision
+FROM finals f
+LEFT JOIN crossings c ON f.event_type = c.event_type
+LEFT JOIN llrs l ON l.event_type = f.event_type AND l.n = c.n_dec
+JOIN llrs l2 ON l2.event_type = f.event_type
+            AND l2.n = COALESCE(c.n_dec, f.n_total)
+ORDER BY f.event_type
+""",
+    tags=("stats", "abtest", "sequential", "sprt"),
+)
+def stats_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test (SPRT) over each event
+    arm — the always-valid "peek after every trial" alternative to
+    fixed-horizon A/B tests: trials arrive in (ts, event_id) order,
+    the cumulative log-likelihood ratio LLR = k·ln(p1/p0) +
+    (n−k)·ln((1−p1)/(1−p0)) is a window cumsum, and the arm stops at
+    the FIRST n where LLR exits (ln β/(1−α), ln (1−β)/α). Arms whose
+    walk never exits report 'continue' with their final state. All
+    boundary comparisons are deterministic: k and n are integers, the
+    four constants are shared full-precision literals, and one
+    multiply-add per row is bit-identical IEEE in both engines.
+
+    Scale: one window cumsum per arm (single shuffle on event_type —
+    at 100 TB an arm's trials sort within its partitions via the
+    window's local sort; hot arms are exactly the AQE skew case), one
+    filtered min-aggregate for the crossing point, and two tiny
+    broadcast joins back to fetch the state AT the decision row. No
+    driver loop — the sequential test is expressed as a prefix scan,
+    which is how an always-valid monitor runs over a 100 TB event log."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    success = F.when(F.col("value") > 50, 1).otherwise(0)
+    walk = ev.select(
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(success).over(w).cast("long").alias("k"),
+    )
+    llrs = walk.select(
+        "event_type",
+        "n",
+        "k",
+        (
+            (F.col("k") * F.lit(_SPRT_LA))
+            + ((F.col("n") - F.col("k")) * F.lit(_SPRT_LB))
+        ).alias("llr"),
+    )
+    crossed = (F.col("llr") >= _SPRT_UPPER) | (F.col("llr") <= _SPRT_LOWER)
+    crossings = llrs.groupBy("event_type").agg(
+        F.min(F.when(crossed, F.col("n"))).alias("n_dec")
+    )
+    finals = llrs.groupBy("event_type").agg(F.max("n").alias("n_total"))
+    base = finals.join(F.broadcast(crossings), "event_type", "left").select(
+        F.col("event_type").alias("et"),
+        "n_dec",
+        F.coalesce("n_dec", "n_total").alias("n_at_decision"),
+    )
+    at_dec = llrs.join(
+        F.broadcast(base),
+        (llrs["event_type"] == base["et"])
+        & (llrs["n"] == base["n_at_decision"]),
+    ).select(
+        F.col("et").alias("event_type"),
+        F.when(F.col("n_dec").isNull(), "continue")
+        .when(F.col("llr") >= _SPRT_UPPER, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        "n_at_decision",
+        F.col("k").alias("k_at_decision"),
+        F.col("llr").cast("float").alias("llr_at_decision"),
+    )
+    return at_dec.orderBy("event_type")

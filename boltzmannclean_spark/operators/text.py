@@ -2018,3 +2018,91 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out.orderBy("round")
+
+
+@register(
+    "curation_perplexity_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(f.n) AS BIGINT) AS sum_freq
+  FROM toks t JOIN freq f ON t.tok = f.tok
+  GROUP BY t.doc_id, t.lang
+),
+scored AS (
+  SELECT doc_id, lang, (sum_freq * 1000) // n_tokens AS score_milli
+  FROM per_doc
+),
+bucketed AS (
+  SELECT lang, doc_id, score_milli,
+         CAST(NTILE(3) OVER (
+           PARTITION BY lang ORDER BY score_milli DESC, doc_id
+         ) AS INT) AS bucket
+  FROM scored
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       MIN(score_milli) AS lo_milli, MAX(score_milli) AS hi_milli
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+    tags=("curation", "quality", "perplexity", "ccnet"),
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    score every document with a corpus language model, then split each
+    language into head/middle/tail tertiles — the partition the CCNet
+    pipeline uses to keep `head` for pretraining and drop or downweight
+    `tail`. The LM here is the corpus unigram table itself and the
+    per-doc score is mean token frequency in exact integer milli-units
+    (``sum_freq*1000 div n_tokens``) rather than a float perplexity:
+    the RANKING is order-isomorphic to unigram log-perplexity's
+    dominant term, and integer scores make the tertile boundaries
+    bit-reproducible across engines — no float-tie drift at the ntile
+    cut (the func_math_transcendental rule, applied to ordering).
+
+    Scale: one token-explode aggregation builds the Zipf-bounded
+    frequency table (broadcasts), one equi-join scores the stream, and
+    the ntile is a per-language sort — at 100 TB that sort is the cost
+    center, so production swaps ntile for approx quantile boundaries
+    (two scans, no global sort) with the same bucket semantics; the
+    tertile CONTRACT, which downstream mixers consume, is unchanged.
+    Output is the per-(lang, bucket) census with boundary scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n").alias("sum_freq"),
+        )
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "lang",
+        F.expr("(sum_freq * 1000) div n_tokens").alias("score_milli"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    bucketed = scored.select(
+        "lang", "score_milli", F.ntile(3).over(w).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_milli").alias("lo_milli"),
+            F.max("score_milli").alias("hi_milli"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -891,3 +891,114 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_holt_linear_smoothing",
+    oracle="""
+WITH RECURSIVE
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+           AS y
+  FROM events WHERE user_id < 8
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT user_id, day, y,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day) AS BIGINT) AS idx
+  FROM daily
+),
+hw AS (
+  SELECT user_id, day, idx, y,
+         y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE idx = 1
+  UNION ALL
+  SELECT s.user_id, s.day, s.idx, s.y,
+         0.5 * s.y + 0.5 * (hw.l + hw.b),
+         0.5 * ((0.5 * s.y + 0.5 * (hw.l + hw.b)) - hw.l) + 0.5 * hw.b
+  FROM hw JOIN seq s
+    ON s.user_id = hw.user_id AND s.idx = hw.idx + 1
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day, idx, y,
+       CAST(l AS FLOAT) AS level,
+       CAST(b AS FLOAT) AS trend,
+       CAST(l + b AS FLOAT) AS forecast_next
+FROM hw
+ORDER BY user_id, idx
+""",
+    tags=("timeseries", "smoothing", "holt", "stateful"),
+)
+def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over each
+    user's daily series — the classic short-horizon forecaster, and
+    the engine's demonstrator for SEQUENTIAL per-key recurrences that
+    no window frame can express (each state depends on the previous
+    OUTPUT, not the previous input). The Spark side is the canonical
+    shape for this class: pre-aggregate to (key, step) on the JVM,
+    then ONE `applyInPandas` pass per key runs the O(steps) scan —
+    Arrow-batched, state never leaves the executor, no driver loop.
+    The oracle is the same recurrence as a recursive CTE, which makes
+    this operator oracle-EXACT where most stateful ops settle for
+    rows-only. Bit-reproducibility: α=β=0.5 are exact binary
+    fractions, the daily input is an exact-decimal sum parsed to
+    double through the string hop, and both engines evaluate the
+    identically-associated multiply-adds — IEEE doubles agree
+    bit-for-bit, float-cast on output per house rule.
+
+    Scale: the daily pre-aggregation is one shuffle on (user, day);
+    the recurrence shuffles once on user and each series scans
+    linearly inside its Arrow batch. Series length is bounded by the
+    calendar (days, not events), so a 100 TB event log still hands
+    each key a few-thousand-row pandas frame; key-count parallelism
+    is the whole win."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).cast("string").cast("double").alias("y"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.select(
+        "user_id", "day", "y", F.row_number().over(w).cast("long").alias("idx")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        levels, trends = [], []
+        l = b = 0.0
+        for i, y in enumerate(pdf["y"]):
+            if i == 0:
+                l, b = float(y), 0.0
+            else:
+                l_new = 0.5 * float(y) + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["level"] = pd.Series(levels, dtype="float64").astype("float32")
+        pdf["trend"] = pd.Series(trends, dtype="float64").astype("float32")
+        pdf["forecast_next"] = pd.Series(
+            [lv + tr for lv, tr in zip(levels, trends)], dtype="float64"
+        ).astype("float32")
+        return pdf[
+            ["user_id", "day", "idx", "y", "level", "trend", "forecast_next"]
+        ]
+
+    out = seq.groupBy("user_id").applyInPandas(
+        holt,
+        schema=(
+            "user_id bigint, day date, idx bigint, y double, "
+            "level float, trend float, forecast_next float"
+        ),
+    )
+    return out.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        "idx",
+        "y",
+        "level",
+        "trend",
+        "forecast_next",
+    ).orderBy("user_id", "idx")

@@ -78,64 +78,105 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
-    # -- round-6 rotation: new or plan-changed this round (verify first) --
-    "sink_ann_index_build",
-    "similarity_ann_pq_adc_prebuilt",
-    "similarity_ann_ivfpq_prebuilt",
-    "similarity_ann_delta_assign",
-    "ts_sla_downtime",
-    "dedup_substring_run",
-    "multimodal_phash_dedup",
-    "sql_identifier_clause",
-    "udtf_analyze_dynamic",
-    "dedup_semantic_semdedup",
-    "impute_rbm_pipeline_persist",
-    "ts_downsample_minmax",
-    "dq_benford_distribution",
-    "source_binary_files",
-    "func_convert_timezone",
-    "graph_bipartite_projection",
-    "stream_cdc_merge_snapshot",
-    "impute_mice_chained",
-    "stats_ab_did_uplift",
-    "dq_schema_drift_report",
-    "events_survival_risk_table",
-    "graph_kcore_peel",
-    "dedup_embedding_cosine_recall_demo",
-    "dq_constraint_violations",
-    "tpch_q02_min_cost_supplier",
-    "impute_rbm_customer",
-    # -- never harness-verified backlog (119 remained after r1-r5; the
-    #    driver samples the first 50, so this block prioritizes the
-    #    whole TPC-H suite, then dedup and text; the rest of the
-    #    backlog rolls into round 7's rotation) --
-    "tpch_q04_order_priority",
-    "tpch_q06_revenue_forecast",
-    "tpch_q09_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "dedup_keep_best",
-    "dedup_levenshtein_verify",
-    "dedup_url_canonical",
-    "dedup_segments_exact",
-    "dedup_minhash_recall_eval",
-    "dedup_normalized_exact",
-    "dedup_prefix_filter_jaccard",
-    "dedup_cluster_size_stats",
-    "dedup_minhash_threshold_curve",
-    "text_vocab_coverage",
+    # -- round-8 session-2 additions (never verified, newest code) --
+    "curation_perplexity_buckets",
+    "stats_sequential_sprt",
+    "join_geo_knn_grid",
+    "graph_linkpred_common_neighbors",
+    "ts_holt_linear_smoothing",
+    # -- round-8 rotation: new-this-round first, then the full
+    #    never-harness-verified backlog (88 names as of r8 start; the
+    #    driver samples the first 50, so ~38 roll into round 9).
+    #    Oracled entries precede rows-only ones so each sampled slot
+    #    yields the strongest possible check. --
+    "text_bpe_learn_merges",
+    "tpch_q05_local_supplier_volume",
+    "similarity_ann_recall_eval",
+    "agg_cms_join_size_estimate",
+    "agg_entropy",
+    "agg_kmv_intersection_estimate",
+    "chunk_pack_tokens",
+    "curation_dsir_importance",
+    "curation_mixture_weights",
+    "curation_stratified_exemplars",
+    "dedup_containment",
+    "dq_join_key_skew",
+    "dq_primary_key_uniqueness",
+    "dq_referential_integrity",
+    "embedding_centroids",
+    "embedding_dim_stats",
+    "embedding_pca_power_iteration",
+    "embedding_quantile_normalize",
+    "events_anomaly_iqr",
+    "events_cohort_ltv_curve",
+    "events_gaps_islands_streaks",
+    "events_mad_outliers",
+    "events_peak_concurrency",
+    "func_crypto_aes",
+    "graph_bfs_levels",
+    "graph_degree_assortativity",
+    "graph_degree_distribution",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "impute_hotdeck",
+    "impute_mean_mode",
+    "impute_regression",
+    "join_dynamic_partition_pruning",
+    "join_geo_grid_distance",
+    "multimodal_shard_manifest",
+    "orders_cohort_repeat_rate",
+    "pairs_negative_sampling",
+    "pipeline_dedup_funnel",
+    "pipeline_pretraining_mix",
+    "sample_balanced_downsample",
+    "sample_stratified",
+    "sample_train_test_split",
+    "sample_weighted_bernoulli",
+    "setop_union_by_name_evolution",
+    "sink_compact_small_files",
+    "sink_dynamic_partition_overwrite",
+    "sink_snapshot_diff",
+    "sink_zorder_cluster",
+    "source_csv_corrupt_records",
+    "source_file_metadata",
+    "source_json_corrupt_records",
+    "source_merge_schema",
+    "source_observe_metrics",
+    "source_partitioned_events_read",
+    "source_python_datasource",
+    "source_text_logs",
+    "sql_execute_immediate",
+    "sql_lateral_column_alias",
+    "sql_scalar_udf",
+    "stats_ab_cuped_adjustment",
+    "stream_ohlc_hourly",
+    "stream_python_datasource",
+    "stream_trigger_available_now",
     "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_bpe_regex_tokens",
+    "text_char_entropy",
     "text_heaps_law",
+    "text_inverted_index",
+    "text_langid_confusion",
+    "text_ngram_novelty",
+    "text_repetition_ratio",
+    "text_vocab_coverage",
+    "text_zipf_rank",
+    "ts_cascaded_rollup",
+    "ts_hourly_autocorr_lag24",
+    "ts_median_interorder_gap",
+    "ts_weekday_hour_profile",
+    "udf_apply_in_arrow",
+    "udf_arrow_scalar",
+    "udf_map_in_arrow",
+    "udf_pandas_iterator",
+    "udf_sql_registered",
+    "window_reset_running_sum",
+    "window_rolling_median",
+    "dedup_minhash_mllib",
+    "multimodal_audio_chunks",
+    "similarity_ann_brp_mllib",
 )
 
 

@@ -114,6 +114,16 @@ INVARIANT_QUERIES = (
     # (s, e, o_orderkey), so duplicate intervals can never split an
     # island differently across partitionings.
     "intervals_merge_overlapping",
+    # round-8 session 2: integer tertile cuts under ntile, the SPRT
+    # prefix-scan boundary crossing, integer squared-distance kNN
+    # ranks, capped-wedge common-neighbor counts, and the sequential
+    # Holt recurrence inside applyInPandas (per-key state must not
+    # depend on which executor owns the key).
+    "curation_perplexity_buckets",
+    "stats_sequential_sprt",
+    "join_geo_knn_grid",
+    "graph_linkpred_common_neighbors",
+    "ts_holt_linear_smoothing",
 )
 
 
