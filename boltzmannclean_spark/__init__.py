@@ -32,11 +32,15 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     build_ann_index,
     cosine_topk,
     exact_dedup,
+    grid_knn_join,
+    holt_smooth,
     language_id,
     minhash_dedup,
+    perplexity_buckets,
     quality_filter,
     semantic_dedup,
     sessionize,
+    sprt_monitor,
     substring_dedup,
     token_stats,
 )

@@ -1045,64 +1045,19 @@ def join_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the probe side explodes 9×, the candidate side shuffles
     once on the cell key; dense cells are AQE skew-join territory.
-    The top-k window partitions by query id — no global sort."""
+    The top-k window partitions by query id — no global sort.
+    Delegates to the public ``grid_knn_join`` API (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import grid_knn_join
+
     cust = load_table(spark, sf_dir, "customer")
     h = lambda lo, n: F.conv(  # noqa: E731
         F.substring(F.md5(F.col("c_custkey").cast("string")), lo, 8), 16, 10
     ).cast("long") % n
-    cells = cust.select(
+    pts = cust.select(
         F.col("c_custkey").alias("id"),
         h(1, 1800000).alias("lat_m"),
         h(9, 3600000).alias("lon_m"),
-    ).select(
-        "id",
-        "lat_m",
-        "lon_m",
-        F.expr("lat_m div 300000").alias("cy"),
-        F.expr("lon_m div 300000").alias("cx"),
     )
-    probes = (
-        cells.where(F.col("id") < 400)
-        .select(
-            "id",
-            "lat_m",
-            "lon_m",
-            F.explode(F.expr("array(cy - 1, cy, cy + 1)")).alias("cy"),
-            "cx",
-        )
-        .select(
-            "id",
-            "lat_m",
-            "lon_m",
-            "cy",
-            F.explode(F.expr("array(cx - 1, cx, cx + 1)")).alias("cx"),
-        )
-    )
-    n = cells.select(
-        F.col("id").alias("nbr_id"),
-        F.col("lat_m").alias("nlat"),
-        F.col("lon_m").alias("nlon"),
-        "cy",
-        "cx",
-    )
-    cand = (
-        probes.join(n, ["cy", "cx"])
-        .where(F.col("id") != F.col("nbr_id"))
-        .select(
-            "id",
-            "nbr_id",
-            (
-                (F.col("lat_m") - F.col("nlat"))
-                * (F.col("lat_m") - F.col("nlat"))
-                + (F.col("lon_m") - F.col("nlon"))
-                * (F.col("lon_m") - F.col("nlon"))
-            ).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("id").orderBy("d2", "nbr_id")
-    return (
-        cand.select("id", "nbr_id", "d2", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= 3)
-        .select("id", "rank", "nbr_id", "d2")
-        .orderBy("id", "rank")
-    )
+    return grid_knn_join(
+        pts, cell=300000, k=3, query_pred=F.col("id") < 400
+    ).select("id", "rank", "nbr_id", "d2")

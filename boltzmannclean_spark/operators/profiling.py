@@ -1067,14 +1067,22 @@ def stats_ab_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SPRT hypotheses and Wald boundaries, hardcoded as full-precision
-# literals so both engines parse the SAME doubles and every LLR value
-# k*A + (n-k)*B is a bit-identical IEEE computation. H0: p=0.35,
-# H1: p=0.40, alpha=beta=0.05.
-_SPRT_LA = 0.13353139262452263  # ln(0.40/0.35)
-_SPRT_LB = -0.08004270767353637  # ln(0.60/0.65)
-_SPRT_UPPER = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19)
-_SPRT_LOWER = -2.9444389791664403  # ln(beta/(1-alpha))
+# SPRT hypotheses (H0: p=0.35, H1: p=0.40, alpha=beta=0.05). The four
+# log constants are computed ONCE here with math.log and interpolated
+# into the oracle SQL as full-precision repr literals, so Spark
+# (F.lit of the same Python float, via sprt_monitor) and DuckDB parse
+# the SAME doubles by construction and every LLR value k*A + (n-k)*B
+# is a bit-identical IEEE computation.
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.35, 0.40
+_SPRT_ALPHA = _SPRT_BETA = 0.05
+# Expressions MUST mirror sprt_monitor's formulas token-for-token so
+# the floats are identical (1.0 - 0.05 is not the literal 0.95).
+_SPRT_LA = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_LB = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_UPPER = _math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+_SPRT_LOWER = _math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
 
 
 @register(
@@ -1142,50 +1150,19 @@ def stats_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered min-aggregate for the crossing point, and two tiny
     broadcast joins back to fetch the state AT the decision row. No
     driver loop — the sequential test is expressed as a prefix scan,
-    which is how an always-valid monitor runs over a 100 TB event log."""
+    which is how an always-valid monitor runs over a 100 TB event log.
+    Delegates to the public ``sprt_monitor`` API (pipeline.py), which
+    recomputes the identical constants from (p0, p1, alpha, beta)."""
+    from boltzmannclean_spark.pipeline import sprt_monitor
+
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sprt_monitor(
+        ev,
+        arm_col="event_type",
+        order_cols=("ts", "event_id"),
+        success=(F.col("value") > 50),
+        p0=_SPRT_P0,
+        p1=_SPRT_P1,
+        alpha=0.05,
+        beta=0.05,
     )
-    success = F.when(F.col("value") > 50, 1).otherwise(0)
-    walk = ev.select(
-        "event_type",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(success).over(w).cast("long").alias("k"),
-    )
-    llrs = walk.select(
-        "event_type",
-        "n",
-        "k",
-        (
-            (F.col("k") * F.lit(_SPRT_LA))
-            + ((F.col("n") - F.col("k")) * F.lit(_SPRT_LB))
-        ).alias("llr"),
-    )
-    crossed = (F.col("llr") >= _SPRT_UPPER) | (F.col("llr") <= _SPRT_LOWER)
-    crossings = llrs.groupBy("event_type").agg(
-        F.min(F.when(crossed, F.col("n"))).alias("n_dec")
-    )
-    finals = llrs.groupBy("event_type").agg(F.max("n").alias("n_total"))
-    base = finals.join(F.broadcast(crossings), "event_type", "left").select(
-        F.col("event_type").alias("et"),
-        "n_dec",
-        F.coalesce("n_dec", "n_total").alias("n_at_decision"),
-    )
-    at_dec = llrs.join(
-        F.broadcast(base),
-        (llrs["event_type"] == base["et"])
-        & (llrs["n"] == base["n_at_decision"]),
-    ).select(
-        F.col("et").alias("event_type"),
-        F.when(F.col("n_dec").isNull(), "continue")
-        .when(F.col("llr") >= _SPRT_UPPER, "accept_h1")
-        .otherwise("accept_h0")
-        .alias("decision"),
-        "n_at_decision",
-        F.col("k").alias("k_at_decision"),
-        F.col("llr").cast("float").alias("llr_at_decision"),
-    )
-    return at_dec.orderBy("event_type")

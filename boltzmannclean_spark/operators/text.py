@@ -2072,31 +2072,13 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     center, so production swaps ntile for approx quantile boundaries
     (two scans, no global sort) with the same bucket semantics; the
     tertile CONTRACT, which downstream mixers consume, is unchanged.
-    Output is the per-(lang, bucket) census with boundary scores."""
+    Output is the per-(lang, bucket) census with boundary scores.
+    Delegates to the public ``perplexity_buckets`` API (pipeline.py)
+    so the oracle continuously verifies the user-facing code path."""
+    from boltzmannclean_spark.pipeline import perplexity_buckets
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    per_doc = (
-        toks.join(F.broadcast(freq), "tok")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("n").alias("sum_freq"),
-        )
-    )
-    scored = per_doc.select(
-        "doc_id",
-        "lang",
-        F.expr("(sum_freq * 1000) div n_tokens").alias("score_milli"),
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("score_milli").desc(), F.col("doc_id")
-    )
-    bucketed = scored.select(
-        "lang", "score_milli", F.ntile(3).over(w).alias("bucket")
-    )
+    bucketed = perplexity_buckets(docs, n_buckets=3)
     return (
         bucketed.groupBy("lang", "bucket")
         .agg(

@@ -952,53 +952,14 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly inside its Arrow batch. Series length is bounded by the
     calendar (days, not events), so a 100 TB event log still hands
     each key a few-thousand-row pandas frame; key-count parallelism
-    is the whole win."""
-    import pandas as pd
+    is the whole win. Delegates to the public ``holt_smooth`` API
+    (pipeline.py) with α=β=0.5."""
+    from boltzmannclean_spark.pipeline import holt_smooth
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.sum(dec("value")).cast("string").cast("double").alias("y"))
-    w = Window.partitionBy("user_id").orderBy("day")
-    seq = daily.select(
-        "user_id", "day", "y", F.row_number().over(w).cast("long").alias("idx")
+    return holt_smooth(
+        daily, key_col="user_id", step_col="day", y_col="y", alpha=0.5, beta=0.5
     )
-
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("idx").reset_index(drop=True)
-        levels, trends = [], []
-        l = b = 0.0
-        for i, y in enumerate(pdf["y"]):
-            if i == 0:
-                l, b = float(y), 0.0
-            else:
-                l_new = 0.5 * float(y) + 0.5 * (l + b)
-                b = 0.5 * (l_new - l) + 0.5 * b
-                l = l_new
-            levels.append(l)
-            trends.append(b)
-        pdf["level"] = pd.Series(levels, dtype="float64").astype("float32")
-        pdf["trend"] = pd.Series(trends, dtype="float64").astype("float32")
-        pdf["forecast_next"] = pd.Series(
-            [lv + tr for lv, tr in zip(levels, trends)], dtype="float64"
-        ).astype("float32")
-        return pdf[
-            ["user_id", "day", "idx", "y", "level", "trend", "forecast_next"]
-        ]
-
-    out = seq.groupBy("user_id").applyInPandas(
-        holt,
-        schema=(
-            "user_id bigint, day date, idx bigint, y double, "
-            "level float, trend float, forecast_next float"
-        ),
-    )
-    return out.select(
-        "user_id",
-        F.col("day").cast("string").alias("day"),
-        "idx",
-        "y",
-        "level",
-        "trend",
-        "forecast_next",
-    ).orderBy("user_id", "idx")

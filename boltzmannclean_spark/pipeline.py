@@ -49,6 +49,12 @@ __all__ = [
     # one import): build once / persist / search many times.
     "build_ann_index",
     "ann_search",
+    # round-8 session 2: quality bucketing, sequential testing, spatial
+    # kNN and per-key recurrences as parameterized functions.
+    "perplexity_buckets",
+    "sprt_monitor",
+    "grid_knn_join",
+    "holt_smooth",
 ]
 
 
@@ -651,3 +657,303 @@ def token_stats(
             - F.length(F.regexp_replace(F.col(text_col), " ", ""))
         ).alias("n_spaces"),
     ).orderBy(id_col)
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    score each document by mean corpus-token frequency in exact integer
+    milli-units and split every language into ``n_buckets`` quantile
+    buckets (1 = most fluent "head" … n = "tail"). Integer scores make
+    the bucket boundaries bit-reproducible — no float ties at the cut.
+    Returns per-doc (id, lang, score_milli, bucket).
+
+    Scale: the frequency table is Zipf-bounded and broadcasts; the
+    per-language ntile is a sort per language — at 100 TB swap it for
+    approx-quantile boundaries (same bucket contract, no global sort)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n").alias("sum_freq"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_milli").desc(), F.col("_id")
+    )
+    return (
+        per_doc.select(
+            "_id",
+            "lang",
+            F.expr("(sum_freq * 1000) div n_tokens").alias("score_milli"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "lang",
+            "score_milli",
+            F.ntile(n_buckets).over(w).alias("bucket"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def sprt_monitor(
+    trials: DataFrame,
+    *,
+    arm_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    success: Column | str = "success",
+    p0: float = 0.35,
+    p1: float = 0.40,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald sequential probability-ratio test per arm — the always-valid
+    "peek after every trial" A/B monitor. Trials are ordered by
+    ``order_cols`` within each arm; the cumulative LLR is a window
+    prefix scan and the arm stops at the FIRST crossing of the Wald
+    boundaries ln(beta/(1-alpha)) / ln((1-beta)/alpha). Arms that never
+    cross report 'continue' with their final state. ``success`` is a
+    boolean/0-1 column or column name. The four log constants are
+    computed ONCE here in Python and injected as literals, so every
+    row's LLR is one bit-deterministic multiply-add.
+
+    Returns per arm: decision, n_at_decision, k_at_decision,
+    llr_at_decision (float).
+
+    Scale: one shuffle on the arm key (hot arms = AQE skew case), one
+    filtered min-agg, two broadcast joins back — no driver loop."""
+    import math
+
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    succ = F.col(success) if isinstance(success, str) else success
+    w = (
+        Window.partitionBy(arm_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = trials.select(
+        F.col(arm_col).alias("arm"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(succ.cast("int")).over(w).cast("long").alias("k"),
+    )
+    llrs = walk.select(
+        "arm",
+        "n",
+        "k",
+        (
+            (F.col("k") * F.lit(la))
+            + ((F.col("n") - F.col("k")) * F.lit(lb))
+        ).alias("llr"),
+    )
+    crossed = (F.col("llr") >= upper) | (F.col("llr") <= lower)
+    crossings = llrs.groupBy("arm").agg(
+        F.min(F.when(crossed, F.col("n"))).alias("n_dec")
+    )
+    finals = llrs.groupBy("arm").agg(F.max("n").alias("n_total"))
+    base = finals.join(F.broadcast(crossings), "arm", "left").select(
+        F.col("arm").alias("_arm"),
+        "n_dec",
+        F.coalesce("n_dec", "n_total").alias("n_at_decision"),
+    )
+    return (
+        llrs.join(
+            F.broadcast(base),
+            (llrs["arm"] == base["_arm"]) & (llrs["n"] == base["n_at_decision"]),
+        )
+        .select(
+            F.col("_arm").alias(arm_col),
+            F.when(F.col("n_dec").isNull(), "continue")
+            .when(F.col("llr") >= upper, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            "n_at_decision",
+            F.col("k").alias("k_at_decision"),
+            F.col("llr").cast("float").alias("llr_at_decision"),
+        )
+        .orderBy(arm_col)
+    )
+
+
+def grid_knn_join(
+    points: DataFrame,
+    *,
+    id_col: str = "id",
+    x_col: str = "lon_m",
+    y_col: str = "lat_m",
+    cell: int = 300000,
+    k: int = 3,
+    query_pred: Column | None = None,
+) -> DataFrame:
+    """Grid-blocked spatial k-nearest-neighbor self-join over integer
+    coordinates: each query point probes its 3×3 cell neighborhood (one
+    EQUI-join on the cell key), candidates pay an exact integer squared
+    distance, and a per-query row_number keeps the top ``k``. Pass
+    ``query_pred`` to restrict the probe side (the candidate side is
+    always the full table). Coordinates must be integers (micro-degrees,
+    millimeters — any fixed-point unit); integer distances mean no
+    float ties in the ranking. Caveats as in any production grid kNN:
+    a true k-th neighbor outside the 3×3 ring is missed unless the
+    caller sizes ``cell`` so the ring bounds the k-NN radius
+    (production expands the ring until k candidates are inside the
+    guaranteed radius). Returns (id, rank, nbr_id, d2).
+
+    Scale: probe side explodes 9×; one shuffle on the cell key; dense
+    cells are the AQE skew-join case; top-k windows partition by query
+    id — never global."""
+    def _cells(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        ).select(
+            "_id",
+            "_x",
+            "_y",
+            F.expr(f"_y div {int(cell)}").alias("cy"),
+            F.expr(f"_x div {int(cell)}").alias("cx"),
+        )
+
+    cells = _cells(points)
+    # query_pred is evaluated against the CALLER's columns (pre-rename).
+    probe_src = (
+        _cells(points.where(query_pred)) if query_pred is not None else cells
+    )
+    probes = probe_src.select(
+        "_id",
+        "_x",
+        "_y",
+        F.explode(F.expr("array(cy - 1, cy, cy + 1)")).alias("cy"),
+        "cx",
+    ).select(
+        "_id",
+        "_x",
+        "_y",
+        "cy",
+        F.explode(F.expr("array(cx - 1, cx, cx + 1)")).alias("cx"),
+    )
+    cand_side = cells.select(
+        F.col("_id").alias("nbr_id"),
+        F.col("_x").alias("nx"),
+        F.col("_y").alias("ny"),
+        "cy",
+        "cx",
+    )
+    cand = (
+        probes.join(cand_side, ["cy", "cx"])
+        .where(F.col("_id") != F.col("nbr_id"))
+        .select(
+            "_id",
+            "nbr_id",
+            (
+                (F.col("_y") - F.col("ny")) * (F.col("_y") - F.col("ny"))
+                + (F.col("_x") - F.col("nx")) * (F.col("_x") - F.col("nx"))
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("d2", "nbr_id")
+    return (
+        cand.select(
+            "_id", "nbr_id", "d2", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "rank", "nbr_id", "d2")
+        .orderBy(id_col, "rank")
+    )
+
+
+def holt_smooth(
+    series: DataFrame,
+    *,
+    key_col: str = "user_id",
+    step_col: str = "day",
+    y_col: str = "y",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per key over a
+    pre-aggregated (key, step, y) series — the canonical shape for
+    SEQUENTIAL per-key recurrences no window frame can express: one
+    `applyInPandas` pass per key runs the O(steps) scan, Arrow-batched,
+    state never leaving the executor. Initialization: level = first
+    observation, trend = 0. With α=β=0.5 (exact binary fractions) the
+    recurrence is bit-reproducible across engines; other smoothing
+    weights are deterministic within Spark but carry the usual
+    last-ulp caveat cross-engine. Returns per (key, step):
+    idx, y, level, trend, forecast_next (floats).
+
+    Scale: one shuffle on the key; series length is bounded by the
+    step calendar, so each pandas group stays small; parallelism comes
+    from key count."""
+    import pandas as pd
+
+    w = Window.partitionBy(key_col).orderBy(step_col)
+    seq = series.select(
+        F.col(key_col).alias("_key"),
+        F.col(step_col).cast("string").alias("step"),
+        F.col(y_col).cast("double").alias("y"),
+    ).select(
+        "_key",
+        "step",
+        "y",
+        F.row_number()
+        .over(
+            Window.partitionBy("_key").orderBy("step")
+        )
+        .cast("long")
+        .alias("idx"),
+    )
+    a, b_w = float(alpha), float(beta)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        levels, trends = [], []
+        l = b = 0.0
+        for i, y in enumerate(pdf["y"]):
+            if i == 0:
+                l, b = float(y), 0.0
+            else:
+                l_new = a * float(y) + (1.0 - a) * (l + b)
+                b = b_w * (l_new - l) + (1.0 - b_w) * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["level"] = pd.Series(levels, dtype="float64").astype("float32")
+        pdf["trend"] = pd.Series(trends, dtype="float64").astype("float32")
+        pdf["forecast_next"] = pd.Series(
+            [lv + tr for lv, tr in zip(levels, trends)], dtype="float64"
+        ).astype("float32")
+        return pdf[["_key", "step", "idx", "y", "level", "trend", "forecast_next"]]
+
+    out = seq.groupBy("_key").applyInPandas(
+        holt,
+        schema=(
+            "_key bigint, step string, idx bigint, y double, "
+            "level float, trend float, forecast_next float"
+        ),
+    )
+    return out.select(
+        F.col("_key").alias(key_col),
+        F.col("step").alias(step_col),
+        "idx",
+        "y",
+        "level",
+        "trend",
+        "forecast_next",
+    ).orderBy(key_col, "idx")
