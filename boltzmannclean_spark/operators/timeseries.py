@@ -960,6 +960,10 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.sum(dec("value")).cast("string").cast("double").alias("y"))
-    return holt_smooth(
+    out = holt_smooth(
         daily, key_col="user_id", step_col="day", y_col="y", alpha=0.5, beta=0.5
     )
+    # holt_smooth keeps `day` a DATE (r8 advice: the API must order by —
+    # and return — the caller's step type); the registered surface
+    # stringifies it per the repo's atomic-date output convention.
+    return out.withColumn("day", F.col("day").cast("string"))

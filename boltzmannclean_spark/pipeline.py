@@ -731,6 +731,15 @@ def sprt_monitor(
     computed ONCE here in Python and injected as literals, so every
     row's LLR is one bit-deterministic multiply-add.
 
+    CONTRACT: ``order_cols`` must be a UNIQUE ordering within each arm
+    (the default appends ``event_id`` as the tiebreaker for exactly
+    this reason). A sequential test is only well-defined over a total
+    order of trials; with duplicate sort keys the cumulative k at a
+    given n — and hence the first boundary crossing — would depend on
+    partition-local tie order and differ run to run. When your natural
+    order column (a timestamp) can collide, append any unique id
+    column to ``order_cols`` rather than relying on engine tie order.
+
     Returns per arm: decision, n_at_decision, k_at_decision,
     llr_at_decision (float).
 
@@ -826,8 +835,18 @@ def grid_knn_join(
             "_id",
             "_x",
             "_y",
-            F.expr(f"_y div {int(cell)}").alias("cy"),
-            F.expr(f"_x div {int(cell)}").alias("cx"),
+            # FLOOR division (all-integer, exact for any long): `div`
+            # truncates toward zero, which would make cell 0 span
+            # (-cell, cell) — double-width — for negative coordinates
+            # (west longitudes, southern latitudes) and diverge from
+            # the // semantics a DuckDB oracle uses. pmod-based keying
+            # keeps cells uniform across the origin.
+            F.expr(
+                f"(_y - pmod(_y, {int(cell)})) div {int(cell)}"
+            ).alias("cy"),
+            F.expr(
+                f"(_x - pmod(_x, {int(cell)})) div {int(cell)}"
+            ).alias("cx"),
         )
 
     cells = _cells(points)
@@ -898,15 +917,23 @@ def holt_smooth(
     last-ulp caveat cross-engine. Returns per (key, step):
     idx, y, level, trend, forecast_next (floats).
 
+    Key and step columns keep their ORIGINAL types end-to-end: the
+    applyInPandas output schema is derived from ``series.schema`` (a
+    string user id or a numeric epoch key round-trips through Arrow
+    unchanged), and the sequence index orders by the original step
+    column — a numeric step (int day index, epoch seconds) orders
+    numerically, never by its string image ('10' < '2').
+
     Scale: one shuffle on the key; series length is bounded by the
     step calendar, so each pandas group stays small; parallelism comes
     from key count."""
     import pandas as pd
 
-    w = Window.partitionBy(key_col).orderBy(step_col)
+    key_dt = series.schema[key_col].dataType.simpleString()
+    step_dt = series.schema[step_col].dataType.simpleString()
     seq = series.select(
         F.col(key_col).alias("_key"),
-        F.col(step_col).cast("string").alias("step"),
+        F.col(step_col).alias("step"),
         F.col(y_col).cast("double").alias("y"),
     ).select(
         "_key",
@@ -944,7 +971,7 @@ def holt_smooth(
     out = seq.groupBy("_key").applyInPandas(
         holt,
         schema=(
-            "_key bigint, step string, idx bigint, y double, "
+            f"_key {key_dt}, step {step_dt}, idx bigint, y double, "
             "level float, trend float, forecast_next float"
         ),
     )

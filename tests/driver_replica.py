@@ -43,6 +43,58 @@ import os  # noqa: E402
 
 SF01 = os.environ.get("SPARK_GRAFT_REPLICA_SF", "/root/testdata/sf0.01")
 
+import re  # noqa: E402
+
+#: The canonical per-round artifact name the repo's contract test
+#: (tests/test_driver_robustness.py) checks for full-registry coverage.
+CANONICAL_RE = re.compile(r"^LOCAL_CORRECTNESS_r\d+\.json$")
+
+
+def safe_emit(emit: str, results: dict, registry: set[str]) -> str:
+    """Write a correctness artifact without ever letting a SUBSET of
+    the registry clobber a canonical LOCAL_CORRECTNESS_r{N}.json.
+
+    Round-8 failure mode (verdict "What's wrong #1"): a 5-query re-emit
+    overwrote the committed 328-entry artifact, breaking the repo's own
+    contract test. Rules, in order:
+
+    1. Non-canonical filename → write as-is (scratch/X10 artifacts keep
+       the old incremental behavior).
+    2. Canonical + full key-set → write.
+    3. Canonical + subset, but an existing artifact at that path can be
+       MERGED (existing ∪ results covers the registry exactly) → merge
+       and write; subset re-emits after touching a few operators now
+       UPDATE the canonical artifact instead of truncating it.
+    4. Otherwise → divert to `<emit>.subset.json` and say so.
+
+    Returns the path actually written.
+    """
+    keys = set(results)
+    if not CANONICAL_RE.match(os.path.basename(emit)) or keys == registry:
+        out, payload = emit, results
+    else:
+        merged = None
+        if os.path.exists(emit):
+            with open(emit) as fh:
+                prior = json.load(fh)
+            cand = {**prior, **results}
+            if set(cand) == registry:
+                merged = cand
+        if merged is not None:
+            out, payload = emit, merged
+        else:
+            out = emit + ".subset.json"
+            payload = results
+            print(
+                f"refusing to clobber canonical {emit} with "
+                f"{len(results)}/{len(registry)} entries; wrote {out}",
+                flush=True,
+            )
+    with open(out + ".part", "w") as fh:
+        json.dump(payload, fh, indent=2)
+    os.replace(out + ".part", out)
+    return out
+
 
 def compare_to_oracle(df, sql: str, sf_dir: str, name: str) -> dict:
     """Driver-schema comparison record for one oracled query."""
@@ -126,15 +178,15 @@ def main() -> int:
         if emit:
             # incremental emit: a killed/timed-out run (long at-scale
             # sweeps are chunked under `timeout`) keeps every completed
-            # query's record instead of losing the whole chunk
-            with open(emit + ".part", "w") as fh:
-                json.dump(results, fh, indent=2)
-            os.replace(emit + ".part", emit)
+            # query's record instead of losing the whole chunk.
+            # Canonical LOCAL_CORRECTNESS_r{N}.json targets are guarded
+            # (safe_emit): an in-progress subset lands on a scratch name
+            # or merges into the existing full artifact — never truncates.
+            safe_emit(emit, results, set(queries))
     print(f"total {time.time() - t_all:.0f}s, {len(failures)} failures", flush=True)
     if emit:
-        with open(emit, "w") as fh:
-            json.dump(results, fh, indent=2)
-        print(f"wrote {emit} ({len(results)} entries)", flush=True)
+        out = safe_emit(emit, results, set(queries))
+        print(f"wrote {out} ({len(results)} entries)", flush=True)
     if failures:
         print(json.dumps(failures, indent=2)[:4000])
         return 1

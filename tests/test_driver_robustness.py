@@ -75,3 +75,43 @@ def test_local_correctness_artifact_covers_full_registry():
         f"missing={missing[:10]} stale={stale[:10]} — regenerate via "
         f"tests/driver_replica.py --emit"
     )
+
+
+def test_subset_emit_cannot_clobber_canonical_artifact(tmp_path):
+    """r8 verdict item 2: `driver_replica.py --emit` with a query subset
+    must never truncate a canonical LOCAL_CORRECTNESS_r{N}.json. Covers
+    all four safe_emit branches: scratch names pass through, a full
+    key-set writes, a subset MERGES into an existing full artifact, and
+    a subset with no mergeable base diverts to `<emit>.subset.json`.
+    """
+    import json
+
+    from tests.driver_replica import safe_emit
+
+    registry = {"q_a", "q_b", "q_c"}
+    rec = {"hash_match": True, "err": None}
+
+    # 1. non-canonical filename: subset writes as-is (X10/scratch sweeps)
+    scratch = tmp_path / "X10_sweep.json"
+    out = safe_emit(str(scratch), {"q_a": rec}, registry)
+    assert out == str(scratch) and set(json.loads(scratch.read_text())) == {"q_a"}
+
+    # 2. canonical + full key-set: writes the canonical file
+    canon = tmp_path / "LOCAL_CORRECTNESS_r99.json"
+    full = {k: rec for k in registry}
+    assert safe_emit(str(canon), full, registry) == str(canon)
+    assert set(json.loads(canon.read_text())) == registry
+
+    # 3. canonical + subset over an existing full artifact: MERGES —
+    #    the committed file keeps full-registry coverage
+    updated = {"q_b": {"hash_match": True, "err": None, "v": 2}}
+    assert safe_emit(str(canon), updated, registry) == str(canon)
+    after = json.loads(canon.read_text())
+    assert set(after) == registry and after["q_b"]["v"] == 2
+
+    # 4. canonical + subset, no mergeable base: diverts to .subset.json
+    fresh = tmp_path / "LOCAL_CORRECTNESS_r100.json"
+    out = safe_emit(str(fresh), {"q_a": rec}, registry)
+    assert out == str(fresh) + ".subset.json"
+    assert not fresh.exists()
+    assert set(json.loads((tmp_path / "LOCAL_CORRECTNESS_r100.json.subset.json").read_text())) == {"q_a"}

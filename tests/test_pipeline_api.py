@@ -603,3 +603,52 @@ def test_holt_smooth_alpha_beta_knobs(spark):
 
     for r, (el, eb) in zip(out2, expect):
         assert r.level == np.float32(el) and r.trend == np.float32(eb)
+
+
+def test_holt_smooth_string_key_and_numeric_step(spark):
+    """r8 advice items 1+2: a non-bigint key must survive the Arrow
+    round-trip (schema is derived from the input, not hardcoded), and a
+    NUMERIC step column must order numerically — step 10 comes after
+    step 2, not before it as the old string-cast ordering had it — and
+    keep its original type in the output."""
+    rows = [
+        ("u-a", 2, 20.0),
+        ("u-a", 10, 30.0),  # lexicographic '10' < '2' would reorder
+        ("u-a", 1, 10.0),
+        ("u-b", 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "uid string, t int, v double")
+    out = holt_smooth(
+        df, key_col="uid", step_col="t", y_col="v", alpha=1.0, beta=0.0
+    )
+    assert dict(out.dtypes)["uid"] == "string"
+    assert dict(out.dtypes)["t"] == "int"
+    got = [(r.uid, r.t, r.idx, r.level) for r in out.collect()]
+    assert got == [
+        ("u-a", 1, 1, 10.0),
+        ("u-a", 2, 2, 20.0),
+        ("u-a", 10, 3, 30.0),
+        ("u-b", 1, 1, 5.0),
+    ]
+
+
+def test_grid_knn_join_negative_coords_floor_cells(spark):
+    """r8 advice item 4: cell keys use FLOOR division, so cells stay
+    uniform across the origin. Two points just either side of x=0 in a
+    small cell must still find each other (adjacent cells -1 and 0),
+    and a truncation-toward-zero double-width cell 0 must not exist."""
+    pts = [(1, -5, 0), (2, 5, 0), (3, -95, 0), (4, 250, 0)]
+    df = spark.createDataFrame(pts, "pid long, px long, py long")
+    out = grid_knn_join(
+        df, id_col="pid", x_col="px", y_col="py", cell=100, k=1
+    ).collect()
+    nn = {r.pid: (r.nbr_id, r.d2) for r in out}
+    # floor cells: -5→-1, 5→0, -95→-1, 250→2. Points 1,2 are in
+    # ADJACENT cells and must pair up; 3 finds 1 inside cell -1; 4's
+    # cell 2 neighborhood {1,2,3} reaches cell 1..3 → only point 2
+    # (cell 0) is OUT of range, so 4 has no candidates... cell 2's ring
+    # is {1,2,3}; point 2 is in cell 0 → excluded. Assert exactly that.
+    assert nn[1] == (2, 100)
+    assert nn[2] == (1, 100)
+    assert nn[3] == (1, 8100)
+    assert 4 not in nn  # ring miss is the documented caveat, not a bug
