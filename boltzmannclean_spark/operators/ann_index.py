@@ -573,3 +573,229 @@ def similarity_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame
         vec_col="embedding",
         exclude_self=True,
     )
+
+
+# --- recall-vs-nprobe curve --------------------------------------------------
+
+#: The probe settings the curve measures. nprobe=1 is the cheapest/
+#: lowest-recall point (r8 measured recall@10 = 0.54 there); each
+#: doubling roughly doubles scanned candidates. max() bounds the
+#: per-query cell ranking the oracle materializes.
+_PROBE_POINTS = (1, 2, 4)
+
+
+def _recall_curve_oracle() -> str:
+    """IVF k-means CTEs (integer micro-units, identical to the build),
+    per-query cell RANKING (crk), PQ codebook/codes/LUT CTEs, then one
+    pruned ADC top-k per probe point via a lateral probes join, each
+    overlapped against the exact integer-L2 top-k."""
+    from boltzmannclean_spark.operators.similarity import _kmeans_iter_sql
+
+    ivf_iters, prev = [], "c0"
+    for k in range(1, KMEANS_ITERS + 1):
+        ivf_iters.append(_kmeans_iter_sql(k, prev))
+        prev = f"c{k}"
+    ivf_final = prev
+    pq_iters, prev = [], "pc0"
+    for k in range(1, PQ_ITERS + 1):
+        pq_iters.append(_pq_iter_sql(k, prev))
+        prev = f"pc{k}"
+    pq_final = prev
+    probes_values = ", ".join(f"({p})" for p in _PROBE_POINTS)
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(ivf_iters)},
+cdist AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM q JOIN {ivf_final} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+),
+crank AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS crk
+  FROM cdist
+),
+af AS (SELECT vec_id, cid FROM crank WHERE crk = 1),
+qprobe AS (
+  SELECT vec_id, cid, crk FROM crank
+  WHERE crk <= {max(_PROBE_POINTS)} AND vec_id < {N_QUERY}
+),
+pq AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1) // {PQ_DSUB} AS b,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_DSUB} AS d,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
+  FROM embeddings
+),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(pq_iters)},
+pdf AS (
+  SELECT q.vec_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
+  FROM pq q JOIN {pq_final} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+),
+codes AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                 ORDER BY dist, cid) AS rn
+    FROM pdf
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, b, cid, dist AS pdist
+  FROM pdf WHERE vec_id < {N_QUERY}
+),
+probes AS (SELECT * FROM (VALUES {probes_values}) t(p)),
+scored AS (
+  SELECT pr.p, l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN lut l ON c.b = l.b AND c.cid = l.cid
+  JOIN af an ON an.vec_id = c.vec_id
+  JOIN qprobe qp ON qp.vec_id = l.query_id AND qp.cid = an.cid
+  JOIN probes pr ON qp.crk <= pr.p
+  WHERE c.vec_id <> l.query_id
+  GROUP BY pr.p, l.query_id, c.vec_id
+),
+adc_topk AS (
+  SELECT p, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY p, query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rk
+    FROM scored
+  ) t WHERE rk <= {TOP_K}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(SUM((q.qx - v.qx) * (q.qx - v.qx)) AS BIGINT) AS dist
+  FROM pq q JOIN pq v ON q.b = v.b AND q.d = v.d AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY}
+  GROUP BY q.vec_id, v.vec_id
+),
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rk
+    FROM exact
+  ) t WHERE rk <= {TOP_K}
+)
+SELECT CAST(pr.p AS BIGINT) AS nprobe,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM exact_topk e
+CROSS JOIN probes pr
+LEFT JOIN adc_topk a
+  ON a.p = pr.p AND a.query_id = e.query_id
+ AND a.neighbor_id = e.neighbor_id
+GROUP BY pr.p
+ORDER BY nprobe
+"""
+
+
+@register(
+    "similarity_ann_recall_vs_nprobe",
+    oracle=_recall_curve_oracle(),
+    tags=("similarity", "ann", "recall", "nprobe", "eval"),
+)
+def similarity_ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe CURVE over the persisted IVF×PQ index — the
+    readout a vector store actually ships: for each probe setting the
+    served index is queried through the PUBLIC ``ann_search(...,
+    nprobe=p)`` path and its top-k overlapped against the exact
+    integer-L2 ground truth, so an operator picking nprobe sees the
+    measured recall/cost trade. The UNPRUNED full-scan ADC recall
+    (``similarity_ann_recall_eval``) is the curve's ceiling — PQ
+    quantization loss only; each nprobe point pays additional IVF
+    pruning loss and climbs toward that ceiling as nprobe rises
+    (sf0.01 fixture: 0.24 / 0.26 / 0.32 at nprobe 1/2/4 vs the 0.54
+    full-scan ceiling). One row per probe point:
+    (nprobe, n_overlap, n_exact, recall_at_k).
+
+    Scale: each curve point is the production serve plan (zero
+    training, broadcast LUT + cell-pruned code scan); the exact leg is
+    ONE brute-force pass over the corpus against the broadcast sampled
+    query set — at 100 TB the curve is audited on exactly such a query
+    sample while the corpus side stays a single linear scan shared by
+    all probe points. The per-(nprobe, query) top-k is salted
+    (topk_per_key), never a single-partition window."""
+    path = ensure_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY)
+    legs = [
+        ann_search(
+            spark,
+            path,
+            queries,
+            k=TOP_K,
+            nprobe=p,
+            id_col="vec_id",
+            vec_col="embedding",
+            exclude_self=True,
+        ).select(
+            F.lit(int(p)).cast("long").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+        )
+        for p in _PROBE_POINTS
+    ]
+    adc = legs[0]
+    for leg in legs[1:]:
+        adc = adc.unionByName(leg)
+    corpus = emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _qvec(F.col("embedding")).alias("q_qvec"),
+    )
+    dists = (
+        corpus.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_dist(F.col("qvec"), F.col("q_qvec")).alias("dist"),
+        )
+    )
+    exact = topk_per_key(
+        dists,
+        keys=["query_id"],
+        order=[F.col("dist"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id")
+    exact_x = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in _PROBE_POINTS])
+        ).alias("nprobe"),
+    )
+    return (
+        exact_x.join(
+            adc.withColumn("hit", F.lit(1)),
+            ["nprobe", "query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+        )
+        .select(
+            "nprobe",
+            "n_overlap",
+            "n_exact",
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
