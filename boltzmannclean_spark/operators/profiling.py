@@ -1085,6 +1085,17 @@ _SPRT_UPPER = _math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
 _SPRT_LOWER = _math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
 
 
+def _dlit(x: float) -> str:
+    """Render a float as a DuckDB DOUBLE literal via the string hop.
+    A bare 17-digit literal parses as DECIMAL(20,20) in DuckDB, the
+    whole LLR walk then runs in exact decimal, and the final
+    DECIMAL->DOUBLE cast is NOT correctly rounded once the mantissa
+    exceeds 2^53 — at sf0.01 every decision row happened to round the
+    same, but the x10 sweep caught a last-ulp llr divergence (round-9;
+    the same defect class as the r8 2^53 decimal-cast fixes)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 @register(
     "stats_sequential_sprt",
     oracle=f"""
@@ -1104,13 +1115,13 @@ walk AS (
 ),
 llrs AS (
   SELECT event_type, n, k,
-         (k * {_SPRT_LA}) + ((n - k) * {_SPRT_LB}) AS llr
+         (k * {_dlit(_SPRT_LA)}) + ((n - k) * {_dlit(_SPRT_LB)}) AS llr
   FROM walk
 ),
 crossings AS (
   SELECT event_type,
-         MIN(n) FILTER (WHERE llr >= {_SPRT_UPPER}
-                           OR llr <= {_SPRT_LOWER}) AS n_dec
+         MIN(n) FILTER (WHERE llr >= {_dlit(_SPRT_UPPER)}
+                           OR llr <= {_dlit(_SPRT_LOWER)}) AS n_dec
   FROM llrs GROUP BY event_type
 ),
 finals AS (
@@ -1118,7 +1129,7 @@ finals AS (
 )
 SELECT f.event_type,
        CASE WHEN c.n_dec IS NULL THEN 'continue'
-            WHEN l.llr >= {_SPRT_UPPER} THEN 'accept_h1'
+            WHEN l.llr >= {_dlit(_SPRT_UPPER)} THEN 'accept_h1'
             ELSE 'accept_h0' END AS decision,
        COALESCE(c.n_dec, f.n_total) AS n_at_decision,
        l2.k AS k_at_decision,
