@@ -104,12 +104,17 @@ HEADLINE = CORE9 + [
     "join_bloom_semireduction",
     "agg_corr_matrix",
     "ts_ohlc_bars",
-    # round-5: skew-resistant windowed family + PQ compression leg
+    # round-5: skew-resistant windowed family + PQ compression leg.
+    # r9: dedup_prefix_filter_jaccard moved BEFORE the PQ training leg —
+    # running right after similarity_ann_pq_adc it inherited that leg's
+    # GC pressure (in-session 5.4 s vs fresh-JVM steady-state 2.3 s,
+    # profiled ×5 in isolation; r8 verdict watch item). Same query set,
+    # order only.
     "events_sessionize_skew",
+    "dedup_prefix_filter_jaccard",
     "similarity_ann_pq_adc",
     # round-5 session additions: exact set-similarity join, keyword
     # search, and the mergeable-rollup contract
-    "dedup_prefix_filter_jaccard",
     "text_bm25_topk",
     "ts_cascaded_rollup",
     # round-5 session: TPC-H representatives (the broadcast-dim profit
