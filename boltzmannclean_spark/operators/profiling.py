@@ -1177,3 +1177,106 @@ def stats_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.05,
         beta=0.05,
     )
+
+
+_MWU_G1, _MWU_G2 = "click", "view"
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle=f"""
+WITH pool AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MWU_G1}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MWU_G1}', '{_MWU_G2}')
+),
+per_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(g1) AS BIGINT) AS t1
+  FROM pool GROUP BY v
+),
+ranked AS (
+  SELECT v, t, t1,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS below
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n2,
+         CAST(SUM(t1 * (2 * below + t + 1)) AS BIGINT) AS r1_sum_x2,
+         CAST(SUM(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END)
+              AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n1, n2, r1_sum_x2,
+       r1_sum_x2 - n1 * (n1 + 1) AS u1_x2,
+       2 * n1 * n2 - (r1_sum_x2 - n1 * (n1 + 1)) AS u2_x2,
+       tie_term
+FROM agg
+""",
+    tags=("stats", "nonparametric", "mann-whitney", "ranks"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two event arms — the
+    nonparametric two-sample location test (no normality assumption,
+    robust to the heavy-tailed value distributions A/B metrics
+    actually have). Average ranks for ties are kept in EXACT x2
+    integer units (avg rank of a tie group = below + (t+1)/2, so
+    x2 = 2*below + t + 1 is always integral): R1, U1 = R1 - n1(n1+1)/2
+    and U2 = n1*n2 - U1 all emit as x2 bigints, plus the tie term
+    sum(t^3 - t) the caller needs for the tie-corrected variance —
+    bit-exact in both engines with zero float operations.
+
+    Scale: ranking is per DISTINCT VALUE, not per row — one groupBy of
+    the two arms compresses N rows to the value domain (2-dp bounded
+    money data: <=10k groups), and the prefix sum that turns counts
+    into ranks runs over that tiny table (the one ordered window; at
+    an unbounded domain production shards it into range buckets with
+    per-bucket offsets — same two-pass prefix-sum trick the global
+    sort uses). The arm aggregates are map-combined; nothing touches
+    the raw rows twice."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.where(F.col("event_type").isin(_MWU_G1, _MWU_G2)).select(
+        (dec("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == _MWU_G1, 1).otherwise(0).alias("g1"),
+    )
+    per_v = pool.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("g1").cast("long").alias("t1"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_v.select(
+        "v",
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1_sum_x2"),
+        F.sum(
+            F.when(
+                F.col("t") > 1,
+                F.col("t") * F.col("t") * F.col("t") - F.col("t"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u1 = F.col("r1_sum_x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n1",
+        "n2",
+        "r1_sum_x2",
+        u1.alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).alias("u2_x2"),
+        "tie_term",
+    )

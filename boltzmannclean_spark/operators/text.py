@@ -1860,12 +1860,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 8
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled DuckDB twin of text_bpe_learn_merges: one CTE trio
-    (pairs → best → merged vocab) per learned merge, stitched by
-    UNION ALL. Data-dependent iteration cannot be a recursive CTE
+def _bpe_ctes(rounds: int) -> str:
+    """The shared unrolled CTE prefix (words → w0 → p/b/w per round,
+    ending at w{rounds}) used by BOTH the learn oracle (reads the b{r}
+    merge rows) and the encode oracle (reads the final w{rounds}
+    segmentation). Data-dependent iteration cannot be a recursive CTE
     (each round re-tokenizes with the merge just learned), so the
-    oracle unrolls the fixed round count instead."""
+    rounds unroll."""
     parts = [
         """
 WITH words AS (
@@ -1911,12 +1912,37 @@ w{r + 1} AS (
   FROM w{r}, b{r} b
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Learn-side oracle: the merge table, one row per round."""
     sel = "\nUNION ALL\n".join(
         f"SELECT round, pair, merged, pair_count FROM b{r}"
         for r in range(rounds)
     )
-    parts.append(f"\n{sel}\nORDER BY round")
-    return "".join(parts)
+    return f"{_bpe_ctes(rounds)}\n{sel}\nORDER BY round"
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Encode-side oracle: re-learn the merges via the shared CTE
+    prefix, then tokenize every document against the FINAL word
+    segmentation w{rounds}."""
+    return f"""{_bpe_ctes(rounds)},
+dw AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE len(w) > 0
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(wf.seq, ' '))) AS BIGINT)
+         AS n_bpe_tokens
+FROM dw JOIN w{rounds} wf USING (word)
+GROUP BY dw.doc_id
+ORDER BY dw.doc_id
+"""
 
 
 @register(
@@ -1948,6 +1974,19 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE's leftmost-non-overlapping merge exactly; the oracle unrolls
     the same rounds as CTE stages."""
     docs = load_table(spark, sf_dir, "documents")
+    bests, _wf = _bpe_learn(docs)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("round")
+
+
+def _bpe_learn(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_ROUNDS merge-learning rounds over the corpus word-
+    frequency table. Returns (per-round 1-row merge DataFrames, the
+    FINAL word segmentation table (word, freq, seq)) — the learn query
+    reads the former, the encode query tokenizes against the latter,
+    so train and encode share one implementation of the merge rule."""
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .where(F.length("word") > 0)
@@ -2014,10 +2053,48 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out.orderBy("round")
+    return bests, wf
+
+
+@register(
+    "text_bpe_encode_tokens",
+    oracle=_bpe_encode_oracle(BPE_ROUNDS),
+    tags=("text", "tokenizer", "bpe", "encode"),
+)
+def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges — the serving half
+    of the tokenizer lifecycle (text_bpe_learn_merges is training):
+    after BPE_ROUNDS merge rounds the word-frequency table's final
+    segmentation maps every distinct word to its subword count, and
+    per-document token counts are one join away. Output per doc:
+    (doc_id, n_words, n_bpe_tokens) — the budget numbers a pretraining
+    pipeline actually bills by.
+
+    Scale: the insight is the same as training's — encoding cost is
+    VOCAB-shaped, not corpus-shaped. The merge rounds run over the
+    word-frequency table (≤ millions of rows at 100 TB), producing a
+    word → n_subtokens map that BROADCASTS; the corpus-side pass is
+    then one explode + broadcast-join + per-doc sum, linear and
+    shuffle-light (one groupBy on doc_id). No per-document merge
+    scanning ever happens — a word segments identically everywhere,
+    so it is segmented once."""
+    docs = load_table(spark, sf_dir, "documents")
+    _bests, wf = _bpe_learn(docs)
+    vocab = wf.select(
+        "word", F.size(F.split("seq", " ")).cast("long").alias("n_sub")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.length("word") > 0)
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -2087,4 +2164,142 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_milli").alias("hi_milli"),
         )
         .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "text_apriori_cooccur",
+    oracle="""
+WITH dt AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+ms AS (
+  SELECT (11 * CAST(COUNT(DISTINCT doc_id) AS BIGINT) + 19) // 20
+           AS minsup
+  FROM dt
+),
+l1 AS (
+  SELECT tok FROM dt CROSS JOIN ms
+  GROUP BY tok, minsup HAVING COUNT(*) >= minsup
+),
+dt1 AS (SELECT dt.doc_id, dt.tok FROM dt JOIN l1 USING (tok)),
+p AS (
+  SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+  FROM dt1 a JOIN dt1 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+),
+l2 AS (
+  SELECT t1, t2 FROM p CROSS JOIN ms
+  GROUP BY t1, t2, minsup HAVING COUNT(*) >= minsup
+),
+c3 AS (
+  SELECT x.t1, x.t2, y.t2 AS t3
+  FROM l2 x
+  JOIN l2 y ON x.t1 = y.t1 AND x.t2 < y.t2
+  JOIN l2 z ON z.t1 = x.t2 AND z.t2 = y.t2
+),
+ti AS (
+  SELECT p.t1, p.t2, c.tok AS t3
+  FROM p
+  JOIN dt1 c ON c.doc_id = p.doc_id AND p.t2 < c.tok
+  JOIN c3 ON c3.t1 = p.t1 AND c3.t2 = p.t2 AND c3.t3 = c.tok
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS support
+FROM ti CROSS JOIN ms
+GROUP BY t1, t2, t3, minsup HAVING COUNT(*) >= minsup
+ORDER BY t1, t2, t3
+""",
+    tags=("text", "apriori", "frequent-itemsets", "cooccurrence"),
+)
+def text_apriori_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent token-triple mining over the document corpus —
+    the classic market-basket algorithm applied to text co-occurrence
+    (topic signatures, collocation discovery, stop-set detection).
+    Monotonicity does the work: frequent singletons L1 prune the token
+    stream, frequent pairs L2 prune it again, and candidate triples C3
+    exist only when ALL THREE sub-pairs are in L2 (the A-priori join +
+    prune), so the expensive triple-instance count runs only over
+    candidate-matched rows. The support threshold is RELATIVE (55% of
+    distinct docs, computed as an exact integer ceil so both engines
+    cut identically) — which also makes the query replication-
+    invariant: a verbatim x10 replica scales supports and threshold
+    together.
+
+    Scale: (doc, token) dedup is one shuffle; L1/L2/C3 are vocab-sized
+    tables that BROADCAST (Zipf: the frequent set is tiny); pair/triple
+    instance generation is per-doc and bounded by |L1-tokens in doc|
+    choose 2/3 — the candidate join caps the blowup exactly the way
+    A-priori is meant to, and hot docs shard across partitions since
+    nothing ever groups by doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    ms = dt.agg(
+        F.expr(
+            "(11 * CAST(COUNT(DISTINCT doc_id) AS BIGINT) + 19) div 20"
+        ).alias("minsup")
+    )
+    l1 = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .where(F.col("sup") >= F.col("minsup"))
+        .select("tok")
+    )
+    dt1 = dt.join(F.broadcast(l1), "tok").select("doc_id", "tok")
+    a, b = dt1.alias("a"), dt1.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.tok") < F.col("b.tok")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.tok").alias("t1"),
+        F.col("b.tok").alias("t2"),
+    )
+    l2 = (
+        p.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .where(F.col("sup") >= F.col("minsup"))
+        .select("t1", "t2")
+    )
+    x = l2.select(F.col("t1").alias("x1"), F.col("t2").alias("x2"))
+    y = l2.select(F.col("t1").alias("y1"), F.col("t2").alias("y2"))
+    z = l2.select(F.col("t1").alias("z1"), F.col("t2").alias("z2"))
+    c3 = (
+        x.join(y, (F.col("x1") == F.col("y1")) & (F.col("x2") < F.col("y2")))
+        .join(z, (F.col("z1") == F.col("x2")) & (F.col("z2") == F.col("y2")))
+        .select(
+            F.col("x1").alias("c1"),
+            F.col("x2").alias("c2"),
+            F.col("y2").alias("c3"),
+        )
+    )
+    c = dt1.select(
+        F.col("doc_id").alias("c_doc"), F.col("tok").alias("t3")
+    )
+    ti = (
+        p.join(
+            c,
+            (F.col("c_doc") == F.col("doc_id"))
+            & (F.col("t2") < F.col("t3")),
+        )
+        .join(
+            F.broadcast(c3),
+            (F.col("c1") == F.col("t1"))
+            & (F.col("c2") == F.col("t2"))
+            & (F.col("c3") == F.col("t3")),
+        )
+        .select("t1", "t2", "t3")
+    )
+    return (
+        ti.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .where(F.col("support") >= F.col("minsup"))
+        .select("t1", "t2", "t3", "support")
+        .orderBy("t1", "t2", "t3")
     )

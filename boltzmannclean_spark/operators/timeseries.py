@@ -967,3 +967,212 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and return — the caller's step type); the registered surface
     # stringifies it per the repo's atomic-date output convention.
     return out.withColumn("day", F.col("day").cast("string"))
+
+
+@register(
+    "ts_mann_kendall_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(SIGN(b.y - a.y) AS BIGINT) AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+s AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY event_type
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, y
+  ) g WHERE t > 1
+  GROUP BY event_type
+)
+SELECT n.event_type, n.n_days, s.s_stat,
+       n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+         - COALESCE(ties.tie_term, 0) AS var_s_x18,
+       CASE WHEN s.s_stat > 0 THEN 'increasing'
+            WHEN s.s_stat < 0 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM n JOIN s USING (event_type)
+LEFT JOIN ties USING (event_type)
+ORDER BY event_type
+""",
+    tags=("timeseries", "statistics", "trend", "mann-kendall"),
+)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event arm — the standard
+    nonparametric monotonic-trend detector for irregular time series
+    (no distribution or spacing assumption): S = sum over ordered day
+    pairs of sign(y_j - y_i), with the tie-corrected variance
+    var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 reported in
+    exact x18 integer units so both engines hash bit-identically (the
+    caller divides and sqrt()s at display time). Daily values are
+    EXACT decimal sums, so sign() never sees float noise.
+
+    Scale: the day pre-aggregation is one shuffle on (arm, day) and
+    bounds everything after it by the CALENDAR, not the event volume —
+    the O(days^2) pair join runs per arm on a few-hundred-row side
+    (10 years = 3.6k days = 6.6M sign evaluations per arm, map-side
+    after one equi-join shuffle on the arm key). At 100 TB the pairs
+    never touch the event table; hot arms are the AQE skew case."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(F.col("b.y") - F.col("a.y")).cast("long").alias("sg"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("long").alias("s_stat")
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("var_s_x18"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_seasonal_decompose_additive",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, day, yc,
+         CAST(SUM(yc) OVER w AS BIGINT) AS trend_x7c,
+         COUNT(*) OVER w AS n_win
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT event_type, isodow(day) - 1 AS weekday,
+         7 * yc - trend_x7c AS d_x7c
+  FROM ma WHERE n_win = 7
+)
+SELECT event_type, CAST(weekday AS INT) AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d_x7c) AS BIGINT) AS sum_detr_x7c,
+       CAST(SUM(d_x7c) AS DOUBLE) / (7.0 * COUNT(*)) / 100.0
+         AS seasonal_mean
+FROM detr
+GROUP BY event_type, weekday
+ORDER BY event_type, weekday
+""",
+    tags=("timeseries", "seasonal", "decompose", "trend"),
+)
+def ts_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) per event arm: a
+    centered 7-row moving average estimates the trend, the detrended
+    residual y - trend is averaged per ISO weekday — the classical
+    decomposition behind weekly-seasonality dashboards. All state is
+    EXACT integer x7-cents (trend = the 7-row cent sum, detrended =
+    7*y_cents - trend_sum), so window merge order can't perturb a
+    bit; the per-weekday mean is emitted both as the exact integer
+    numerator (sum_detr_x7c, n_days) and as one display double — a
+    single IEEE division of identical exact operands in both engines.
+    Edge days without a full 7-row window are excluded (n_win = 7),
+    matching the NaN head/tail of a textbook centered MA.
+
+    Scale: the daily pre-agg is one shuffle on (arm, day) and bounds
+    the series by the CALENDAR; the centered window runs inside each
+    arm's partition; the weekday agg is map-combined over at most
+    7 x arms groups. The rows-based window assumes a gap-free daily
+    grid (compose with ts_gapfill for sparse arms)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg((F.sum(dec("value")) * 100).cast("long").alias("yc"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "yc",
+        F.sum("yc").over(w).cast("long").alias("trend_x7c"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    detr = ma.where(F.col("n_win") == 7).select(
+        "event_type",
+        F.weekday("day").cast("int").alias("weekday"),
+        (7 * F.col("yc") - F.col("trend_x7c")).alias("d_x7c"),
+    )
+    return (
+        detr.groupBy("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("d_x7c").cast("long").alias("sum_detr_x7c"),
+        )
+        .select(
+            "event_type",
+            "weekday",
+            "n_days",
+            "sum_detr_x7c",
+            (
+                F.col("sum_detr_x7c").cast("double")
+                / (F.lit(7.0) * F.col("n_days"))
+                / F.lit(100.0)
+            ).alias("seasonal_mean"),
+        )
+        .orderBy("event_type", "weekday")
+    )
