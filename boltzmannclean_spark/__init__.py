@@ -28,13 +28,16 @@ __version__ = "0.1.0"
 # oracle suite continuously verifies the exact code paths users run.
 from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     ann_search,
+    apriori_triples,
     bm25_topk,
     build_ann_index,
     cosine_topk,
     exact_dedup,
     grid_knn_join,
+    hampel_filter,
     holt_smooth,
     language_id,
+    mann_whitney_u,
     minhash_dedup,
     perplexity_buckets,
     quality_filter,

@@ -1236,47 +1236,114 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unbounded domain production shards it into range buckets with
     per-bucket offsets — same two-pass prefix-sum trick the global
     sort uses). The arm aggregates are map-combined; nothing touches
-    the raw rows twice."""
+    the raw rows twice. Delegates to the public ``mann_whitney_u``
+    API (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import mann_whitney_u
+
     ev = load_table(spark, sf_dir, "events")
-    pool = ev.where(F.col("event_type").isin(_MWU_G1, _MWU_G2)).select(
-        (dec("value") * 100).cast("long").alias("v"),
-        F.when(F.col("event_type") == _MWU_G1, 1).otherwise(0).alias("g1"),
+    return mann_whitney_u(
+        ev,
+        value=(dec("value") * 100),
+        group_col="event_type",
+        group_a=_MWU_G1,
+        group_b=_MWU_G2,
     )
-    per_v = pool.groupBy("v").agg(
-        F.count(F.lit(1)).cast("long").alias("t"),
-        F.sum("g1").cast("long").alias("t1"),
+
+
+@register(
+    "stats_skewness_kurtosis_exact",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM events
+),
+sums AS (
+  -- power chain in HUGEINT: a BIGINT x^4 wraps past ~10^4.7 units
+  -- (x10-sweep finding: both engines overflow-check 64-bit multiplies)
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x * x) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS VARCHAR) AS DOUBLE) AS s4
+  FROM c GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM sums
+)
+SELECT event_type, n, mean AS mean_cents, m2 AS var_cents2,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+FROM m
+ORDER BY event_type
+""",
+    tags=("stats", "moments", "skewness", "kurtosis", "single-pass"),
+)
+def stats_skewness_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event arm from ONE pass of
+    exact integer power sums — the mergeable-moments primitive every
+    distributed stats engine needs: Σx, Σx², Σx³, Σx⁴ accumulate in
+    integer cents (DECIMAL(38,0) sums — a bigint sum of x⁴ would wrap
+    at ~10⁵ rows of 2-dp money data), so partial aggregation is
+    order-free and bit-exact at any parallelism. The central-moment
+    and standardization arithmetic then runs on doubles derived from
+    identical exact sums via the string-hop, with every operation
+    (+,-,*,/,sqrt) correctly rounded IEEE — both engines evaluate the
+    same expression tree, so even the 4th-power cancellations agree
+    bit-for-bit. mean/variance emit in cent units (the exact domain);
+    skewness/kurtosis are dimensionless.
+
+    Scale: one map-combined aggregation, 5 numbers per group of
+    state; no second pass, no broadcast of means (the naive two-pass
+    Σ(x-mean)³ needs the mean first — the power-sum identity is what
+    makes moments mergeable across 1000 executors)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (dec("value") * 100).cast("long")
+    c = ev.select("event_type", x.alias("x"))
+    # Per-row powers multiply in DECIMAL, not LONG: a bigint x^4
+    # overflow-errors past ~10^4.7 fixed-point units (caught by the
+    # x10 sweep — larger value domain than sf0.01), and the ANSI
+    # checked multiply would kill the job exactly when the data gets
+    # interesting. decimal(19,0) x's keep every power exact.
+    d38 = "decimal(38,0)"
+    xd = F.col("x").cast("decimal(19,0)")
+    x2 = (xd * xd).cast("decimal(38,0)")
+    sums = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd.cast(d38)).cast("string").cast("double").alias("s1"),
+        F.sum(x2.cast(d38)).cast("string").cast("double").alias("s2"),
+        F.sum((x2 * xd).cast(d38)).cast("string").cast("double").alias("s3"),
+        F.sum((x2 * x2).cast(d38)).cast("string").cast("double").alias("s4"),
     )
-    w = (
-        Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = (
+        F.col("s3") / n
+        - F.lit(3.0) * mean * (F.col("s2") / n)
+        + F.lit(2.0) * mean * mean * mean
     )
-    ranked = per_v.select(
-        "v",
-        "t",
-        "t1",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("below"),
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mean * (F.col("s3") / n)
+        + F.lit(6.0) * mean * mean * (F.col("s2") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
     )
-    agg = ranked.agg(
-        F.sum("t1").cast("long").alias("n1"),
-        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
-        F.sum(F.col("t1") * (2 * F.col("below") + F.col("t") + 1))
-        .cast("long")
-        .alias("r1_sum_x2"),
-        F.sum(
-            F.when(
-                F.col("t") > 1,
-                F.col("t") * F.col("t") * F.col("t") - F.col("t"),
-            ).otherwise(0)
+    return (
+        sums.select(
+            "event_type",
+            "n",
+            mean.alias("mean_cents"),
+            m2.alias("var_cents2"),
+            (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+            (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
         )
-        .cast("long")
-        .alias("tie_term"),
-    )
-    u1 = F.col("r1_sum_x2") - F.col("n1") * (F.col("n1") + 1)
-    return agg.select(
-        "n1",
-        "n2",
-        "r1_sum_x2",
-        u1.alias("u1_x2"),
-        (2 * F.col("n1") * F.col("n2") - u1).alias("u2_x2"),
-        "tie_term",
+        .orderBy("event_type")
     )

@@ -2230,76 +2230,18 @@ def text_apriori_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance generation is per-doc and bounded by |L1-tokens in doc|
     choose 2/3 — the candidate join caps the blowup exactly the way
     A-priori is meant to, and hot docs shard across partitions since
-    nothing ever groups by doc."""
+    nothing ever groups by doc. Delegates to the public
+    ``apriori_triples`` API (pipeline.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    dt = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
+    from boltzmannclean_spark.pipeline import apriori_triples
+
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    ms = dt.agg(
-        F.expr(
-            "(11 * CAST(COUNT(DISTINCT doc_id) AS BIGINT) + 19) div 20"
-        ).alias("minsup")
-    )
-    l1 = (
-        dt.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .crossJoin(F.broadcast(ms))
-        .where(F.col("sup") >= F.col("minsup"))
-        .select("tok")
-    )
-    dt1 = dt.join(F.broadcast(l1), "tok").select("doc_id", "tok")
-    a, b = dt1.alias("a"), dt1.alias("b")
-    p = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.tok") < F.col("b.tok")),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("a.tok").alias("t1"),
-        F.col("b.tok").alias("t2"),
-    )
-    l2 = (
-        p.groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .crossJoin(F.broadcast(ms))
-        .where(F.col("sup") >= F.col("minsup"))
-        .select("t1", "t2")
-    )
-    x = l2.select(F.col("t1").alias("x1"), F.col("t2").alias("x2"))
-    y = l2.select(F.col("t1").alias("y1"), F.col("t2").alias("y2"))
-    z = l2.select(F.col("t1").alias("z1"), F.col("t2").alias("z2"))
-    c3 = (
-        x.join(y, (F.col("x1") == F.col("y1")) & (F.col("x2") < F.col("y2")))
-        .join(z, (F.col("z1") == F.col("x2")) & (F.col("z2") == F.col("y2")))
-        .select(
-            F.col("x1").alias("c1"),
-            F.col("x2").alias("c2"),
-            F.col("y2").alias("c3"),
-        )
-    )
-    c = dt1.select(
-        F.col("doc_id").alias("c_doc"), F.col("tok").alias("t3")
-    )
-    ti = (
-        p.join(
-            c,
-            (F.col("c_doc") == F.col("doc_id"))
-            & (F.col("t2") < F.col("t3")),
-        )
-        .join(
-            F.broadcast(c3),
-            (F.col("c1") == F.col("t1"))
-            & (F.col("c2") == F.col("t2"))
-            & (F.col("c3") == F.col("t3")),
-        )
-        .select("t1", "t2", "t3")
-    )
-    return (
-        ti.groupBy("t1", "t2", "t3")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .crossJoin(F.broadcast(ms))
-        .where(F.col("support") >= F.col("minsup"))
-        .select("t1", "t2", "t3", "support")
-        .orderBy("t1", "t2", "t3")
+    return apriori_triples(
+        pairs,
+        basket_col="doc_id",
+        item_col="tok",
+        min_support_num=11,
+        min_support_den=20,
     )

@@ -579,3 +579,94 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "t_us", "event_id")
     )
+
+
+@register(
+    "window_hampel_filter",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM events
+),
+win AS (
+  SELECT user_id, event_id, x,
+         list_sort(list(x) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+  FROM t
+),
+med AS (
+  SELECT user_id, event_id, x, arr, len(arr) AS s,
+         CASE WHEN len(arr) % 2 = 1
+              THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+              ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+         END AS med
+  FROM win
+),
+mad AS (
+  SELECT user_id, event_id, x, med, s,
+         list_sort(list_transform(arr, v -> abs(v - med))) AS devs
+  FROM med
+),
+scored AS (
+  SELECT user_id, event_id, x, med,
+         CASE WHEN s % 2 = 1
+              THEN CAST(devs[(s + 1) // 2] AS DOUBLE)
+              ELSE (devs[s // 2] + devs[s // 2 + 1]) / 2.0
+         END AS mad
+  FROM mad
+)
+SELECT user_id, event_id, x AS x_cents, med AS window_median,
+       mad AS window_mad
+FROM scored
+WHERE abs(x - med) > 3.0 * mad
+ORDER BY user_id, event_id
+""",
+    tags=("window", "hampel", "robust", "outliers"),
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter per user stream — the robust outlier detector for
+    time series (median/MAD instead of mean/stddev, so a burst of
+    outliers can't drag its own detection threshold): a point is
+    flagged when it deviates from its 7-row centered rolling MEDIAN by
+    more than 3x the rolling MAD. The whole statistic runs in ONE
+    window pass with zero self-joins: collect the 7-row neighborhood,
+    sort it once for the median, transform+sort for the MAD — all
+    JVM-side array expressions. Every intermediate is a dyadic
+    rational (integer cents, halves from even-count medians, quarters
+    from MAD interpolation), exactly representable in doubles, so the
+    3-sigma-equivalent cut is bit-deterministic in both engines.
+    In a zero-MAD window (>=4 of 7 values identical) any deviation
+    flags — the k*MAD bound degenerates to zero, which is exactly what
+    catches a lone spike in a flat signal.
+
+    Scale: one shuffle on user_id (the window's partition key); state
+    per row is a 7-element int array — no O(n^2) neighbor join, no
+    per-center re-aggregation; edge rows use their truncated (4-6 row)
+    neighborhood, matching the streaming-friendly formulation. Delegates to the public
+    ``hampel_filter`` API (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import hampel_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (dec("value") * 100).cast("long").alias("x"),
+    )
+    out = hampel_filter(
+        t,
+        key_col="user_id",
+        order_cols=("us", "event_id"),
+        value_col="x",
+        half_window=3,
+        k=3.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("x").alias("x_cents"),
+        "window_median",
+        "window_mad",
+    ).orderBy("user_id", "event_id")

@@ -55,6 +55,10 @@ __all__ = [
     "sprt_monitor",
     "grid_knn_join",
     "holt_smooth",
+    # round-9: robust filtering, frequent-itemset mining, rank tests.
+    "hampel_filter",
+    "apriori_triples",
+    "mann_whitney_u",
 ]
 
 
@@ -984,3 +988,249 @@ def holt_smooth(
         "trend",
         "forecast_next",
     ).orderBy(key_col, "idx")
+
+
+def hampel_filter(
+    series: DataFrame,
+    *,
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    value_col: str = "value",
+    half_window: int = 3,
+    k: float = 3.0,
+) -> DataFrame:
+    """Hampel robust outlier filter per key stream: flag rows deviating
+    from their (2*half_window+1)-row centered rolling MEDIAN by more
+    than ``k`` times the rolling MAD. One window pass, zero self-joins:
+    the neighborhood is collected as a sorted array and median/MAD are
+    JVM-side array expressions.
+
+    ``value_col`` should be an INTEGER-valued column (fixed-point
+    units: cents, micro-units) for bit-deterministic results — medians
+    of ints interpolate to dyadic rationals, exact in doubles; ``k``
+    defaults to the classic 3.0 (dyadic, so the cut is exact too).
+    ``order_cols`` must uniquely order rows within a key (same contract
+    as sprt_monitor). In a zero-MAD window (a constant neighborhood)
+    ANY deviation flags — k*0 is a zero bound, the standard Hampel
+    degenerate-window behavior that catches a spike in a flat signal.
+    Returns flagged rows:
+    (key, order_cols..., value, window_median, window_mad).
+
+    Scale: one shuffle on the key; per-row state is a
+    (2*half_window+1)-element array; no O(n^2) neighbor join."""
+    hw = int(half_window)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-hw, hw)
+    )
+    win = series.select(
+        key_col,
+        *order_cols,
+        F.col(value_col).cast("long").alias("_x"),
+        F.array_sort(
+            F.collect_list(F.col(value_col).cast("long")).over(w)
+        ).alias("_arr"),
+    )
+
+    def _median_sql(arr: str, size: str) -> str:
+        return f"""CASE WHEN {size} % 2 = 1
+            THEN CAST(element_at({arr}, CAST(({size} + 1) div 2 AS INT)) AS DOUBLE)
+            ELSE (element_at({arr}, CAST({size} div 2 AS INT))
+                  + element_at({arr}, CAST({size} div 2 + 1 AS INT))) / 2.0
+        END"""
+
+    med = win.selectExpr(
+        "*",
+        "size(_arr) AS _s",
+    ).selectExpr(
+        "*",
+        f"{_median_sql('_arr', '_s')} AS _med",
+    )
+    scored = med.selectExpr(
+        "*",
+        "array_sort(transform(_arr, v -> abs(v - _med))) AS _devs",
+    ).selectExpr(
+        key_col,
+        *order_cols,
+        "_x",
+        "_med",
+        f"{_median_sql('_devs', '_s')} AS _mad",
+    )
+    return (
+        scored.where(
+            F.abs(F.col("_x") - F.col("_med")) > F.lit(float(k)) * F.col("_mad")
+        )
+        .select(
+            key_col,
+            *order_cols,
+            F.col("_x").alias(value_col),
+            F.col("_med").alias("window_median"),
+            F.col("_mad").alias("window_mad"),
+        )
+        .orderBy(key_col, *order_cols)
+    )
+
+
+def apriori_triples(
+    baskets: DataFrame,
+    *,
+    basket_col: str = "doc_id",
+    item_col: str = "tok",
+    min_support_num: int = 11,
+    min_support_den: int = 20,
+) -> DataFrame:
+    """A-priori frequent 3-itemset mining over (basket, item) rows with
+    a RELATIVE support threshold ceil(baskets * num/den) — exact
+    integer arithmetic, so the cut is engine-independent and the query
+    is replication-invariant. Monotonicity prunes each level: frequent
+    items L1 filter the stream, frequent pairs L2 filter again, and
+    candidate triples require all three sub-pairs in L2 before any
+    instance counting. Returns (t1, t2, t3, support), t1 < t2 < t3.
+
+    Scale: L1/L2/C3 broadcast (the frequent set is Zipf-tiny);
+    pair/triple generation is per-basket and bounded by the pruned
+    per-basket item count; nothing groups by basket."""
+    num, den = int(min_support_num), int(min_support_den)
+    dt = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    ms = dt.agg(
+        F.expr(
+            f"({num} * CAST(COUNT(DISTINCT _b) AS BIGINT) + {den - 1})"
+            f" div {den}"
+        ).alias("minsup")
+    )
+    l1 = (
+        dt.groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .where(F.col("sup") >= F.col("minsup"))
+        .select("_i")
+    )
+    # One shuffle builds the per-basket SORTED frequent-item array;
+    # every combination after this is a JVM array expression feeding a
+    # map-side partial aggregation — no pair/triple instance ever
+    # crosses the wire (the shuffle carries at most |candidate| groups
+    # per partition, not sum_basket C(k,2|3) rows; the join-based
+    # formulation pushed millions of instance rows through join
+    # machinery and was 10x slower at the x10 replica).
+    items = (
+        dt.join(F.broadcast(l1), "_i")
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("items"))
+    )
+    pair_combos = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS t1, y AS t2))))"
+    )
+    l2 = (
+        items.select(F.explode(pair_combos).alias("pr"))
+        .select("pr.t1", "pr.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .where(F.col("sup") >= F.col("minsup"))
+        .select("t1", "t2")
+    )
+    x = l2.select(F.col("t1").alias("x1"), F.col("t2").alias("x2"))
+    y = l2.select(F.col("t1").alias("y1"), F.col("t2").alias("y2"))
+    z = l2.select(F.col("t1").alias("z1"), F.col("t2").alias("z2"))
+    c3 = (
+        x.join(y, (F.col("x1") == F.col("y1")) & (F.col("x2") < F.col("y2")))
+        .join(z, (F.col("z1") == F.col("x2")) & (F.col("z2") == F.col("y2")))
+        .select(
+            F.col("x1").alias("c1"),
+            F.col("x2").alias("c2"),
+            F.col("y2").alias("c3"),
+        )
+    )
+    triple_combos = F.expr(
+        "flatten(flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)), (y, j) ->"
+        " transform(slice(items, i + j + 3, size(items)),"
+        " z -> struct(x AS t1, y AS t2, z AS t3))))))"
+    )
+    ti = (
+        items.select(F.explode(triple_combos).alias("tr"))
+        .select("tr.t1", "tr.t2", "tr.t3")
+        .join(
+            F.broadcast(c3),
+            (F.col("c1") == F.col("t1"))
+            & (F.col("c2") == F.col("t2"))
+            & (F.col("c3") == F.col("t3")),
+        )
+        .select("t1", "t2", "t3")
+    )
+    return (
+        ti.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .where(F.col("support") >= F.col("minsup"))
+        .select("t1", "t2", "t3", "support")
+        .orderBy("t1", "t2", "t3")
+    )
+
+
+def mann_whitney_u(
+    trials: DataFrame,
+    *,
+    value: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum statistic between two groups. ``value``
+    must be an INTEGER-valued column/expression (fixed-point your data
+    first) — average ranks for ties are kept in exact x2 integer units
+    so the result is bit-deterministic at any parallelism. Returns one
+    row: (n1, n2, r1_sum_x2, u1_x2, u2_x2, tie_term), where tie_term =
+    sum(t^3 - t) feeds the tie-corrected variance
+    n1*n2/12 * ((n+1) - tie_term/(n*(n-1))).
+
+    Scale: ranks are computed per DISTINCT VALUE (one groupBy
+    compresses rows to the value domain) with a prefix-sum window over
+    that domain-sized table; at an unbounded domain shard the prefix
+    sum into range buckets with per-bucket offsets."""
+    v = F.col(value) if isinstance(value, str) else value
+    pool = trials.where(
+        F.col(group_col).isin(group_a, group_b)
+    ).select(
+        v.cast("long").alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("g1"),
+    )
+    per_v = pool.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("g1").cast("long").alias("t1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1_sum_x2"),
+        F.sum(
+            F.when(
+                F.col("t") > 1,
+                F.col("t") * F.col("t") * F.col("t") - F.col("t"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u1 = F.col("r1_sum_x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n1",
+        "n2",
+        "r1_sum_x2",
+        u1.alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).alias("u2_x2"),
+        "tie_term",
+    )

@@ -652,3 +652,94 @@ def test_grid_knn_join_negative_coords_floor_cells(spark):
     assert nn[2] == (1, 100)
     assert nn[3] == (1, 8100)
     assert 4 not in nn  # ring miss is the documented caveat, not a bug
+
+
+# --------------------------------------------------------------------------
+# round-9 public APIs: hampel_filter / apriori_triples / mann_whitney_u
+
+from boltzmannclean_spark import (  # noqa: E402
+    apriori_triples,
+    hampel_filter,
+    mann_whitney_u,
+)
+
+
+def test_hampel_filter_flags_spike_not_step(spark):
+    # A lone spike inside a stable window is flagged; a level SHIFT is
+    # not (the rolling median follows the new level) — the property
+    # that distinguishes Hampel from a z-score filter.
+    rows = [(1, i, 100 if i != 5 else 500) for i in range(10)]
+    rows += [(2, i, 100 if i < 5 else 200) for i in range(10)]  # step
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    out = hampel_filter(
+        df, key_col="k", order_cols=("t",), value_col="v",
+        half_window=3, k=3.0,
+    ).collect()
+    assert [(r.k, r.t) for r in out] == [(1, 5)]
+    assert out[0].window_median == 100.0
+
+
+def test_hampel_filter_k_and_window_knobs(spark):
+    rows = [(1, i, 100 + (20 if i == 4 else 0)) for i in range(9)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    # huge k: nothing flagged
+    assert hampel_filter(
+        df, key_col="k", order_cols=("t",), value_col="v", k=1000.0
+    ).count() == 0
+    # tiny k: the bump IS flagged (MAD is 0 in its window... widen
+    # window so neighbors vary) — use a varied series instead
+    rows2 = [(1, i, v) for i, v in enumerate([10, 12, 11, 13, 90, 12, 11, 13, 10])]
+    df2 = spark.createDataFrame(rows2, "k long, t long, v long")
+    hits = hampel_filter(
+        df2, key_col="k", order_cols=("t",), value_col="v",
+        half_window=3, k=3.0,
+    ).collect()
+    assert [(r.k, r.t) for r in hits] == [(1, 4)]
+
+
+def test_apriori_triples_counts_and_threshold(spark):
+    # 4 baskets; {a,b,c} in 3 of them, {a,b,d} only in 1.
+    data = [
+        (1, ["a", "b", "c"]),
+        (2, ["a", "b", "c", "d"]),
+        (3, ["a", "b", "c"]),
+        (4, ["a", "b", "d"]),
+    ]
+    rows = [(b, i) for b, items in data for i in items]
+    df = spark.createDataFrame(rows, "bid long, item string")
+    # threshold 3/4: only (a,b,c) with support 3 survives
+    out = apriori_triples(
+        df, basket_col="bid", item_col="item",
+        min_support_num=3, min_support_den=4,
+    ).collect()
+    assert [(r.t1, r.t2, r.t3, r.support) for r in out] == [("a", "b", "c", 3)]
+    # threshold 1/4 admits every triple with support >= 1
+    loose = apriori_triples(
+        df, basket_col="bid", item_col="item",
+        min_support_num=1, min_support_den=4,
+    ).collect()
+    sups = {(r.t1, r.t2, r.t3): r.support for r in loose}
+    assert sups[("a", "b", "c")] == 3 and sups[("a", "b", "d")] == 2
+    assert sups[("a", "c", "d")] == 1 and sups[("b", "c", "d")] == 1
+
+
+def test_mann_whitney_u_brute_force_parity(spark):
+    import itertools
+
+    a_vals = [3, 5, 5, 7, 11]
+    b_vals = [1, 5, 6, 6]
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = mann_whitney_u(
+        df, value="v", group_col="g", group_a="A", group_b="B"
+    ).collect()[0]
+    # brute force: U1 = #(a > b) + 0.5 * #(a == b), in x2 units
+    u1_x2 = sum(
+        2 if a > b else (1 if a == b else 0)
+        for a, b in itertools.product(a_vals, b_vals)
+    )
+    assert out.n1 == 5 and out.n2 == 4
+    assert out.u1_x2 == u1_x2
+    assert out.u2_x2 == 2 * 5 * 4 - u1_x2
+    # tie groups: value 5 x3, value 6 x2 -> (27-3) + (8-2)
+    assert out.tie_term == 24 + 6
