@@ -132,6 +132,10 @@ HEADLINE = CORE9 + [
     # and the public-API dedup funnel composition.
     "graph_label_propagation",
     "pipeline_dedup_funnel",
+    # round-9: the combination-explode itemset miner (heaviest new text
+    # shape) and the single-pass robust window filter.
+    "text_apriori_cooccur",
+    "window_hampel_filter",
 ]
 
 # Offline build/lifecycle jobs (r6 verdict item 3): timed and reported,

@@ -885,3 +885,137 @@ def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return scored.orderBy(F.desc("common_nbrs"), "p1", "p2").limit(50)
+
+
+# Adamic-Adar midpoint weights, PRECOMPUTED once driver-side: w(d) =
+# round(1e6 / ln(d)) for every degree the wedge cap admits (2..cap).
+# Injecting the 39-entry table as literals into BOTH the Spark plan and
+# the DuckDB oracle removes engine ln() from the query entirely — libm
+# log is not guaranteed correctly rounded and a 1-ulp disagreement
+# could flip a round(); a literal weight table is bit-identical by
+# construction, and the integer weights make the SUM exact and
+# merge-order-free.
+import math as _math
+
+_AA_CAP = 40
+_AA_W = {d: int(round(1e6 / _math.log(d))) for d in range(2, _AA_CAP + 1)}
+
+
+def _aa_case_sql(col: str) -> str:
+    whens = " ".join(f"WHEN {d} THEN {w}" for d, w in _AA_W.items())
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+@register(
+    "graph_linkpred_adamic_adar",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
+  ) t GROUP BY p
+),
+adj AS (
+  SELECT p1 AS m, p2 AS nbr FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+capped AS (
+  SELECT adj.m, adj.nbr, deg.d
+  FROM adj JOIN deg ON deg.p = adj.m AND deg.d <= {_AA_CAP}
+),
+wedges AS (
+  SELECT x.nbr AS u, y.nbr AS v,
+         CAST({_aa_case_sql("x.d")} AS BIGINT) AS w
+  FROM capped x JOIN capped y ON x.m = y.m AND x.nbr < y.nbr
+),
+cn AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_nbrs,
+         CAST(SUM(w) AS BIGINT) AS aa_micro
+  FROM wedges GROUP BY u, v
+),
+nonedges AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN pairs ON cn.u = pairs.p1 AND cn.v = pairs.p2
+  WHERE pairs.p1 IS NULL
+)
+SELECT u AS p1, v AS p2, aa_micro, common_nbrs
+FROM nonedges
+ORDER BY aa_micro DESC, p1, p2
+LIMIT 50
+""",
+    tags=("graph", "linkpred", "adamic-adar"),
+)
+def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph — the
+    log-degree-weighted upgrade of common-neighbor counting: a shared
+    neighbor of degree 2 is strong evidence, a shared hub of degree 40
+    is weak, so each wedge midpoint contributes 1/ln(deg) instead of 1.
+    Weights come from a PRECOMPUTED integer-micro table (see _AA_W) —
+    no engine ln() in the plan, exact integer sums, bit-reproducible
+    ranking. Same wedge machinery and degree cap as
+    graph_linkpred_common_neighbors (the cap IS Adamic-Adar's point:
+    beyond it the 1/ln weight is noise); existing edges drop via an
+    anti-join; TakeOrderedAndProject keeps the top 50.
+
+    Scale: wedge generation is Σ min(deg,cap)² per midpoint — linear
+    in edges at a fixed cap; the weight lookup is a 39-literal CASE
+    evaluated map-side; every join is an equi-join on vertex keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("p"))
+        .unionAll(pairs.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    adj = pairs.select(F.col("p1").alias("m"), F.col("p2").alias("nbr")).unionAll(
+        pairs.select(F.col("p2").alias("m"), F.col("p1").alias("nbr"))
+    )
+    capped = adj.join(
+        deg.where(F.col("d") <= _AA_CAP).select(
+            F.col("p").alias("m"), "d"
+        ),
+        "m",
+    )
+    x = capped.select("m", F.col("nbr").alias("u"), "d")
+    y = capped.select("m", F.col("nbr").alias("v"))
+    cn = (
+        x.join(y, "m")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", F.expr(_aa_case_sql("d")).cast("long").alias("w"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_nbrs"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
+    )
+    nonedges = cn.join(
+        pairs,
+        (cn["u"] == pairs["p1"]) & (cn["v"] == pairs["p2"]),
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("u").alias("p1"),
+            F.col("v").alias("p2"),
+            "aa_micro",
+            "common_nbrs",
+        )
+        .orderBy(F.desc("aa_micro"), "p1", "p2")
+        .limit(50)
+    )
