@@ -1012,7 +1012,10 @@ def hampel_filter(
     ``order_cols`` must uniquely order rows within a key (same contract
     as sprt_monitor). In a zero-MAD window (a constant neighborhood)
     ANY deviation flags — k*0 is a zero bound, the standard Hampel
-    degenerate-window behavior that catches a spike in a flat signal.
+    degenerate-window behavior that catches a spike in a flat signal;
+    the ``k`` knob is deliberately inert there (this is the chosen
+    contract, pinned by test_hampel_filter_k_and_window_knobs): to
+    suppress zero-MAD flagging, pre-filter rows whose window MAD is 0.
     Returns flagged rows:
     (key, order_cols..., value, window_median, window_mad).
 

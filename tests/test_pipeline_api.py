@@ -680,14 +680,20 @@ def test_hampel_filter_flags_spike_not_step(spark):
 
 
 def test_hampel_filter_k_and_window_knobs(spark):
+    # Zero-MAD dominance (the documented degenerate contract, see
+    # hampel_filter's docstring): in a constant neighborhood MAD is 0,
+    # so ANY deviation flags REGARDLESS of k — this is what catches a
+    # spike in a flat signal. Pin it: the spike is flagged even at
+    # k=1000 because its window is 6×100 + one 120 → MAD = 0.
     rows = [(1, i, 100 + (20 if i == 4 else 0)) for i in range(9)]
     df = spark.createDataFrame(rows, "k long, t long, v long")
-    # huge k: nothing flagged
-    assert hampel_filter(
+    flat_hits = hampel_filter(
         df, key_col="k", order_cols=("t",), value_col="v", k=1000.0
-    ).count() == 0
-    # tiny k: the bump IS flagged (MAD is 0 in its window... widen
-    # window so neighbors vary) — use a varied series instead
+    ).collect()
+    assert [(r.k, r.t) for r in flat_hits] == [(1, 4)]
+    assert flat_hits[0].window_mad == 0.0
+    # The k knob only bites when MAD > 0 — exercise it on a varied
+    # series: k=3 flags the spike, a huge k flags nothing.
     rows2 = [(1, i, v) for i, v in enumerate([10, 12, 11, 13, 90, 12, 11, 13, 10])]
     df2 = spark.createDataFrame(rows2, "k long, t long, v long")
     hits = hampel_filter(
@@ -695,6 +701,10 @@ def test_hampel_filter_k_and_window_knobs(spark):
         half_window=3, k=3.0,
     ).collect()
     assert [(r.k, r.t) for r in hits] == [(1, 4)]
+    assert hampel_filter(
+        df2, key_col="k", order_cols=("t",), value_col="v",
+        half_window=3, k=1000.0,
+    ).count() == 0
 
 
 def test_apriori_triples_counts_and_threshold(spark):
