@@ -1155,8 +1155,28 @@ def apriori_triples(
         " transform(slice(items, i + j + 3, size(items)),"
         " z -> struct(x AS t1, y AS t2, z AS t3))))))"
     )
+    # C3-token prune (round-10): before enumerating per-basket triples,
+    # intersect the sorted item array with the DISTINCT token set of
+    # the C3 candidates (broadcast, Zipf-tiny). Necessary-not-
+    # sufficient — a token absent from every candidate triple can
+    # never appear in a surviving enumeration, so dropping it first
+    # shrinks C(k,3) cubically; the broadcast C3 join below still does
+    # the exact sufficiency check. array_intersect preserves the first
+    # argument's (sorted) order, so the t1<t2<t3 enumeration contract
+    # holds. This is what keeps the miner usable at LOW support
+    # thresholds, where the unpruned per-basket k grows.
+    c3_tokens = (
+        c3.select(F.explode(F.array("c1", "c2", "c3")).alias("_t"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("_t")).alias("_c3_toks"))
+    )
+    pruned = (
+        items.crossJoin(F.broadcast(c3_tokens))
+        .select(F.array_intersect("items", "_c3_toks").alias("items"))
+        .where(F.size("items") >= 3)
+    )
     ti = (
-        items.select(F.explode(triple_combos).alias("tr"))
+        pruned.select(F.explode(triple_combos).alias("tr"))
         .select("tr.t1", "tr.t2", "tr.t3")
         .join(
             F.broadcast(c3),
