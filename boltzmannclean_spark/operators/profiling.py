@@ -1312,8 +1312,29 @@ def stats_skewness_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     # x10 sweep — larger value domain than sf0.01), and the ANSI
     # checked multiply would kill the job exactly when the data gets
     # interesting. decimal(19,0) x's keep every power exact.
+    #
+    # Round-10 overflow guard (advisor): past the DECIMAL chain's own
+    # limit, Spark's ANSI-off decimal arithmetic NULLs silently while
+    # the oracle's HUGEINT raises — a silent-divergence class. Bound
+    # the per-row domain so x^4 (<= 8.1e29) stays far inside 38
+    # digits, leaving >=1e8 rows/group of headroom before the SUM
+    # itself could overflow; beyond the bound BOTH engines now fail
+    # loudly (raise_error here, HUGEINT overflow error in DuckDB).
     d38 = "decimal(38,0)"
-    xd = F.col("x").cast("decimal(19,0)")
+    domain_cents = 3 * 10**7
+    xd = (
+        F.when(F.abs(F.col("x")) <= F.lit(domain_cents), F.col("x"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "stats_skewness_kurtosis_exact: |value| exceeds the"
+                    " exact-power domain bound (3e7 cents) — the"
+                    " decimal(38,0) x^4 chain would overflow silently"
+                )
+            )
+        )
+        .cast("decimal(19,0)")
+    )
     x2 = (xd * xd).cast("decimal(38,0)")
     sums = c.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

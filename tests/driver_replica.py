@@ -50,7 +50,9 @@ import re  # noqa: E402
 CANONICAL_RE = re.compile(r"^LOCAL_CORRECTNESS_r\d+\.json$")
 
 
-def safe_emit(emit: str, results: dict, registry: set[str]) -> str:
+def safe_emit(
+    emit: str, results: dict, registry: set[str], quiet: bool = False
+) -> str:
     """Write a correctness artifact without ever letting a SUBSET of
     the registry clobber a canonical LOCAL_CORRECTNESS_r{N}.json.
 
@@ -85,11 +87,12 @@ def safe_emit(emit: str, results: dict, registry: set[str]) -> str:
         else:
             out = emit + ".subset.json"
             payload = results
-            print(
-                f"refusing to clobber canonical {emit} with "
-                f"{len(results)}/{len(registry)} entries; wrote {out}",
-                flush=True,
-            )
+            if not quiet:
+                print(
+                    f"refusing to clobber canonical {emit} with "
+                    f"{len(results)}/{len(registry)} entries; wrote {out}",
+                    flush=True,
+                )
     with open(out + ".part", "w") as fh:
         json.dump(payload, fh, indent=2)
     os.replace(out + ".part", out)
@@ -181,12 +184,24 @@ def main() -> int:
             # query's record instead of losing the whole chunk.
             # Canonical LOCAL_CORRECTNESS_r{N}.json targets are guarded
             # (safe_emit): an in-progress subset lands on a scratch name
-            # or merges into the existing full artifact — never truncates.
-            safe_emit(emit, results, set(queries))
+            # or merges into the existing full artifact — never
+            # truncates. quiet=True: the divert warning would repeat
+            # per query on a fresh canonical target; the final emit
+            # below reports the outcome once.
+            safe_emit(emit, results, set(queries), quiet=True)
     print(f"total {time.time() - t_all:.0f}s, {len(failures)} failures", flush=True)
     if emit:
         out = safe_emit(emit, results, set(queries))
-        print(f"wrote {out} ({len(results)} entries)", flush=True)
+        if out == emit:
+            scratch = emit + ".subset.json"
+            if os.path.exists(scratch):
+                # incremental emits diverted here before the final full
+                # write landed the canonical artifact; don't leave the
+                # stale scratch beside it.
+                os.remove(scratch)
+        with open(out) as fh:
+            n_written = len(json.load(fh))
+        print(f"wrote {out} ({n_written} entries)", flush=True)
     if failures:
         print(json.dumps(failures, indent=2)[:4000])
         return 1

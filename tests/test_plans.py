@@ -526,3 +526,32 @@ def test_label_propagation_label_join_is_never_broadcast(spark, sf_dir):
     for ln in label_join_lines:
         assert "BroadcastHashJoin" not in ln, ln
         assert "ShuffledHashJoin" in ln or "SortMergeJoin" in ln, ln
+
+
+def test_exact_moments_domain_guard_raises_loudly(spark, tmp_path):
+    """Round-10 advisor item: stats_skewness_kurtosis_exact's
+    decimal(38,0) x^4 chain must FAIL LOUDLY (raise_error) past the
+    documented 3e7-cent domain bound instead of Spark's ANSI-off
+    silent NULL-on-overflow — matching the oracle's HUGEINT, which
+    errors on overflow. In-domain data must be untouched."""
+    import pytest as _pytest
+
+    from boltzmannclean_spark.operators.profiling import (
+        stats_skewness_kurtosis_exact,
+    )
+
+    sf = str(tmp_path)
+    spark.sql(
+        "SELECT event_type, value, timestamp'2024-01-01' AS ts FROM VALUES"
+        " ('a', 100.00), ('a', 200.00), ('a', 300.00), ('a', 450.00)"
+        " AS t(event_type, value)"
+    ).write.parquet(f"{sf}/events.parquet")
+    ok = stats_skewness_kurtosis_exact(spark, sf).collect()
+    assert ok[0].n == 4
+    sf2 = str(tmp_path / "big")
+    spark.sql(
+        "SELECT event_type, value, timestamp'2024-01-01' AS ts FROM VALUES"
+        " ('a', 100.00), ('a', 9e8) AS t(event_type, value)"  # 9e10 cents > 3e7 bound
+    ).write.parquet(f"{sf2}/events.parquet")
+    with _pytest.raises(Exception, match="exact-power domain bound"):
+        stats_skewness_kurtosis_exact(spark, sf2).collect()
