@@ -36,6 +36,7 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     grid_knn_join,
     hampel_filter,
     holt_smooth,
+    ks_two_sample,
     language_id,
     mann_whitney_u,
     minhash_dedup,

@@ -1019,3 +1019,133 @@ def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "p1", "p2")
         .limit(50)
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
+  ) t GROUP BY p
+),
+adj AS (
+  SELECT p1 AS m, p2 AS nbr FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+capped AS (
+  SELECT adj.m, adj.nbr
+  FROM adj JOIN deg ON deg.p = adj.m
+  WHERE deg.d BETWEEN 2 AND {_AA_CAP}
+),
+tri AS (
+  SELECT w.m, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (
+    SELECT x.m, x.nbr AS u, y.nbr AS v
+    FROM capped x JOIN capped y ON x.m = y.m AND x.nbr < y.nbr
+  ) w JOIN pairs e ON e.p1 = w.u AND e.p2 = w.v
+  GROUP BY w.m
+)
+SELECT deg.p AS node, deg.d AS degree,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+       CAST(2000 * COALESCE(tri.t, 0) // (deg.d * (deg.d - 1))
+            AS BIGINT) AS coeff_milli
+FROM deg LEFT JOIN tri ON tri.m = deg.p
+WHERE deg.d BETWEEN 2 AND {_AA_CAP}
+ORDER BY coeff_milli DESC, node
+LIMIT 100
+""",
+    tags=("graph", "clustering-coefficient", "triangles"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the part co-purchase
+    graph — triangles / C(degree, 2), the how-cliquish-is-my-
+    neighborhood score behind community detection and fraud-ring
+    features. Reported in exact MILLI units via integer floor
+    division (2000*t div d(d-1)) so the ranking is bit-reproducible
+    with zero float ops; (degree, triangles) ride along so the caller
+    can recover the exact rational.
+
+    Scale: same degree-capped wedge machinery as the two linkpred
+    ops — centers with degree in [2, cap] enumerate at most C(cap,2)
+    = 780 wedges each (hubs are EXCLUDED and reported by the degree
+    table, the documented production split: exact coefficients for
+    the bulk, sampled wedge-closure estimates for hubs); triangle
+    closure is one equi-join of wedges against the edge list, counts
+    group by center, and the top-100 is TakeOrderedAndProject, never
+    a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("p"))
+        .unionAll(pairs.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    adj = pairs.select(
+        F.col("p1").alias("m"), F.col("p2").alias("nbr")
+    ).unionAll(pairs.select(F.col("p2").alias("m"), F.col("p1").alias("nbr")))
+    capped = adj.join(
+        deg.where(F.col("d").between(2, _AA_CAP)).select(
+            F.col("p").alias("m")
+        ),
+        "m",
+    )
+    wedges = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.m") == F.col("y.m"))
+            & (F.col("x.nbr") < F.col("y.nbr")),
+        )
+        .select(
+            F.col("x.m").alias("m"),
+            F.col("x.nbr").alias("u"),
+            F.col("y.nbr").alias("v"),
+        )
+    )
+    tri = (
+        wedges.join(
+            pairs,
+            (F.col("u") == F.col("p1")) & (F.col("v") == F.col("p2")),
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.where(F.col("d").between(2, _AA_CAP))
+        .join(tri, F.col("p") == F.col("m"), "left")
+        .select(
+            F.col("p").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            # integer floor division (div), NOT `/`+cast: the double
+            # quotient can land a hair under the exact integer and
+            # truncate one off vs the oracle's exact bigint //
+            F.expr(
+                "CAST((2000 * COALESCE(t, 0)) div (d * (d - 1)) AS BIGINT)"
+            ).alias("coeff_milli"),
+        )
+        .orderBy(F.col("coeff_milli").desc(), "node")
+        .limit(100)
+    )

@@ -1368,3 +1368,175 @@ def stats_skewness_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=f"""
+WITH pool AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MWU_G1}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MWU_G1}', '{_MWU_G2}')
+),
+per_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(g1) AS BIGINT) AS t1
+  FROM pool GROUP BY v
+),
+tot AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n2
+  FROM per_v
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(t1) OVER (ORDER BY v) AS BIGINT) AS c1,
+         CAST(SUM(t - t1) OVER (ORDER BY v) AS BIGINT) AS c2
+  FROM per_v
+),
+d AS (
+  SELECT v, n1, n2,
+         CAST(ABS(c1 * n2 - c2 * n1) AS BIGINT) AS ks_num
+  FROM cum, tot
+)
+SELECT n1, n2, ks_num, v AS at_v,
+       ks_num / (n1 * n2) AS ks_d
+FROM d ORDER BY ks_num DESC, v LIMIT 1
+""",
+    tags=("stats", "nonparametric", "kolmogorov-smirnov", "ecdf"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the click and view
+    value distributions — the nonparametric whole-distribution test
+    (location AND shape, where Mann-Whitney sees only location). The
+    supremum of |ECDF1 - ECDF2| is decided entirely in exact integers:
+    ks_num = max_v |c1(v)*n2 - c2(v)*n1| over the n1*n2 common
+    denominator, the argmax pinned to the smallest attaining value, and
+    the display statistic is ONE correctly-rounded IEEE division of
+    identical exact integers — bit-equal in both engines.
+
+    Scale: identical shape to stats_mann_whitney_u — one map-combined
+    groupBy compresses the event stream to its distinct-value domain
+    (2-dp bounded money data), one prefix-sum window over that tiny
+    table, (n1, n2) broadcast; the TakeOrdered(1) argmax never sorts
+    globally. Delegates to the public ``ks_two_sample`` API
+    (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev,
+        value=(dec("value") * 100),
+        group_col="event_type",
+        group_a=_MWU_G1,
+        group_b=_MWU_G2,
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+WITH pool AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+per_vg AS (
+  SELECT v, g, CAST(COUNT(*) AS BIGINT) AS tg
+  FROM pool GROUP BY v, g
+),
+per_v AS (
+  SELECT v, CAST(SUM(tg) AS BIGINT) AS t
+  FROM per_vg GROUP BY v
+),
+ranked AS (
+  SELECT v, t,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS below
+  FROM per_v
+),
+shared AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END)
+              AS BIGINT) AS tie_term
+  FROM ranked
+),
+grp AS (
+  SELECT pg.g, CAST(SUM(pg.tg) AS BIGINT) AS n_g,
+         CAST(SUM(pg.tg * (2 * r.below + r.t + 1)) AS BIGINT) AS r_sum_x2
+  FROM per_vg pg JOIN ranked r ON pg.v = r.v
+  GROUP BY pg.g
+)
+SELECT g AS event_type, n_g, r_sum_x2, n_total, tie_term
+FROM grp, shared
+ORDER BY event_type
+""",
+    tags=("stats", "nonparametric", "kruskal-wallis", "ranks"),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis k-sample rank state across ALL event arms — the
+    one-way ANOVA-on-ranks generalization of Mann-Whitney. Emits the
+    MERGEABLE exact-integer state per group: (n_g, r_sum_x2) with
+    average tied ranks in x2 units (2*below + t + 1 is always
+    integral), plus the shared (n_total, tie_term = sum(t^3 - t))
+    columns. The scalar H = [12/(N(N+1)) * sum(R_g^2/n_g)] - 3(N+1)
+    over the tie correction 1 - tie_term/(N^3 - N) is one driver-side
+    formula away — deliberately NOT emitted: summing k double terms
+    R_g^2/n_g has no order-deterministic distributed form, while these
+    bigints are bit-exact at any parallelism (the same
+    components-not-p-value contract as stats_mann_whitney_u).
+
+    Scale: one groupBy to the (value, group) domain, one groupBy to
+    the value domain, ONE prefix-sum window over the domain-sized
+    table, a domain-sized equi-join back, map-combined group
+    aggregates; the shared scalars ride a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        F.col("event_type").alias("g"),
+        (dec("value") * 100).cast("long").alias("v"),
+    )
+    per_vg = pool.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("tg")
+    )
+    per_v = per_vg.groupBy("v").agg(F.sum("tg").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("below"),
+    )
+    shared = ranked.agg(
+        F.sum("t").cast("long").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col("t") > 1,
+                F.col("t") * F.col("t") * F.col("t") - F.col("t"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    grp = (
+        per_vg.join(ranked, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("tg").cast("long").alias("n_g"),
+            F.sum(
+                F.col("tg") * (2 * F.col("below") + F.col("t") + 1)
+            )
+            .cast("long")
+            .alias("r_sum_x2"),
+        )
+    )
+    return (
+        grp.crossJoin(F.broadcast(shared))
+        .select(
+            F.col("g").alias("event_type"),
+            "n_g",
+            "r_sum_x2",
+            "n_total",
+            "tie_term",
+        )
+        .orderBy("event_type")
+    )

@@ -2245,3 +2245,92 @@ def text_apriori_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support_num=11,
         min_support_den=20,
     )
+
+
+_RAKE_STOP = "a|the|of|and|to|in|is"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+WITH ph AS (
+  SELECT unnest(string_split_regex(
+           regexp_replace(lower(text),
+             '\\b({_RAKE_STOP})\\b', '|', 'g'), '\\|')) AS phrase
+  FROM documents
+),
+ws AS (
+  SELECT list_filter(string_split_regex(trim(phrase), ' +'),
+                     x -> x <> '') AS w
+  FROM ph
+),
+expl AS (
+  SELECT CAST(len(w) AS BIGINT) AS plen, unnest(w) AS word
+  FROM ws WHERE len(w) > 0
+),
+sc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM expl GROUP BY word
+)
+SELECT word, freq, degree,
+       CAST(1000 * degree // freq AS BIGINT) AS score_milli
+FROM sc ORDER BY score_milli DESC, word LIMIT 20
+""",
+    tags=("text", "keywords", "rake", "cooccurrence"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al.) over the document corpus —
+    the classic unsupervised keyword extractor: split each document
+    into candidate phrases at STOPWORD boundaries, then score every
+    word by degree/frequency, where degree(w) = sum over occurrences
+    of the containing phrase's length (words co-occurring in long
+    phrases pick up connectivity) and freq(w) = occurrence count.
+    Content words that appear mostly inside long multi-word phrases
+    outrank equally-frequent words that appear alone. Scores emit in
+    exact MILLI units via integer floor division — bit-reproducible
+    ranking, zero float ops; (freq, degree) ride along for the exact
+    rational. Top-20 with ties pinned by word.
+
+    Scale: one projection pass does phrase-split + word-explode as
+    JVM array expressions (regexp_replace to mark boundaries, split +
+    filter — no UDF); the only shuffle is the map-combined word
+    aggregation (vocabulary-sized, Zipf-tiny), and the top-20 is
+    TakeOrderedAndProject. The stopword list broadcasts as a literal
+    in the regex; a production-sized list compiles the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.col("text")),
+                    rf"\b({_RAKE_STOP})\b",
+                    "|",
+                ),
+                r"\|",
+            )
+        ).alias("phrase")
+    )
+    ws = ph.select(
+        F.expr("filter(split(trim(phrase), ' +'), x -> x != '')").alias("w")
+    ).where(F.size("w") > 0)
+    expl = ws.select(
+        F.size("w").cast("long").alias("plen"),
+        F.explode("w").alias("word"),
+    )
+    sc = expl.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    return (
+        sc.select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("CAST((1000 * degree) div freq AS BIGINT)").alias(
+                "score_milli"
+            ),
+        )
+        .orderBy(F.col("score_milli").desc(), "word")
+        .limit(20)
+    )

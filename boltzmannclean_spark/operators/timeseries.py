@@ -1176,3 +1176,109 @@ def ts_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "weekday")
     )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         (b.y - a.y) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+           AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_pairs
+  FROM pairs
+),
+mid AS (
+  SELECT event_type, n_pairs, slope
+  FROM ranked
+  WHERE rn BETWEEN (n_pairs + 1) // 2 AND (n_pairs + 2) // 2
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY event_type
+)
+SELECT mid.event_type AS event_type, n.n_days, mid.n_pairs,
+       SUM(mid.slope) / COUNT(*) AS sen_slope_cents_per_day
+FROM mid JOIN n ON mid.event_type = n.event_type
+GROUP BY mid.event_type, n.n_days, mid.n_pairs
+ORDER BY mid.event_type
+""",
+    tags=("timeseries", "statistics", "trend", "theil-sen", "robust"),
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope estimate per event arm — the robust trend
+    MAGNITUDE that pairs with ts_mann_kendall_trend's direction test
+    (the textbook combination: MK says whether, Sen says how much,
+    both immune to outliers that wreck least squares). Every pairwise
+    slope is ONE correctly-rounded IEEE division of exact integers
+    (bigint cent difference over integer day difference), so the
+    slope multiset is bit-identical in both engines; the median is
+    selected by row position (rn in the middle 1-2 positions), and
+    the even-count average is a 2-term sum — IEEE addition is
+    commutative, so even that is order-free.
+
+    Scale: the (arm, day) pre-aggregation bounds the O(days^2) pair
+    join by the CALENDAR exactly as in ts_mann_kendall_trend; the
+    median selection uses per-arm windows over the pair table (10
+    years = 6.6M pairs per arm at worst — window state, never a
+    global sort), and production swaps the full pairwise median for
+    the repeated-median or a sampled estimator above ~10^4 days."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg((F.sum(dec("value")) * 100).cast("long").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    warm = Window.partitionBy("event_type")
+    wrn = Window.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(warm).cast("long").alias("n_pairs"),
+    )
+    mid = ranked.where(
+        (F.col("rn") >= F.expr("(n_pairs + 1) div 2"))
+        & (F.col("rn") <= F.expr("(n_pairs + 2) div 2"))
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        mid.groupBy("event_type", "n_pairs")
+        .agg(
+            (F.sum("slope") / F.count(F.lit(1))).alias(
+                "sen_slope_cents_per_day"
+            )
+        )
+        .join(n, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "sen_slope_cents_per_day",
+        )
+        .orderBy("event_type")
+    )

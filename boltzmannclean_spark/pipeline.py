@@ -1257,3 +1257,70 @@ def mann_whitney_u(
         (2 * F.col("n1") * F.col("n2") - u1).alias("u2_x2"),
         "tie_term",
     )
+
+
+def ks_two_sample(
+    trials: DataFrame,
+    *,
+    value: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two groups.
+    ``value`` must be an INTEGER-valued column/expression (fixed-point
+    your data first). D = max_v |F1(v) - F2(v)| is kept EXACT as the
+    integer numerator over the implied n1*n2 denominator:
+    ks_num = max_v |c1(v)*n2 - c2(v)*n1| where c_i are cumulative
+    counts — zero float comparisons decide the max, so the result is
+    bit-deterministic at any parallelism. Returns one row:
+    (n1, n2, ks_num, at_v, ks_d) with at_v the SMALLEST value
+    attaining the max (a total order pins ties) and
+    ks_d = ks_num/(n1*n2) one correctly-rounded IEEE division of
+    exact integers.
+
+    Scale: same shape as mann_whitney_u — one groupBy compresses N
+    rows to the distinct-value domain, one prefix-sum window over that
+    domain-sized table, one tiny broadcast of (n1, n2); at an
+    unbounded domain shard the prefix sum into range buckets with
+    per-bucket offsets."""
+    v = F.col(value) if isinstance(value, str) else value
+    pool = trials.where(
+        F.col(group_col).isin(group_a, group_b)
+    ).select(
+        v.cast("long").alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("g1"),
+    )
+    per_v = pool.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("g1").cast("long").alias("t1"),
+    )
+    tot = per_v.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("t1").over(w).cast("long").alias("c1"),
+        F.sum(F.col("t") - F.col("t1")).over(w).cast("long").alias("c2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .cast("long")
+        .alias("ks_num"),
+    )
+    return (
+        d.orderBy(F.col("ks_num").desc(), "v")
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            F.col("v").alias("at_v"),
+            (F.col("ks_num") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
+        )
+    )
