@@ -1098,6 +1098,13 @@ def apriori_triples(
     dt = baskets.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
+    # dt feeds THREE consumers (minsup, L1, the per-basket arrays) and
+    # Spark re-evaluates shared subplans per use — without a barrier
+    # the explode+distinct over the full token stream runs three
+    # times. The distinct set is corpus-bounded (docs x vocab, and
+    # vocab is Zipf-tiny), so materialize it once; same reasoning as
+    # pipeline_dedup_funnel's localCheckpointed id sets.
+    dt = dt.localCheckpoint(eager=True)
     ms = dt.agg(
         F.expr(
             f"({num} * CAST(COUNT(DISTINCT _b) AS BIGINT) + {den - 1})"
@@ -1137,6 +1144,13 @@ def apriori_triples(
         .where(F.col("sup") >= F.col("minsup"))
         .select("t1", "t2")
     )
+    # L2 feeds FIVE consumers (the x/y/z self-join legs, and through
+    # c3 both the token-prune set and the exact candidate filter);
+    # un-materialized, the per-basket C(k,2) pair enumeration above
+    # re-runs for every leg. L2 is the frequent-pair set — Zipf-tiny
+    # by definition — so one eager materialization here collapses
+    # five enumeration passes into one.
+    l2 = l2.localCheckpoint(eager=True)
     x = l2.select(F.col("t1").alias("x1"), F.col("t2").alias("x2"))
     y = l2.select(F.col("t1").alias("y1"), F.col("t2").alias("y2"))
     z = l2.select(F.col("t1").alias("z1"), F.col("t2").alias("z2"))
