@@ -47,6 +47,7 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     sprt_monitor,
     substring_dedup,
     token_stats,
+    welch_ttest,
 )
 
 

@@ -1149,3 +1149,135 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("coeff_milli").desc(), "node")
         .limit(100)
     )
+
+
+@register(
+    "graph_linkpred_jaccard",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
+  ) t GROUP BY p
+),
+adj AS (
+  SELECT p1 AS m, p2 AS nbr FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+capped AS (
+  SELECT adj.m, adj.nbr
+  FROM adj JOIN deg ON deg.p = adj.m AND deg.d <= {_AA_CAP}
+),
+cn AS (
+  SELECT x.nbr AS u, y.nbr AS v, CAST(COUNT(*) AS BIGINT) AS common_nbrs
+  FROM capped x JOIN capped y ON x.m = y.m AND x.nbr < y.nbr
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cn.u, cn.v, cn.common_nbrs,
+         du.d AS deg_u, dv.d AS deg_v,
+         CAST(1000000 * cn.common_nbrs AS BIGINT)
+           // (du.d + dv.d - cn.common_nbrs) AS jaccard_micro
+  FROM cn JOIN deg du ON du.p = cn.u JOIN deg dv ON dv.p = cn.v
+),
+nonedges AS (
+  SELECT scored.* FROM scored
+  LEFT JOIN pairs ON scored.u = pairs.p1 AND scored.v = pairs.p2
+  WHERE pairs.p1 IS NULL
+)
+SELECT u AS p1, v AS p2, jaccard_micro, common_nbrs, deg_u, deg_v
+FROM nonedges
+ORDER BY jaccard_micro DESC, p1, p2
+LIMIT 50
+""",
+    tags=("graph", "linkpred", "jaccard"),
+)
+def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction on the part co-purchase
+    graph — completes the linkpred trio (common-neighbors counts raw
+    overlap, Adamic-Adar discounts hub midpoints, Jaccard normalizes by
+    NEIGHBORHOOD SIZE: |Γu∩Γv| / |Γu∪Γv|, so two low-degree parts with
+    total overlap outrank two hubs sharing a sliver). The score is kept
+    EXACT: jaccard_micro = (1e6 * common) DIV (deg_u + deg_v - common)
+    — integer floor division, zero float comparisons in the ranking, so
+    the top-50 is bit-reproducible at any parallelism. Wedge machinery,
+    degree cap, and existing-edge anti-join shared with
+    graph_linkpred_adamic_adar (graph.py:909); degrees in the union
+    term are FULL degrees (the cap bounds wedge fan-out, not the
+    normalization).
+
+    Scale: wedge generation is Σ min(deg,cap)² per midpoint — linear in
+    edges at a fixed cap; the two degree lookups are equi-joins on
+    vertex keys against the edge-set-sized degree table;
+    TakeOrderedAndProject keeps the top 50 without a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("p"))
+        .unionAll(pairs.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    adj = pairs.select(F.col("p1").alias("m"), F.col("p2").alias("nbr")).unionAll(
+        pairs.select(F.col("p2").alias("m"), F.col("p1").alias("nbr"))
+    )
+    capped = adj.join(
+        deg.where(F.col("d") <= _AA_CAP).select(F.col("p").alias("m")),
+        "m",
+    )
+    x = capped.select("m", F.col("nbr").alias("u"))
+    y = capped.select("m", F.col("nbr").alias("v"))
+    cn = (
+        x.join(y, "m")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_nbrs"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("deg_v"))
+    scored = (
+        cn.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_nbrs",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "(1000000 * common_nbrs) div (deg_u + deg_v - common_nbrs)"
+            ).alias("jaccard_micro"),
+        )
+    )
+    nonedges = scored.join(
+        pairs,
+        (scored["u"] == pairs["p1"]) & (scored["v"] == pairs["p2"]),
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("u").alias("p1"),
+            F.col("v").alias("p2"),
+            "jaccard_micro",
+            "common_nbrs",
+            "deg_u",
+            "deg_v",
+        )
+        .orderBy(F.desc("jaccard_micro"), "p1", "p2")
+        .limit(50)
+    )

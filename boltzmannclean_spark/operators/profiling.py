@@ -1540,3 +1540,64 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+WITH pool AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x,
+         CASE WHEN event_type = '{_MWU_G1}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MWU_G1}', '{_MWU_G2}')
+),
+sums AS (
+  SELECT CAST(SUM(g1) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n_b,
+         CAST(CAST(SUM(CASE WHEN g1 = 1 THEN x ELSE 0 END) AS VARCHAR)
+              AS DOUBLE) AS s1a,
+         CAST(CAST(SUM(CASE WHEN g1 = 1 THEN x * x ELSE 0 END) AS VARCHAR)
+              AS DOUBLE) AS s2a,
+         CAST(CAST(SUM(CASE WHEN g1 = 0 THEN x ELSE 0 END) AS VARCHAR)
+              AS DOUBLE) AS s1b,
+         CAST(CAST(SUM(CASE WHEN g1 = 0 THEN x * x ELSE 0 END) AS VARCHAR)
+              AS DOUBLE) AS s2b
+  FROM pool
+),
+m AS (
+  SELECT n_a, n_b, s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+         ((s2a - (s1a / n_a) * s1a) / (n_a - 1)) / n_a AS se2a,
+         ((s2b - (s1b / n_b) * s1b) / (n_b - 1)) / n_b AS se2b
+  FROM sums
+)
+SELECT n_a, n_b, mean_a, mean_b,
+       (mean_a - mean_b) / SQRT(se2a + se2b) AS welch_t,
+       (se2a + se2b) * (se2a + se2b)
+         / (se2a * se2a / (n_a - 1) + se2b * se2b / (n_b - 1)) AS welch_df
+FROM m
+""",
+    tags=("stats", "parametric", "welch", "ab-test", "moments"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the click and view value
+    distributions — the parametric companion to stats_mann_whitney_u
+    (means, where MW-U tests location-shift on ranks). Sufficient
+    statistics (n, Σx, Σx² in integer cents) accumulate as exact
+    DECIMAL(38,0)/HUGEINT sums — mergeable and order-free — then the t
+    statistic and Welch–Satterthwaite df are one fixed double
+    expression tree over the string-hopped exact sums, every operation
+    correctly-rounded IEEE, so both engines agree bit-for-bit (the
+    same exactness contract as stats_skewness_kurtosis_exact).
+
+    Scale: ONE map-combined aggregation over the filtered stream, six
+    numbers of state; no second pass, no broadcast of means. Delegates
+    to the public ``welch_ttest`` API (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_ttest(
+        ev,
+        value=(dec("value") * 100),
+        group_col="event_type",
+        group_a=_MWU_G1,
+        group_b=_MWU_G2,
+    )

@@ -2334,3 +2334,108 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "curation_filter_attribution",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         LEN(toks) AS n_tokens,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'of', 'and')))
+              AS DOUBLE) / LEN(toks) AS stop_frac,
+         CAST(n_chars - LEN(toks) + 1 AS DOUBLE) / LEN(toks) AS mean_word_len
+  FROM t
+),
+flags AS (
+  SELECT (n_tokens BETWEEN 30 AND 100000)  AS ok_length,
+         (mean_word_len BETWEEN 2 AND 12)  AS ok_word_len,
+         (stop_frac >= 0.01)               AS ok_stopwords
+  FROM m
+),
+agg AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN NOT ok_length THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+    CAST(SUM(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_wl,
+    CAST(SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f_sw,
+    CAST(SUM(CASE WHEN NOT ok_length AND ok_word_len AND ok_stopwords
+             THEN 1 ELSE 0 END) AS BIGINT) AS a_len,
+    CAST(SUM(CASE WHEN ok_length AND NOT ok_word_len AND ok_stopwords
+             THEN 1 ELSE 0 END) AS BIGINT) AS a_wl,
+    CAST(SUM(CASE WHEN ok_length AND ok_word_len AND NOT ok_stopwords
+             THEN 1 ELSE 0 END) AS BIGINT) AS a_sw,
+    CAST(SUM(CASE WHEN ok_length AND NOT ok_word_len
+             THEN 1 ELSE 0 END) AS BIGINT) AS s_wl,
+    CAST(SUM(CASE WHEN ok_length AND ok_word_len AND NOT ok_stopwords
+             THEN 1 ELSE 0 END) AS BIGINT) AS s_sw,
+    CAST(SUM(CASE WHEN ok_length AND ok_word_len AND ok_stopwords
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+  FROM flags
+)
+SELECT 'length' AS rule, f_len AS n_fail, a_len AS n_fail_alone,
+       f_len AS n_seq_removed, n_docs, n_survivors FROM agg
+UNION ALL
+SELECT 'word_len', f_wl, a_wl, s_wl, n_docs, n_survivors FROM agg
+UNION ALL
+SELECT 'stopwords', f_sw, a_sw, s_sw, n_docs, n_survivors FROM agg
+ORDER BY rule
+""",
+    tags=("curation", "quality", "attribution", "funnel"),
+)
+def curation_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule removal attribution for the Gopher-style quality gate —
+    the report a data-curation team reads before touching a threshold:
+    for each rule, how many documents fail it AT ALL (n_fail), how many
+    it UNIQUELY removes (n_fail_alone — the rule's marginal value: what
+    would be lost by dropping the rule), and how many it removes in the
+    pipeline's sequential order length→word_len→stopwords
+    (n_seq_removed — what the rule is billed for in the funnel; the
+    three sequential counts + survivors partition the corpus exactly).
+    Same rule definitions as text_quality_filter (text.py:281), so the
+    attribution always describes the filter actually shipped.
+
+    Scale: flags come from the one-pass quality_filter plan (pure JVM
+    builtins, linear in corpus bytes), then ONE map-combined
+    aggregation collapses the corpus to ten counters; the 3-row report
+    is a stack() over that single row — nothing but the scan touches
+    row-scale data."""
+    from boltzmannclean_spark.pipeline import quality_filter
+
+    qf = quality_filter(
+        load_table(spark, sf_dir, "documents"),
+        stopwords=STOPWORDS,
+        n_chars_col="n_chars",
+    )
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    ok_l, ok_w, ok_s = (
+        F.col("ok_length"),
+        F.col("ok_word_len"),
+        F.col("ok_stopwords"),
+    )
+    agg = qf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        b(~ok_l).alias("f_len"),
+        b(~ok_w).alias("f_wl"),
+        b(~ok_s).alias("f_sw"),
+        b(~ok_l & ok_w & ok_s).alias("a_len"),
+        b(ok_l & ~ok_w & ok_s).alias("a_wl"),
+        b(ok_l & ok_w & ~ok_s).alias("a_sw"),
+        b(ok_l & ~ok_w).alias("s_wl"),
+        b(ok_l & ok_w & ~ok_s).alias("s_sw"),
+        b(ok_l & ok_w & ok_s).alias("n_survivors"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'length',    f_len, a_len, f_len,"
+            " 'word_len',  f_wl,  a_wl,  s_wl,"
+            " 'stopwords', f_sw,  a_sw,  s_sw)"
+            " AS (rule, n_fail, n_fail_alone, n_seq_removed)"
+        ),
+        "n_docs",
+        "n_survivors",
+    ).orderBy("rule")

@@ -1282,3 +1282,121 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+         CAST(SUM(v) OVER w AS BIGINT) AS s_k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s_n
+  FROM daily GROUP BY event_type
+),
+g AS (
+  SELECT c.event_type, c.day, tot.n,
+         CAST(ABS(tot.n * c.s_k - c.k * tot.s_n) AS BIGINT) AS g_k
+  FROM cum c JOIN tot ON c.event_type = tot.event_type
+  WHERE c.k < tot.n
+),
+best AS (
+  SELECT event_type, day, n, g_k,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY g_k DESC, day) AS rn
+  FROM g
+)
+SELECT event_type, n AS n_days, day AS split_day, g_k AS cusum_num,
+       g_k / n AS cusum_stat_cents
+FROM best WHERE rn = 1
+ORDER BY event_type
+""",
+    tags=("timeseries", "changepoint", "cusum", "monitoring"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint location per event arm via the CUSUM
+    statistic — the mean-shift detector a pipeline-health monitor runs
+    over its daily volume series (events_cusum_alarm answers "is it
+    drifting NOW" with a streaming alarm; this answers "WHERE did the
+    level shift" retrospectively). The split point is
+    argmax_k |S_k - (k/n)·S_n|, kept EXACT as the integer numerator
+    g_k = |n·S_k - k·S_n| over daily cent totals: the argmax is decided
+    entirely in bigints (ties pinned to the earliest day), and the
+    display statistic is ONE correctly-rounded IEEE division g_k / n —
+    bit-equal in both engines. k ranges over proper splits (k < n).
+
+    Width: g_k ≤ n_days · total_cents; at 365 buckets that leaves
+    ~2.5e4 headroom of total corpus value inside int64 vs this
+    fixture's 6e10-cent ×10 replica — the bucketed series is
+    DOMAIN-sized (days × arms), so width grows with data VALUE, not
+    row count.
+
+    Scale: one map-combined groupBy compresses the event stream to the
+    (arm, day) domain; one prefix-sum window and one ranking window
+    over that domain-sized table, partitioned by arm — nothing
+    row-scale ever shuffles twice, no single-partition window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            (dec("value") * 100).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("x").cast("long").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("k"),
+        F.sum("v").over(w).cast("long").alias("s_k"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s_n"),
+    )
+    g = (
+        cum.join(F.broadcast(tot), "event_type")
+        .where(F.col("k") < F.col("n"))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n"))
+            .cast("long")
+            .alias("g_k"),
+        )
+    )
+    best = g.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("g_k"), "day")
+        ),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("day").alias("split_day"),
+        F.col("g_k").alias("cusum_num"),
+        (F.col("g_k") / F.col("n")).alias("cusum_stat_cents"),
+    ).orderBy("event_type")

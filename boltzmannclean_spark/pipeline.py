@@ -59,6 +59,9 @@ __all__ = [
     "hampel_filter",
     "apriori_triples",
     "mann_whitney_u",
+    "ks_two_sample",
+    # round-10: parametric mean testing from mergeable exact moments.
+    "welch_ttest",
 ]
 
 
@@ -1337,4 +1340,83 @@ def ks_two_sample(
             F.col("v").alias("at_v"),
             (F.col("ks_num") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
         )
+    )
+
+
+def welch_ttest(
+    trials: DataFrame,
+    *,
+    value: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the default
+    two-sample mean test for A/B experiments (never assumes equal
+    variances, so it is safe under imbalanced arms). ``value`` must be
+    an INTEGER-valued column/expression (fixed-point your data first).
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, welch_t, welch_df).
+    The sufficient statistics (n, Σx, Σx²) accumulate as exact
+    integers (DECIMAL(38,0) sums — mergeable, order-free, bit-exact at
+    any parallelism), then the t statistic and Welch–Satterthwaite df
+    are ONE fixed double expression tree over those exact sums: every
+    operation (+,-,*,/,sqrt) is correctly-rounded IEEE, so any engine
+    evaluating the same tree from the same integers produces the same
+    bits. means emit in the fixed-point input units.
+
+    Scale: a single map-combined aggregation over the filtered stream —
+    six numbers of state total, no second pass, no shuffle beyond the
+    1-row combine. The classic two-pass Σ(x-mean)² formulation needs
+    the mean first; the power-sum identity is what makes the test
+    mergeable across 1000 executors."""
+    v = F.col(value) if isinstance(value, str) else value
+    d38 = "decimal(38,0)"
+    pool = trials.where(F.col(group_col).isin(group_a, group_b)).select(
+        # decimal(19,0) per-row values keep x*x exact and loud: the
+        # d38 product cannot silently wrap for any |x| < 1e19 units.
+        v.cast("long").cast("decimal(19,0)").alias("x"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("g1"),
+    )
+    x2 = (F.col("x") * F.col("x")).cast(d38)
+    zero = F.lit(0).cast(d38)
+    sums = pool.agg(
+        F.sum("g1").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("n_b"),
+        # string-hop decimal->double: both engines parse the exact
+        # integer's decimal text with correctly-rounded semantics.
+        F.sum(F.when(F.col("g1") == 1, F.col("x").cast(d38)).otherwise(zero))
+        .cast("string")
+        .cast("double")
+        .alias("s1a"),
+        F.sum(F.when(F.col("g1") == 1, x2).otherwise(zero))
+        .cast("string")
+        .cast("double")
+        .alias("s2a"),
+        F.sum(F.when(F.col("g1") == 0, F.col("x").cast(d38)).otherwise(zero))
+        .cast("string")
+        .cast("double")
+        .alias("s1b"),
+        F.sum(F.when(F.col("g1") == 0, x2).otherwise(zero))
+        .cast("string")
+        .cast("double")
+        .alias("s2b"),
+    )
+    # The whole tree below mirrors the oracle SQL token-for-token:
+    # mean = s1/n; se2 = ((s2 - mean*s1)/(n-1))/n.
+    mean_a = F.col("s1a") / F.col("n_a")
+    mean_b = F.col("s1b") / F.col("n_b")
+    se2a = ((F.col("s2a") - mean_a * F.col("s1a")) / (F.col("n_a") - 1)) / F.col("n_a")
+    se2b = ((F.col("s2b") - mean_b * F.col("s1b")) / (F.col("n_b") - 1)) / F.col("n_b")
+    return sums.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        ((mean_a - mean_b) / F.sqrt(se2a + se2b)).alias("welch_t"),
+        (
+            (se2a + se2b)
+            * (se2a + se2b)
+            / (se2a * se2a / (F.col("n_a") - 1) + se2b * se2b / (F.col("n_b") - 1))
+        ).alias("welch_df"),
     )

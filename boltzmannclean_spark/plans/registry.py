@@ -78,6 +78,23 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
+    # -- round-10 additions (newest code, never harness-verified) --
+    "stats_welch_ttest",
+    "graph_linkpred_jaccard",
+    "ts_changepoint_cusum",
+    "curation_filter_attribution",
+    "stats_ks_two_sample",
+    "stats_kruskal_wallis",
+    "ts_theil_sen_slope",
+    "dedup_sorted_neighborhood",
+    "graph_clustering_coefficient",
+    "text_rake_keywords",
+    # -- round-9 additions whose plan/oracle changed in round 10 --
+    "text_apriori_cooccur",
+    "dedup_fellegi_sunter_score",
+    "stats_skewness_kurtosis_exact",
+    "window_hampel_filter",
+    "graph_linkpred_adamic_adar",
     # -- round-8 session-2 additions (never verified, newest code) --
     "curation_perplexity_buckets",
     "stats_sequential_sprt",

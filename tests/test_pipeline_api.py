@@ -753,3 +753,49 @@ def test_mann_whitney_u_brute_force_parity(spark):
     assert out.u2_x2 == 2 * 5 * 4 - u1_x2
     # tie groups: value 5 x3, value 6 x2 -> (27-3) + (8-2)
     assert out.tie_term == 24 + 6
+
+
+def test_welch_ttest_matches_textbook_formula(spark):
+    import math
+
+    from boltzmannclean_spark import welch_ttest
+
+    a_vals = [10, 12, 9, 14, 11, 13]
+    b_vals = [8, 9, 7, 10]
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = welch_ttest(
+        df, value="v", group_col="g", group_a="A", group_b="B"
+    ).collect()[0]
+
+    def stats(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        var = sum((x - m) ** 2 for x in vals) / (n - 1)
+        return n, m, var
+
+    na, ma, va = stats(a_vals)
+    nb, mb, vb = stats(b_vals)
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    df_ws = (se2a + se2b) ** 2 / (se2a**2 / (na - 1) + se2b**2 / (nb - 1))
+    assert out.n_a == na and out.n_b == nb
+    assert out.mean_a == pytest.approx(ma, abs=1e-12)
+    assert out.mean_b == pytest.approx(mb, abs=1e-12)
+    assert out.welch_t == pytest.approx(t, rel=1e-12)
+    assert out.welch_df == pytest.approx(df_ws, rel=1e-12)
+
+
+def test_welch_ttest_is_symmetric_in_sign(spark):
+    from boltzmannclean_spark import welch_ttest
+
+    rows = [("A", v) for v in (5, 6, 7)] + [("B", v) for v in (9, 10, 11)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ab = welch_ttest(
+        df, value="v", group_col="g", group_a="A", group_b="B"
+    ).collect()[0]
+    ba = welch_ttest(
+        df, value="v", group_col="g", group_a="B", group_b="A"
+    ).collect()[0]
+    assert ab.welch_t == -ba.welch_t
+    assert ab.welch_df == ba.welch_df
