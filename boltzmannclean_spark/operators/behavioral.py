@@ -2013,3 +2013,88 @@ def events_survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_at_risk", "n_deaths", "n_censored")
         .orderBy("day")
     )
+
+
+@register(
+    "events_pareto_concentration",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk,
+         CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM per_user
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_events,
+         CAST(COUNT(*) AS BIGINT) AS total_users
+  FROM per_user
+),
+pcts AS (SELECT CAST(p AS BIGINT) AS pct FROM (VALUES (50), (80), (90)) t(p)),
+crossing AS (
+  SELECT pcts.pct, r.rk, r.cum, tot.total_events, tot.total_users,
+         ROW_NUMBER() OVER (PARTITION BY pcts.pct ORDER BY r.rk) AS hit
+  FROM ranked r CROSS JOIN tot JOIN pcts
+    ON 100 * r.cum >= pcts.pct * tot.total_events
+)
+SELECT pct, rk AS n_users, cum AS cum_events, total_events, total_users
+FROM crossing WHERE hit = 1
+ORDER BY pct
+""",
+    tags=("behavioral", "pareto", "concentration", "skew"),
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve readout: the smallest number of users
+    whose events cover 50% / 80% / 90% of all traffic — the one-table
+    answer to "how head-heavy is this workload", which is also the
+    input to every skew decision in this repo (salting thresholds,
+    AQE skew-join expectations). The crossing rank is decided entirely
+    in exact integers (100·cum ≥ pct·total — no float shares), ties on
+    equal activity pinned by user_id, so the readout is
+    bit-reproducible at any parallelism.
+
+    Scale: one map-combined groupBy compresses the event stream to the
+    user domain; ONE prefix-sum window over that domain-sized table
+    (at an unbounded user domain, shard the prefix sum into count
+    buckets with per-bucket offsets — same note as mann_whitney_u);
+    the three threshold probes ride a 3-row broadcast join, and the
+    min-crossing per threshold is a TakeOrdered(1)-shaped ranking
+    window over candidates, not a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wo = Window.orderBy(F.desc("n"), "user_id")
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(wo).cast("long").alias("rk"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = per_user.agg(
+        F.sum("n").cast("long").alias("total_events"),
+        F.count(F.lit(1)).cast("long").alias("total_users"),
+    )
+    pcts = F.array(*[F.lit(p).cast("long") for p in (50, 80, 90)])
+    crossing = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk", "cum", "total_events", "total_users", F.explode(pcts).alias("pct")
+        )
+        .where(100 * F.col("cum") >= F.col("pct") * F.col("total_events"))
+    )
+    best = crossing.withColumn(
+        "hit", F.row_number().over(Window.partitionBy("pct").orderBy("rk"))
+    ).where(F.col("hit") == 1)
+    return best.select(
+        "pct",
+        F.col("rk").alias("n_users"),
+        F.col("cum").alias("cum_events"),
+        "total_events",
+        "total_users",
+    ).orderBy("pct")

@@ -1601,3 +1601,205 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_a=_MWU_G1,
         group_b=_MWU_G2,
     )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+WITH per_arm AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_us
+  FROM events GROUP BY event_type
+),
+wm AS (SELECT CAST(MAX(max_us) AS BIGINT) AS g_us FROM per_arm),
+recent AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_last_7d
+  FROM events, wm
+  WHERE epoch_us(ts) > wm.g_us - 604800000000
+  GROUP BY event_type
+)
+SELECT p.event_type, p.n_rows,
+       g.g_us - p.max_us AS lag_us,
+       (g.g_us - p.max_us) // 3600000000 AS lag_hours_floor,
+       COALESCE(r.rows_last_7d, 0) AS rows_last_7d
+FROM per_arm p
+CROSS JOIN wm g
+LEFT JOIN recent r ON r.event_type = p.event_type
+ORDER BY p.event_type
+""",
+    tags=("dq", "freshness", "monitoring", "operational"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness report — the first page of any pipeline
+    health dashboard: how stale is each event stream relative to the
+    newest data ANYWHERE in the table (lag in exact microseconds and
+    floor-hours — watermark semantics, no wall-clock dependence, so
+    the oracle and a backfilled rerun agree forever), plus the 7-day
+    trailing volume that distinguishes "this stream is dead" from
+    "this stream is slow". All arithmetic in exact int64 micros.
+
+    Scale: one map-combined groupBy for (n, max_ts) per stream, a
+    1-row broadcast of the global watermark, and one filtered recount
+    for the trailing window — two scans total, nothing shuffles but
+    per-arm aggregates. At 100 TB with date-partitioned storage the
+    trailing-window scan prunes to the last 7 days of partitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_arm = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("us").cast("long").alias("max_us"),
+    )
+    glob = per_arm.agg(F.max("max_us").cast("long").alias("g_us"))
+    recent = (
+        ev.crossJoin(F.broadcast(glob))
+        .where(F.col("us") > F.col("g_us") - F.lit(604800000000))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_last_7d"))
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(glob))
+        .join(recent, "event_type", "left")
+        .select(
+            "event_type",
+            "n_rows",
+            (F.col("g_us") - F.col("max_us")).alias("lag_us"),
+            F.expr("(g_us - max_us) div 3600000000").alias("lag_hours_floor"),
+            F.coalesce(F.col("rows_last_7d"), F.lit(0))
+            .cast("long")
+            .alias("rows_last_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_brown_forsythe",
+    oracle="""
+WITH pool AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+per_vg AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM pool GROUP BY g, v
+),
+cum AS (
+  SELECT g, v, t,
+         CAST(COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM per_vg
+),
+n AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n_g FROM per_vg GROUP BY g),
+med AS (
+  SELECT c.g,
+         CAST(SUM(CASE WHEN c.below < (n.n_g + 1) // 2
+                        AND (n.n_g + 1) // 2 <= c.below + c.t
+                       THEN c.v ELSE 0 END)
+            + SUM(CASE WHEN c.below < (n.n_g + 2) // 2
+                        AND (n.n_g + 2) // 2 <= c.below + c.t
+                       THEN c.v ELSE 0 END) AS BIGINT) AS med2
+  FROM cum c JOIN n ON n.g = c.g
+  GROUP BY c.g
+)
+SELECT p.g AS event_type, n.n_g, med.med2 AS med2_halfcents,
+       CAST(SUM(p.t * ABS(2 * p.v - med.med2)) AS BIGINT)
+         AS z_sum_halfcents,
+       CAST(CAST(SUM(CAST(p.t AS HUGEINT)
+                     * (2 * p.v - med.med2) * (2 * p.v - med.med2))
+            AS VARCHAR) AS DOUBLE) AS z_sumsq
+FROM per_vg p
+JOIN med ON med.g = p.g
+JOIN n ON n.g = p.g
+GROUP BY p.g, n.n_g, med.med2
+ORDER BY event_type
+""",
+    tags=("stats", "variance", "brown-forsythe", "levene", "robust"),
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality state across all event arms —
+    the robust Levene variant (deviations from the MEDIAN, not the
+    mean) that decides whether equal-variance assumptions hold before
+    anyone trusts a pooled test. Emits the MERGEABLE exact state per
+    arm: n_g, the exact 2×median in half-cent units (lower+upper
+    middle of the sorted multiset — always integral), z_sum = Σ|2x −
+    med2| in exact half-cents, and z_sumsq = Σ(2x − med2)² via exact
+    HUGEINT/DECIMAL(38,0) sums string-hopped to one correctly-rounded
+    double. The F statistic over these components is one driver-side
+    formula away — deliberately NOT emitted: summing k per-group
+    double terms has no order-deterministic distributed form (the same
+    components-not-p-value contract as stats_kruskal_wallis).
+
+    Scale: everything lives on the (arm, value) DOMAIN, never rows —
+    one groupBy compresses the stream, one arm-partitioned prefix-sum
+    window locates both middle positions (no arm ever becomes a
+    single-partition row-scale window), the k-row median table joins
+    back by arm, and the final moment aggregation is map-combined with
+    per-value multiplicities carrying the row weight."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        F.col("event_type").alias("g"),
+        (dec("value") * 100).cast("long").alias("v"),
+    )
+    per_vg = pool.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wb = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_vg.select(
+        "g",
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("below"),
+    )
+    n = per_vg.groupBy("g").agg(F.sum("t").cast("long").alias("n_g"))
+    lo = F.expr("(n_g + 1) div 2")
+    hi = F.expr("(n_g + 2) div 2")
+    med = (
+        cum.join(F.broadcast(n), "g")
+        .groupBy("g")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("below") < lo) & (lo <= F.col("below") + F.col("t")),
+                        F.col("v"),
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        (F.col("below") < hi) & (hi <= F.col("below") + F.col("t")),
+                        F.col("v"),
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    dev = (2 * F.col("v") - F.col("med2")).cast("decimal(19,0)")
+    return (
+        per_vg.join(F.broadcast(med), "g")
+        .join(F.broadcast(n), "g")
+        .groupBy("g", "n_g", "med2")
+        .agg(
+            F.sum(F.col("t") * F.abs(2 * F.col("v") - F.col("med2")))
+            .cast("long")
+            .alias("z_sum_halfcents"),
+            F.sum(
+                (F.col("t").cast("decimal(19,0)") * dev * dev).cast("decimal(38,0)")
+            )
+            .cast("string")
+            .cast("double")
+            .alias("z_sumsq"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n_g",
+            F.col("med2").alias("med2_halfcents"),
+            "z_sum_halfcents",
+            "z_sumsq",
+        )
+        .orderBy("event_type")
+    )

@@ -1400,3 +1400,82 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_k").alias("cusum_num"),
         (F.col("g_k") / F.col("n")).alias("cusum_stat_cents"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_lag_feature_matrix",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+feat AS (
+  SELECT event_type, day, y,
+         LAG(y, 1) OVER w AS lag_1,
+         LAG(y, 7) OVER w AS lag_7,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS roll_sum_7,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_win
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, y, lag_1, lag_7, roll_sum_7,
+       roll_sum_7 / 7 AS roll_mean_7
+FROM feat WHERE n_win = 7
+ORDER BY event_type, day
+""",
+    tags=("timeseries", "features", "supervised", "forecasting"),
+)
+def ts_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised feature matrix for per-arm demand forecasting — the
+    lag/rolling design matrix (target y, lag-1, lag-7, trailing-7-day
+    sum and mean) every gradient-boosted or linear forecaster trains
+    on. Warm-up rows (fewer than 7 trailing days) are dropped so every
+    emitted row has a complete feature vector — no NULL features ever
+    reach the trainer. All features are exact integer cents; the
+    trailing mean is ONE correctly-rounded IEEE division of exact
+    integers by the constant window width.
+
+    Scale: one map-combined groupBy compresses the event stream to the
+    (arm, day) domain; all four features come from ONE window pass
+    over that domain-sized table partitioned by arm (Spark evaluates
+    same-partition same-order window functions in a single sort+scan);
+    nothing row-scale shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            (dec("value") * 100).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("x").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    trail = w.rowsBetween(-7, -1)
+    feat = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("lag_1"),
+        F.lag("y", 7).over(w).alias("lag_7"),
+        F.sum("y").over(trail).cast("long").alias("roll_sum_7"),
+        F.count(F.lit(1)).over(trail).cast("long").alias("n_win"),
+    )
+    return (
+        feat.where(F.col("n_win") == 7)
+        .select(
+            "event_type",
+            "day",
+            "y",
+            "lag_1",
+            "lag_7",
+            "roll_sum_7",
+            (F.col("roll_sum_7") / F.lit(7)).alias("roll_mean_7"),
+        )
+        .orderBy("event_type", "day")
+    )

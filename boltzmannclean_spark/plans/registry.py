@@ -79,6 +79,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-10 additions (newest code, never harness-verified) --
+    "stats_brown_forsythe",
+    "dq_freshness_lag",
+    "events_pareto_concentration",
+    "ts_lag_feature_matrix",
     "stats_welch_ttest",
     "graph_linkpred_jaccard",
     "ts_changepoint_cusum",
