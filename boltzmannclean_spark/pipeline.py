@@ -1121,7 +1121,42 @@ def apriori_triples(
         .where(F.col("sup") >= F.col("minsup"))
         .select("_i")
     )
-    # One shuffle builds the per-basket SORTED frequent-item array;
+    # Dictionary-encode the frequent vocabulary (round-10 profile:
+    # the string formulation exploded ~9M struct<string,string,string>
+    # triples at sf0.1 and broadcast-joined on three string columns —
+    # 22 s of a 16.5 s bench query's budget lived in string hashing and
+    # copying; the C3-token prune removed nothing there because every
+    # frequent token participated in a candidate). Ids are assigned in
+    # TOKEN SORT ORDER over the L1 vocabulary — id order ==
+    # lexicographic token order, so the t1<t2<t3 enumeration contract
+    # survives encoding — and 21 bits per id packs a whole pair/triple
+    # into ONE non-negative bigint (max key M^3-1 = 2^63-1):
+    # enumeration explodes bare longs, candidate filtering is a
+    # single-long equi-join, aggregation hashes one word, and only the
+    # final (support-filtered, tiny) result decodes back to strings
+    # via broadcast lookups. The vocabulary-sized row_number window is
+    # a single partition by construction — L1 is Zipf-tiny.
+    m_pack = 1 << 21
+    wid = Window.orderBy("_i")
+    tok2id = l1.select(
+        "_i",
+        F.when(
+            (F.row_number().over(wid) - 1) < F.lit(m_pack),
+            (F.row_number().over(wid) - 1),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "apriori_triples: frequent-item vocabulary exceeds"
+                    " 2^21 — the packed-bigint triple key would"
+                    " overflow; raise min_support or widen the packing"
+                )
+            )
+        )
+        .cast("long")
+        .alias("_id"),
+    ).localCheckpoint(eager=True)
+    # One shuffle builds the per-basket SORTED frequent-id array;
     # every combination after this is a JVM array expression feeding a
     # map-side partial aggregation — no pair/triple instance ever
     # crosses the wire (the shuffle carries at most |candidate| groups
@@ -1129,23 +1164,25 @@ def apriori_triples(
     # formulation pushed millions of instance rows through join
     # machinery and was 10x slower at the x10 replica).
     items = (
-        dt.join(F.broadcast(l1), "_i")
+        dt.join(F.broadcast(tok2id), "_i")
         .groupBy("_b")
-        .agg(F.sort_array(F.collect_set("_i")).alias("items"))
+        .agg(F.sort_array(F.collect_set("_id")).alias("items"))
     )
     pair_combos = F.expr(
         "flatten(transform(items, (x, i) ->"
         " transform(slice(items, i + 2, size(items)),"
-        " y -> struct(x AS t1, y AS t2))))"
+        f" y -> x * {m_pack}L + y)))"
     )
     l2 = (
-        items.select(F.explode(pair_combos).alias("pr"))
-        .select("pr.t1", "pr.t2")
-        .groupBy("t1", "t2")
+        items.select(F.explode(pair_combos).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("sup"))
         .crossJoin(F.broadcast(ms))
         .where(F.col("sup") >= F.col("minsup"))
-        .select("t1", "t2")
+        .select(
+            F.expr(f"pk div {m_pack}").alias("t1"),
+            (F.col("pk") % m_pack).alias("t2"),
+        )
     )
     # L2 feeds FIVE consumers (the x/y/z self-join legs, and through
     # c3 both the token-prune set and the exact candidate filter);
@@ -1166,48 +1203,60 @@ def apriori_triples(
             F.col("y2").alias("c3"),
         )
     )
+    c3k = c3.select(
+        (
+            (F.col("c1") * m_pack + F.col("c2")) * m_pack + F.col("c3")
+        ).alias("tk")
+    )
     triple_combos = F.expr(
         "flatten(flatten(transform(items, (x, i) ->"
         " transform(slice(items, i + 2, size(items)), (y, j) ->"
         " transform(slice(items, i + j + 3, size(items)),"
-        " z -> struct(x AS t1, y AS t2, z AS t3))))))"
+        f" z -> (x * {m_pack}L + y) * {m_pack}L + z)))))"
     )
-    # C3-token prune (round-10): before enumerating per-basket triples,
-    # intersect the sorted item array with the DISTINCT token set of
-    # the C3 candidates (broadcast, Zipf-tiny). Necessary-not-
-    # sufficient — a token absent from every candidate triple can
-    # never appear in a surviving enumeration, so dropping it first
-    # shrinks C(k,3) cubically; the broadcast C3 join below still does
-    # the exact sufficiency check. array_intersect preserves the first
-    # argument's (sorted) order, so the t1<t2<t3 enumeration contract
-    # holds. This is what keeps the miner usable at LOW support
-    # thresholds, where the unpruned per-basket k grows.
-    c3_tokens = (
+    # C3-token prune: before enumerating per-basket triples, intersect
+    # the sorted id array with the DISTINCT id set of the C3 candidates
+    # (broadcast, Zipf-tiny). Necessary-not-sufficient — an id absent
+    # from every candidate triple can never appear in a surviving
+    # enumeration, so dropping it first shrinks C(k,3) cubically; the
+    # packed-key join below still does the exact sufficiency check.
+    # array_intersect preserves the first argument's (sorted) order,
+    # so the t1<t2<t3 enumeration contract holds. This is what keeps
+    # the miner usable at LOW support thresholds, where the unpruned
+    # per-basket k grows.
+    c3_ids = (
         c3.select(F.explode(F.array("c1", "c2", "c3")).alias("_t"))
         .distinct()
-        .agg(F.sort_array(F.collect_set("_t")).alias("_c3_toks"))
+        .agg(F.sort_array(F.collect_set("_t")).alias("_c3_ids"))
     )
     pruned = (
-        items.crossJoin(F.broadcast(c3_tokens))
-        .select(F.array_intersect("items", "_c3_toks").alias("items"))
+        items.crossJoin(F.broadcast(c3_ids))
+        .select(F.array_intersect("items", "_c3_ids").alias("items"))
         .where(F.size("items") >= 3)
     )
-    ti = (
-        pruned.select(F.explode(triple_combos).alias("tr"))
-        .select("tr.t1", "tr.t2", "tr.t3")
-        .join(
-            F.broadcast(c3),
-            (F.col("c1") == F.col("t1"))
-            & (F.col("c2") == F.col("t2"))
-            & (F.col("c3") == F.col("t3")),
-        )
-        .select("t1", "t2", "t3")
-    )
-    return (
-        ti.groupBy("t1", "t2", "t3")
+    sup = (
+        pruned.select(F.explode(triple_combos).alias("tk"))
+        .join(F.broadcast(c3k), "tk")
+        .groupBy("tk")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .crossJoin(F.broadcast(ms))
         .where(F.col("support") >= F.col("minsup"))
+        .select("tk", "support")
+    )
+    id2tok = tok2id.select(F.col("_id").alias("_d"), F.col("_i").alias("_t"))
+    dec = sup.select(
+        F.expr(f"tk div {m_pack * m_pack}").alias("i1"),
+        F.expr(f"(tk div {m_pack}) % {m_pack}").alias("i2"),
+        (F.col("tk") % m_pack).alias("i3"),
+        "support",
+    )
+    return (
+        dec.join(F.broadcast(id2tok.withColumnRenamed("_d", "i1")), "i1")
+        .withColumnRenamed("_t", "t1")
+        .join(F.broadcast(id2tok.withColumnRenamed("_d", "i2")), "i2")
+        .withColumnRenamed("_t", "t2")
+        .join(F.broadcast(id2tok.withColumnRenamed("_d", "i3")), "i3")
+        .withColumnRenamed("_t", "t3")
         .select("t1", "t2", "t3", "support")
         .orderBy("t1", "t2", "t3")
     )
