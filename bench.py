@@ -136,6 +136,11 @@ HEADLINE = CORE9 + [
     # shape) and the single-pass robust window filter.
     "text_apriori_cooccur",
     "window_hampel_filter",
+    # round-10: the degree-capped wedge-closure shape (heaviest new
+    # graph work this round) and the domain-compressed exact-median
+    # moments representative of the new robust-stats tier.
+    "graph_clustering_coefficient",
+    "stats_brown_forsythe",
 ]
 
 # Offline build/lifecycle jobs (r6 verdict item 3): timed and reported,

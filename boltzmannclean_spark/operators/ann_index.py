@@ -578,7 +578,7 @@ def similarity_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- recall-vs-nprobe curve --------------------------------------------------
 
 #: The probe settings the curve measures. nprobe=1 is the cheapest/
-#: lowest-recall point (r8 measured recall@10 = 0.54 there); each
+#: lowest-recall point; each
 #: doubling roughly doubles scanned candidates. max() bounds the
 #: per-query cell ranking the oracle materializes.
 _PROBE_POINTS = (1, 2, 4)
@@ -713,8 +713,12 @@ def similarity_ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFra
     (``similarity_ann_recall_eval``) is the curve's ceiling — PQ
     quantization loss only; each nprobe point pays additional IVF
     pruning loss and climbs toward that ceiling as nprobe rises
-    (sf0.01 fixture: 0.24 / 0.26 / 0.32 at nprobe 1/2/4 vs the 0.54
-    full-scan ceiling). One row per probe point:
+    (sf0.01 fixture at the round-10 6/4-iteration codebooks:
+    0.28 / 0.30 / 0.38 at nprobe 1/2/4 vs the 0.36 full-scan ceiling;
+    the round-9 2/2-iteration codebooks measured 0.24 / 0.26 / 0.32
+    vs 0.30 — every point moved at equal nprobe, which is the
+    codebook-quality lever the curve exists to expose). One row per
+    probe point:
     (nprobe, n_overlap, n_exact, recall_at_k).
 
     Scale: each curve point is the production serve plan (zero

@@ -232,7 +232,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines iterate bit-identically and the final cells are oracle-exact.
 # A query then scans only its own cell (nprobe=1) with exact cosine.
 CENT_MOD = 100
-KMEANS_ITERS = 2
+KMEANS_ITERS = 4
 
 
 def _kmeans_iter_sql(k: int, prev: str) -> str:
@@ -1006,7 +1006,7 @@ def similarity_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8
 PQ_DSUB = 8
 PQ_K = 16
-PQ_ITERS = 2
+PQ_ITERS = 6
 
 
 def _pq_iter_sql(k: int, prev: str, src: str = "pq") -> str:
