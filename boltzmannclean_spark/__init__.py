@@ -41,6 +41,7 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     mann_whitney_u,
     minhash_dedup,
     perplexity_buckets,
+    psi_drift,
     quality_filter,
     semantic_dedup,
     sessionize,

@@ -1803,3 +1803,92 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_distribution_psi",
+    oracle="""
+WITH pool AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+wm AS (
+  SELECT (CAST(MIN(us) AS BIGINT) + CAST(MAX(us) AS BIGINT)) // 2 AS mid
+  FROM pool
+),
+halves AS (
+  SELECT event_type, x // 10000 AS bucket,
+         CASE WHEN us <= wm.mid THEN 0 ELSE 1 END AS cur
+  FROM pool, wm
+),
+counts AS (
+  SELECT event_type, bucket, cur, CAST(COUNT(*) AS BIGINT) AS n
+  FROM halves GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT DISTINCT event_type, bucket FROM counts
+),
+b AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM buckets GROUP BY event_type
+),
+tot AS (
+  SELECT event_type, cur, CAST(SUM(n) AS BIGINT) AS t
+  FROM counts GROUP BY event_type, cur
+),
+grid AS (
+  SELECT bk.event_type, bk.bucket, h.cur,
+         COALESCE(c.n, 0) AS n, tot.t, b.n_buckets
+  FROM buckets bk
+  CROSS JOIN (SELECT 0 AS cur UNION ALL SELECT 1) h
+  LEFT JOIN counts c ON c.event_type = bk.event_type
+   AND c.bucket = bk.bucket AND c.cur = h.cur
+  JOIN tot ON tot.event_type = bk.event_type AND tot.cur = h.cur
+  JOIN b ON b.event_type = bk.event_type
+),
+rates AS (
+  SELECT event_type, bucket, n_buckets,
+         MAX(CASE WHEN cur = 0 THEN
+             CAST(n + 1 AS DOUBLE) / (t + n_buckets) END) AS p,
+         MAX(CASE WHEN cur = 1 THEN
+             CAST(n + 1 AS DOUBLE) / (t + n_buckets) END) AS q
+  FROM grid GROUP BY event_type, bucket, n_buckets
+)
+SELECT event_type, CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
+       CAST(SUM((p - q) * ln(p / q)) AS FLOAT) AS psi
+FROM rates GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("dq", "drift", "psi", "mlops", "monitoring"),
+)
+def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event arm — THE standard ML-ops
+    drift metric: how far the value distribution of the newer half of
+    the data (split at the exact integer midpoint of the observed time
+    range — watermark semantics, no wall clock) has moved from the
+    older half, over fixed $100 buckets with Laplace (+1) smoothing so
+    an empty bucket contributes a finite term. PSI < 0.1 is stable,
+    0.1-0.25 drifting, > 0.25 action. Counts, totals, the time split,
+    and the bucket grid are all exact integers; only the final
+    (p-q)·ln(p/q) sum runs in doubles and the result is FLOAT-cast —
+    the same libm-absorbing contract as text_unigram_logprob.
+
+    Scale: one map-combined groupBy compresses the stream to the
+    (arm, bucket, half) grid — bucket width is fixed, so the grid is
+    value-domain-sized, not row-sized; the per-arm PSI reduction runs
+    over that tiny grid. A 1-row broadcast carries the time midpoint;
+    nothing row-scale shuffles twice. Delegates to the public
+    ``psi_drift`` API (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev,
+        value=(dec("value") * 100),
+        group_col="event_type",
+        time_col="ts",
+        bucket_width=10000,
+        smoothing=1,
+    )

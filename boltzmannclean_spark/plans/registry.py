@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-10 additions (newest code, never harness-verified) --
+    "dq_distribution_psi",
     "stats_brown_forsythe",
     "dq_freshness_lag",
     "events_pareto_concentration",

@@ -799,3 +799,49 @@ def test_welch_ttest_is_symmetric_in_sign(spark):
     ).collect()[0]
     assert ab.welch_t == -ba.welch_t
     assert ab.welch_df == ba.welch_df
+
+
+def test_psi_drift_zero_for_identical_halves_positive_for_shift(spark):
+    import datetime as dt
+
+    from boltzmannclean_spark import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(values, day_offsets, g="a"):
+        return [
+            (g, v, t0 + dt.timedelta(days=d))
+            for v, d in zip(values, day_offsets)
+        ]
+
+    # Group "a": the same value multiset in both time halves -> every
+    # bucket's smoothed rates match, every PSI term is exactly 0.
+    same = rows([100, 200, 300, 100], [0, 0, 0, 0]) + rows(
+        [100, 200, 300, 100], [10, 10, 10, 10]
+    )
+    # Group "b": the newer half lives in different buckets -> PSI > 0.
+    shifted = rows([100, 100, 100, 100], [0, 0, 0, 0], g="b") + rows(
+        [900, 900, 900, 900], [10, 10, 10, 10], g="b"
+    )
+    df = spark.createDataFrame(same + shifted, "g string, v long, ts timestamp")
+    out = {
+        r.g: r
+        for r in psi_drift(
+            df, value="v", group_col="g", time_col="ts", bucket_width=100
+        ).collect()
+    }
+    assert out["a"].psi == 0.0
+    assert out["b"].psi > 1.0  # disjoint buckets -> large PSI
+    # PSI is symmetric in (p, q): swapping which multiset is the older
+    # half leaves each |(p-q) ln(p/q)| term unchanged.
+    swapped = rows([900, 900, 900, 900], [0, 0, 0, 0], g="b") + rows(
+        [100, 100, 100, 100], [10, 10, 10, 10], g="b"
+    )
+    df_sw = spark.createDataFrame(swapped, "g string, v long, ts timestamp")
+    out_sw = {
+        r.g: r
+        for r in psi_drift(
+            df_sw, value="v", group_col="g", time_col="ts", bucket_width=100
+        ).collect()
+    }
+    assert out_sw["b"].psi == out["b"].psi
