@@ -40,6 +40,7 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     language_id,
     mann_whitney_u,
     minhash_dedup,
+    permutation_test,
     perplexity_buckets,
     psi_drift,
     quality_filter,

@@ -1892,3 +1892,83 @@ def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=10000,
         smoothing=1,
     )
+
+
+_PERM_R = 64
+
+
+@register(
+    "stats_permutation_test",
+    oracle=f"""
+WITH pool AS (
+  SELECT event_id AS u,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CASE WHEN event_type = '{_MWU_G1}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MWU_G1}', '{_MWU_G2}')
+),
+obs AS (
+  SELECT CAST(SUM(g1) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN g1 = 1 THEN x ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN g1 = 0 THEN x ELSE 0 END) AS BIGINT) AS s_b
+  FROM pool
+),
+obs2 AS (SELECT n_a, n_b, s_a / n_a - s_b / n_b AS diff_obs FROM obs),
+fanned AS (
+  SELECT p.x, t.r,
+         ((p.u % 2147483647) * 2654435761 + t.r * 40503)
+           % 2147483647 % 2 AS lbl
+  FROM pool p
+  CROSS JOIN (SELECT CAST(r AS BIGINT) AS r
+              FROM range(1, {_PERM_R + 1}) t(r)) t
+),
+per AS (
+  SELECT r, lbl, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM fanned GROUP BY r, lbl
+),
+diffs AS (
+  SELECT r,
+         CAST(MAX(CASE WHEN lbl = 1 THEN s END) AS BIGINT)
+           / CAST(MAX(CASE WHEN lbl = 1 THEN n END) AS BIGINT)
+       - CAST(MAX(CASE WHEN lbl = 0 THEN s END) AS BIGINT)
+           / CAST(MAX(CASE WHEN lbl = 0 THEN n END) AS BIGINT) AS d
+  FROM per GROUP BY r
+)
+SELECT o.n_a, o.n_b, o.diff_obs,
+       CAST(COUNT(*) AS BIGINT) AS n_resamples,
+       CAST(SUM(CASE WHEN ABS(d) >= ABS(o.diff_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_as_extreme,
+       (CAST(SUM(CASE WHEN ABS(d) >= ABS(o.diff_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) + 1) / (CAST(COUNT(*) AS BIGINT) + 1) AS p_value
+FROM diffs CROSS JOIN obs2 o
+GROUP BY o.n_a, o.n_b, o.diff_obs
+""",
+    tags=("stats", "permutation", "randomization", "monte-carlo", "ab-test"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test on the click-vs-view mean
+    difference — the assumption-free tier above Welch: 64 deterministic
+    random-relabeling replicas (fixed LCG mix over event_id — no engine
+    hash() in the plan, so the DuckDB twin reproduces every replica
+    bit-for-bit), observed |diff| ranked against the replica
+    distribution, add-one p-value. n_as_extreme is an exact integer;
+    every double feeding its comparisons is a fixed expression tree
+    over exact cent sums.
+
+    Scale: one pass; the 64-way explode feeds an immediate map-side
+    partial aggregation, so the shuffle carries 128 groups per
+    partition, never the fanned stream. Delegates to the public
+    ``permutation_test`` API (pipeline.py)."""
+    from boltzmannclean_spark.pipeline import permutation_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return permutation_test(
+        ev,
+        value=(dec("value") * 100),
+        group_col="event_type",
+        group_a=_MWU_G1,
+        group_b=_MWU_G2,
+        unit_col="event_id",
+        n_resamples=_PERM_R,
+    )

@@ -1080,3 +1080,58 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "grp_col": "o_orderstatus"},
     )
+
+
+_RCTE_REACH = """
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (
+  SELECT p1 AS m, p2 AS nbr FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+seed AS (SELECT MIN(p1) AS p FROM pairs),
+walk(p, h) AS (
+  SELECT p, 0 FROM seed
+  UNION ALL
+  SELECT DISTINCT a.nbr, w.h + 1
+  FROM walk w JOIN adj a ON a.m = w.p
+  WHERE w.h < 3
+),
+first_reach AS (
+  SELECT p, CAST(MIN(h) AS BIGINT) AS hop FROM walk GROUP BY p
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM first_reach GROUP BY hop ORDER BY hop
+"""
+
+
+@register(
+    "sql_recursive_cte_reachability",
+    oracle=_RCTE_REACH,
+    tags=("sql", "recursive-cte", "graph", "reachability"),
+)
+def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4.x) — 3-hop BFS frontier sizes
+    from the smallest part in the co-purchase graph, THE SAME SQL TEXT
+    running on both engines (Spark executes it as an iterative
+    UnionLoop; DuckDB as its recursive working-table loop). The
+    per-step SELECT DISTINCT is the load-bearing clause: recursive
+    UNION ALL re-expands from the PREVIOUS step's rows only, so
+    deduping each step bounds every level at ≤|V| rows — without it,
+    path multiplicity multiplies per hop and the walk is exponential
+    in depth. min(h) per node then collapses re-visits to first
+    reach; output is the hop histogram (hop, n_nodes).
+
+    Scale: the recursion depth is a constant (3); each iteration is
+    one equi-join of a ≤|V|-row frontier against the edge list — the
+    same per-round cost profile as graph_bfs_levels (graph.py), which
+    implements the identical semantics as an explicit driver loop
+    with localCheckpoint; this entry exists to cover the ENGINE
+    surface (recursive CTE parsing, loop planning, fixpoint
+    execution) rather than a new algorithm."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RCTE_REACH)

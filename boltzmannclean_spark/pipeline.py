@@ -64,6 +64,7 @@ __all__ = [
     # and the standard ML-ops distribution-drift readout.
     "welch_ttest",
     "psi_drift",
+    "permutation_test",
 ]
 
 
@@ -1561,4 +1562,121 @@ def psi_drift(
         )
         .select(F.col("_g").alias(group_col), "n_buckets", "psi")
         .orderBy(group_col)
+    )
+
+
+def permutation_test(
+    trials: DataFrame,
+    *,
+    value: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    unit_col: str = "event_id",
+    n_resamples: int = 64,
+) -> DataFrame:
+    """Monte-Carlo randomization test for the difference in group means
+    — the assumption-free companion to ``welch_ttest`` (no normality,
+    no variance model: under H0 the labels are exchangeable, so the
+    observed mean difference is ranked against relabeled replicas).
+    ``value`` must be an INTEGER-valued column/expression (fixed-point
+    your data first).
+
+    Replicas use deterministic RANDOM RELABELING: replica r assigns
+    each unit the pseudo-label ((unit % P) * 2654435761 + r * 40503)
+    % P % 2 with P = 2^31 - 1 — a fixed LCG mix evaluated identically
+    by any engine (no engine hash() in the plan, so the oracle twin
+    reproduces every replica bit-for-bit). Returns one row:
+    (n_a, n_b, diff_obs, n_resamples, n_as_extreme, p_value) where
+    n_as_extreme counts replicas with |diff_r| >= |diff_obs| (an exact
+    integer — the double comparisons feeding it are fixed expression
+    trees over exact sums) and p_value = (n_as_extreme + 1) /
+    (n_resamples + 1), the standard add-one Monte-Carlo estimate.
+
+    Scale: ONE pass — each row explodes to ``n_resamples`` (replica,
+    label) pairs that feed an immediate map-side partial aggregation,
+    so the shuffle carries 2·n_resamples groups per partition, never
+    the fanned stream; the replica ranking is a broadcast of one
+    observed row against an n_resamples-row table. CPU is n_resamples
+    × one linear scan — the documented cost of distribution-free
+    inference; tune n_resamples to the p-value resolution needed."""
+    v = F.col(value) if isinstance(value, str) else value
+    big_p = 2147483647
+    r_n = int(n_resamples)
+    pool = trials.where(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(unit_col).alias("_u"),
+        v.cast("long").alias("_x"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_g1"),
+    )
+    obs = pool.agg(
+        F.sum("_g1").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("_g1")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_g1") == 1, F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("_g1") == 0, F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        (
+            F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b")
+        ).alias("diff_obs"),
+    )
+    fanned = pool.select(
+        "_x",
+        F.explode(
+            F.array(*[F.lit(r).cast("long") for r in range(1, r_n + 1)])
+        ).alias("_r"),
+        "_u",
+    ).select(
+        "_x",
+        "_r",
+        (
+            (
+                (F.col("_u") % big_p) * F.lit(2654435761)
+                + F.col("_r") * F.lit(40503)
+            )
+            % big_p
+            % 2
+        ).alias("_lbl"),
+    )
+    per = fanned.groupBy("_r", "_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_s"),
+    )
+    diffs = per.groupBy("_r").agg(
+        (
+            F.max(F.when(F.col("_lbl") == 1, F.col("_s"))).cast("long")
+            / F.max(F.when(F.col("_lbl") == 1, F.col("_n"))).cast("long")
+            - F.max(F.when(F.col("_lbl") == 0, F.col("_s"))).cast("long")
+            / F.max(F.when(F.col("_lbl") == 0, F.col("_n"))).cast("long")
+        ).alias("_d")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("diff_obs").alias("diff_obs"),
+            F.count(F.lit(1)).cast("long").alias("n_resamples"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("_d")) >= F.abs(F.col("diff_obs")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_as_extreme"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "diff_obs",
+            "n_resamples",
+            "n_as_extreme",
+            (
+                (F.col("n_as_extreme") + 1) / (F.col("n_resamples") + 1)
+            ).alias("p_value"),
+        )
     )

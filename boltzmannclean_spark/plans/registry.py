@@ -79,6 +79,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-10 additions (newest code, never harness-verified) --
+    "stats_permutation_test",
+    "sql_recursive_cte_reachability",
     "dq_distribution_psi",
     "stats_brown_forsythe",
     "dq_freshness_lag",

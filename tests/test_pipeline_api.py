@@ -845,3 +845,34 @@ def test_psi_drift_zero_for_identical_halves_positive_for_shift(spark):
         ).collect()
     }
     assert out_sw["b"].psi == out["b"].psi
+
+
+def test_permutation_test_detects_obvious_shift_and_respects_null(spark):
+    from boltzmannclean_spark import permutation_test
+
+    # Group A hugely above group B: no random relabeling should beat
+    # the observed difference, so n_as_extreme = 0 and p is the
+    # add-one floor 1/(R+1).
+    rows = [("A", i, 1000 + (i % 3)) for i in range(40)] + [
+        ("B", 100 + i, i % 3) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, u long, v long")
+    out = permutation_test(
+        df, value="v", group_col="g", group_a="A", group_b="B",
+        unit_col="u", n_resamples=32,
+    ).collect()[0]
+    assert out.n_a == 40 and out.n_b == 40
+    assert out.n_as_extreme == 0
+    assert out.p_value == pytest.approx(1 / 33)
+    # Identical groups: the observed diff is 0, every replica's
+    # |diff| >= 0, so the test cannot reject (p = 1).
+    same = [("A", i, 7) for i in range(20)] + [
+        ("B", 100 + i, 7) for i in range(20)
+    ]
+    df2 = spark.createDataFrame(same, "g string, u long, v long")
+    out2 = permutation_test(
+        df2, value="v", group_col="g", group_a="A", group_b="B",
+        unit_col="u", n_resamples=32,
+    ).collect()[0]
+    assert out2.diff_obs == 0.0
+    assert out2.p_value == 1.0
