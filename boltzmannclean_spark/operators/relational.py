@@ -1132,6 +1132,44 @@ def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     implements the identical semantics as an explicit driver loop
     with localCheckpoint; this entry exists to cover the ENGINE
     surface (recursive CTE parsing, loop planning, fixpoint
-    execution) rather than a new algorithm."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_RCTE_REACH)
+    execution) rather than a new algorithm.
+
+    One Spark-side asymmetry, chosen by measurement: Spark's UnionLoop
+    re-evaluates the non-recursive CTEs on every iteration, so the
+    edge-list self-join ran 3× inside the loop (15.4 s at sf0.1). The
+    adjacency is therefore built ONCE as a localCheckpointed frame and
+    exposed to the recursive SQL as a temp view — the WITH RECURSIVE
+    walk (the engine surface under test) is unchanged, and the oracle
+    keeps the single-statement form (DuckDB materializes its CTEs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    adj = (
+        pairs.select(F.col("p1").alias("m"), F.col("p2").alias("nbr"))
+        .unionAll(pairs.select(F.col("p2").alias("m"), F.col("p1").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    adj.createOrReplaceTempView("rcte_adj")
+    return spark.sql("""
+WITH RECURSIVE seed AS (SELECT MIN(m) AS p FROM rcte_adj),
+walk(p, h) AS (
+  SELECT p, 0 FROM seed
+  UNION ALL
+  SELECT DISTINCT a.nbr, w.h + 1
+  FROM walk w JOIN rcte_adj a ON a.m = w.p
+  WHERE w.h < 3
+),
+first_reach AS (
+  SELECT p, CAST(MIN(h) AS BIGINT) AS hop FROM walk GROUP BY p
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM first_reach GROUP BY hop ORDER BY hop
+""")
