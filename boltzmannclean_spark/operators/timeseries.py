@@ -1479,3 +1479,209 @@ def ts_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_seasonal_residual_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3, 4
+),
+per_vg AS (
+  SELECT event_type, dow, hod, v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM hourly GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT event_type, dow, hod, v, t,
+         CAST(COALESCE(SUM(t) OVER (PARTITION BY event_type, dow, hod
+              ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS below
+  FROM per_vg
+),
+n AS (
+  SELECT event_type, dow, hod, CAST(SUM(t) AS BIGINT) AS n_g
+  FROM per_vg GROUP BY 1, 2, 3
+),
+season AS (
+  SELECT c.event_type, c.dow, c.hod,
+         CAST(SUM(CASE WHEN c.below < (n.n_g + 1) // 2
+                        AND (n.n_g + 1) // 2 <= c.below + c.t
+                       THEN c.v ELSE 0 END)
+            + SUM(CASE WHEN c.below < (n.n_g + 2) // 2
+                        AND (n.n_g + 2) // 2 <= c.below + c.t
+                       THEN c.v ELSE 0 END) AS BIGINT) AS med2
+  FROM cum c JOIN n ON n.event_type = c.event_type
+   AND n.dow = c.dow AND n.hod = c.hod
+  GROUP BY 1, 2, 3
+),
+resid AS (
+  SELECT h.event_type, h.h,
+         CAST(2 * h.v - s.med2 AS BIGINT) AS r
+  FROM hourly h JOIN season s ON s.event_type = h.event_type
+   AND s.dow = h.dow AND s.hod = h.hod
+),
+ar AS (
+  SELECT event_type, ABS(r) AS av, CAST(COUNT(*) AS BIGINT) AS t
+  FROM resid GROUP BY 1, 2
+),
+acum AS (
+  SELECT event_type, av, t,
+         CAST(COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY av
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM ar
+),
+an AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_g FROM ar GROUP BY 1),
+mad AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN a.below < (an.n_g + 1) // 2
+                        AND (an.n_g + 1) // 2 <= a.below + a.t
+                       THEN a.av ELSE 0 END)
+            + SUM(CASE WHEN a.below < (an.n_g + 2) // 2
+                        AND (an.n_g + 2) // 2 <= a.below + a.t
+                       THEN a.av ELSE 0 END) AS BIGINT) AS mad2
+  FROM acum a JOIN an ON an.event_type = a.event_type
+  GROUP BY a.event_type
+),
+flagged AS (
+  SELECT r.event_type, r.h, r.r, m.mad2,
+         CASE WHEN 2 * ABS(r.r) > 3 * m.mad2 THEN 1 ELSE 0 END AS is_anom,
+         ROW_NUMBER() OVER (PARTITION BY r.event_type
+                            ORDER BY ABS(r.r) DESC, r.h) AS rk
+  FROM resid r JOIN mad m ON m.event_type = r.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(is_anom) AS BIGINT) AS n_anomalies,
+       CAST(MAX(mad2) AS BIGINT) AS mad2_halfcents,
+       MAX(CASE WHEN rk = 1 THEN h END) AS worst_hour,
+       CAST(MAX(CASE WHEN rk = 1 THEN r END) AS BIGINT)
+         AS worst_resid2_halfcents
+FROM flagged GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("timeseries", "anomaly", "seasonal", "residual", "mad"),
+)
+def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DESEASONALIZED hourly series — the
+    monitoring tier above raw-value outlier ops (events_anomaly_iqr /
+    zscore / mad flag absolute extremes; this flags hours that are
+    extreme FOR THEIR (weekday, hour-of-day) SLOT, which is what pages
+    an on-call for a quiet-Tuesday-3am spike that a global threshold
+    never sees). Seasonal level = exact per-(arm, dow, hod) 2×median
+    in half-cents (the stats_brown_forsythe domain-compressed median
+    machinery over a finer key); residual r = 2v − med2 stays exact;
+    the robust scale is the per-arm 2×median of |r| and the flag rule
+    2·|r| > 3·mad2 is a pure integer comparison — zero floats anywhere
+    in the decision. Emits per arm: hours, anomaly count, the robust
+    scale, and the worst hour (ties pinned to the earliest).
+
+    Scale: every median lives on a (key, value) DOMAIN — the seasonal
+    grid is arms × 168 slots, the residual domain is value-bounded —
+    prefix-sum windows are partitioned by those keys (no global
+    window); the hourly compression groupBy is the only row-scale
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            (dec("value") * 100).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "h", "dow", "hod")
+        .agg(F.sum("x").cast("long").alias("v"))
+    )
+    per_vg = hourly.groupBy("event_type", "dow", "hod", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wkey = ["event_type", "dow", "hod"]
+    wb = (
+        Window.partitionBy(*wkey)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_vg.select(
+        *wkey,
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("below"),
+    )
+    n = per_vg.groupBy(*wkey).agg(F.sum("t").cast("long").alias("n_g"))
+    lo = F.expr("(n_g + 1) div 2")
+    hi = F.expr("(n_g + 2) div 2")
+    pick = lambda pos: F.sum(  # noqa: E731
+        F.when(
+            (F.col("below") < pos) & (pos <= F.col("below") + F.col("t")),
+            F.col("v"),
+        ).otherwise(0)
+    )
+    season = (
+        cum.join(n, wkey)
+        .groupBy(*wkey)
+        .agg((pick(lo) + pick(hi)).cast("long").alias("med2"))
+    )
+    resid = hourly.join(season, wkey).select(
+        "event_type",
+        "h",
+        (2 * F.col("v") - F.col("med2")).cast("long").alias("r"),
+    )
+    ar = resid.groupBy("event_type", F.abs("r").alias("av")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ab = (
+        Window.partitionBy("event_type")
+        .orderBy("av")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    acum = ar.select(
+        "event_type",
+        "av",
+        "t",
+        F.coalesce(F.sum("t").over(ab), F.lit(0)).cast("long").alias("below"),
+    )
+    an = ar.groupBy("event_type").agg(F.sum("t").cast("long").alias("n_g"))
+    picka = lambda pos: F.sum(  # noqa: E731
+        F.when(
+            (F.col("below") < pos) & (pos <= F.col("below") + F.col("t")),
+            F.col("av"),
+        ).otherwise(0)
+    )
+    mad = (
+        acum.join(F.broadcast(an), "event_type")
+        .groupBy("event_type")
+        .agg((picka(lo) + picka(hi)).cast("long").alias("mad2"))
+    )
+    flagged = resid.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "h",
+        "r",
+        "mad2",
+        F.when(2 * F.abs("r") > 3 * F.col("mad2"), 1).otherwise(0).alias(
+            "is_anom"
+        ),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(F.abs("r").desc(), "h")
+        )
+        .alias("rk"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("is_anom").cast("long").alias("n_anomalies"),
+            F.max("mad2").cast("long").alias("mad2_halfcents"),
+            F.max(F.when(F.col("rk") == 1, F.col("h"))).alias("worst_hour"),
+            F.max(F.when(F.col("rk") == 1, F.col("r")))
+            .cast("long")
+            .alias("worst_resid2_halfcents"),
+        )
+        .orderBy("event_type")
+    )
