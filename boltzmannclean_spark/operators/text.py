@@ -2439,3 +2439,144 @@ def curation_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_survivors",
     ).orderBy("rule")
+
+
+_TR_SCALE = 1_000_000_000
+_TR_ITER = 2
+_TR_MIN_FREQ = 5
+_TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    its, prev = [], "r0"
+    for i in range(1, _TR_ITER + 1):
+        its.append(f"""
+c{i} AS (
+  SELECT e.w2 AS w, CAST(SUM(({prev}.r * e.wt) // st.s) AS BIGINT)
+           AS contrib
+  FROM edges e
+  JOIN {prev} ON {prev}.w = e.w1
+  JOIN strength st ON st.w1 = e.w1
+  GROUP BY e.w2
+),
+r{i} AS (
+  SELECT c{i}.w,
+         (15 * ({_TR_SCALE} // nn.n) + 85 * c{i}.contrib) // 100 AS r
+  FROM c{i} CROSS JOIN nn
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+vocab AS (
+  SELECT tok FROM (SELECT UNNEST(tk) AS tok FROM docs) t
+  GROUP BY tok HAVING COUNT(*) >= {_TR_MIN_FREQ}
+),
+zipped AS (
+  SELECT UNNEST(list_zip(tk, tk[2:])) AS z FROM docs
+),
+big AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM zipped
+  JOIN vocab va ON va.tok = z[1]
+  JOIN vocab vb ON vb.tok = z[2]
+  WHERE z[1] <> z[2] AND z[2] IS NOT NULL
+),
+edges AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS wt FROM (
+    SELECT w1, w2 FROM big UNION ALL SELECT w2, w1 FROM big
+  ) t GROUP BY w1, w2
+),
+strength AS (
+  SELECT w1, CAST(SUM(wt) AS BIGINT) AS s FROM edges GROUP BY w1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM strength),
+r0 AS (
+  SELECT w1 AS w, CAST({_TR_SCALE} // nn.n AS BIGINT) AS r
+  FROM strength CROSS JOIN nn
+),{",".join(its)}
+SELECT w AS word, r AS rank_micro
+FROM {prev}
+ORDER BY rank_micro DESC, word
+LIMIT {_TR_TOP}
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("text", "textrank", "keywords", "graph", "pagerank"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau) — the
+    graph-centrality companion to RAKE's degree/frequency heuristic: a
+    weighted co-occurrence graph over adjacent token pairs (bigram
+    window, vocabulary pruned to tokens with >= 5 corpus occurrences),
+    ranked by {_TR_ITER} damped power-iteration rounds. The whole walk
+    runs in the graph_pagerank_bipartite integer-micro discipline: a
+    1e9 rank budget, per-edge contributions (r·w) DIV strength in
+    exact bigints, damping mix 15/85 DIV 100 — zero float arithmetic,
+    so both engines iterate bit-identically and the top-20 ranking is
+    reproducible at any parallelism.
+
+    Scale: bigram extraction is a row-local array transform (no
+    positional self-join on the Spark side — the oracle's
+    UNNEST-WITH-ORDINALITY join is the same relation); the edge list
+    is vocabulary-bounded (Zipf), strength rides on the cached edge
+    list, and each iteration is one pass over it with a map-side
+    combined aggregation to the destination word — the same
+    per-round profile as the pagerank operator, at a 168x smaller
+    node domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("tk"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _TR_MIN_FREQ)
+        .select("tok")
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w2"))), "w2")
+    )
+    edges = (
+        big.select("w1", "w2")
+        .unionAll(big.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    strength = edges.groupBy("w1").agg(F.sum("wt").cast("long").alias("s"))
+    ed = edges.join(strength, "w1").select("w1", "w2", "wt", "s").cache()
+    nn = strength.agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint()
+    r = strength.crossJoin(F.broadcast(nn)).select(
+        F.col("w1").alias("w"), F.expr(f"{_TR_SCALE} div n").alias("r")
+    )
+    for _ in range(_TR_ITER):
+        contrib = (
+            ed.join(r, ed.w1 == F.col("w"))
+            .groupBy("w2")
+            .agg(F.sum(F.expr("(r * wt) div s")).cast("long").alias("contrib"))
+        )
+        r = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("w2").alias("w"),
+            F.expr(f"(15 * ({_TR_SCALE} div n) + 85 * contrib) div 100").alias(
+                "r"
+            ),
+        ).localCheckpoint()
+    return (
+        r.select(F.col("w").alias("word"), F.col("r").cast("long").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "word")
+        .limit(_TR_TOP)
+    )
