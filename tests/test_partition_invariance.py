@@ -124,6 +124,42 @@ INVARIANT_QUERIES = (
     "join_geo_knn_grid",
     "graph_linkpred_common_neighbors",
     "ts_holt_linear_smoothing",
+    # round-9: x2-unit tied ranks, zero-MAD-dominant window flags,
+    # decimal power sums, sign-pair trend state, integer milli
+    # log-odds linkage scores, and the 1/ln micro weight table.
+    "stats_mann_whitney_u",
+    "window_hampel_filter",
+    "stats_skewness_kurtosis_exact",
+    "ts_mann_kendall_trend",
+    "dedup_fellegi_sunter_score",
+    "graph_linkpred_adamic_adar",
+    # round-10: integer-numerator ECDF/rank statistics, packed-bigint
+    # itemset keys, exact medians on value domains, watermark micros,
+    # integer crossing ranks, LCG-relabeled replicas, fixpoint
+    # recursion with per-step DISTINCT, and integer-micro TextRank.
+    # (dq_distribution_psi is deliberately ABSENT: its final
+    # (p-q)·ln(p/q) reduction is a float32-cast double sum — the
+    # documented libm contract, stable in practice but not
+    # exact-by-design under re-partitioning.)
+    "stats_ks_two_sample",
+    "stats_kruskal_wallis",
+    "ts_theil_sen_slope",
+    "dedup_sorted_neighborhood",
+    "graph_clustering_coefficient",
+    "text_rake_keywords",
+    "text_apriori_cooccur",
+    "stats_welch_ttest",
+    "graph_linkpred_jaccard",
+    "ts_changepoint_cusum",
+    "curation_filter_attribution",
+    "stats_brown_forsythe",
+    "dq_freshness_lag",
+    "events_pareto_concentration",
+    "ts_lag_feature_matrix",
+    "stats_permutation_test",
+    "sql_recursive_cte_reachability",
+    "ts_seasonal_residual_anomaly",
+    "text_textrank_keywords",
 )
 
 
