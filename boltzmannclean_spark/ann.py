@@ -165,13 +165,18 @@ def _pq_train(
                 for d in range(1, pq_dsub + 1)
             ],
         )
+        # Materialize each round: the centroid frame is codebook-sized
+        # (pq_m*pq_k rows), but left lazy iteration k's plan re-runs
+        # rounds 1..k-1's corpus-wide assignments — quadratic corpus
+        # passes once pq_iters grows past the original 2 (round-10
+        # measured the 6-iteration build paying 21 passes instead of 6).
         cent = sums.selectExpr(
             "b",
             "cid",
             "array("
             + ", ".join(_sdiv(f"s{d}", "m") for d in range(1, pq_dsub + 1))
             + ") AS cvec",
-        )
+        ).localCheckpoint(eager=True)
     return cent
 
 
@@ -227,12 +232,14 @@ def _ivf_train(
                 for d in range(1, dims + 1)
             ],
         )
+        # Same per-round materialization as _pq_train: cell count is
+        # tiny, the avoided recompute is corpus-sized.
         cent = sums.selectExpr(
             "cell",
             "array("
             + ", ".join(_sdiv(f"s{d}", "m") for d in range(1, dims + 1))
             + ") AS cvec",
-        )
+        ).localCheckpoint(eager=True)
     assigned = (
         q.crossJoin(F.broadcast(cent))
         .select(

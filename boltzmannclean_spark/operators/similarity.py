@@ -406,12 +406,16 @@ def _kmeans_cells(n: DataFrame) -> DataFrame:
                 for d in range(1, dims + 1)
             ],
         )
+        # Per-round materialization (round-10): the centroid frame is
+        # cell-count sized, but left lazy round k re-runs rounds
+        # 1..k-1's corpus-wide assignments — quadratic corpus passes
+        # once KMEANS_ITERS grew past 2.
         cent = sums.selectExpr(
             "cid",
             "array("
             + ", ".join(_sdiv_spark(f"s{d}", "m") for d in range(1, dims + 1))
             + ") AS cvec",
-        )
+        ).localCheckpoint(eager=True)
     return (
         n.crossJoin(F.broadcast(cent))
         .select(
@@ -1148,13 +1152,14 @@ def _pq_train(sub: DataFrame) -> DataFrame:
                 for d in range(1, PQ_DSUB + 1)
             ],
         )
+        # Same per-round materialization as the IVF loop above.
         cent = sums.selectExpr(
             "b",
             "cid",
             "array("
             + ", ".join(_sdiv_spark(f"s{d}", "m") for d in range(1, PQ_DSUB + 1))
             + ") AS cvec",
-        )
+        ).localCheckpoint(eager=True)
     return cent
 
 
