@@ -1972,3 +1972,210 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_col="event_id",
         n_resamples=_PERM_R,
     )
+
+
+_BH_SEGS = 20
+_BH_R = 32
+_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
+
+
+@register(
+    "stats_bh_fdr_permutation",
+    oracle=f"""
+WITH pool AS (
+  SELECT user_id % {_BH_SEGS} AS seg, event_id AS u,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CASE WHEN event_type = '{_MWU_G1}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MWU_G1}', '{_MWU_G2}')
+),
+obs AS (
+  SELECT seg,
+         CAST(SUM(g1) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN g1 = 1 THEN x ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN g1 = 0 THEN x ELSE 0 END) AS BIGINT) AS s_b
+  FROM pool GROUP BY seg
+),
+obs2 AS (
+  SELECT seg, n_a, n_b, s_a / n_a - s_b / n_b AS diff_obs FROM obs
+),
+fanned AS (
+  SELECT p.seg, p.x, t.r,
+         ((p.u % 2147483647) * 2654435761 + t.r * 40503)
+           % 2147483647 % 2 AS lbl
+  FROM pool p
+  CROSS JOIN (SELECT CAST(r AS BIGINT) AS r
+              FROM range(1, {_BH_R + 1}) t(r)) t
+),
+per AS (
+  SELECT seg, r, lbl, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM fanned GROUP BY seg, r, lbl
+),
+diffs AS (
+  SELECT seg, r,
+         CAST(MAX(CASE WHEN lbl = 1 THEN s END) AS BIGINT)
+           / CAST(MAX(CASE WHEN lbl = 1 THEN n END) AS BIGINT)
+       - CAST(MAX(CASE WHEN lbl = 0 THEN s END) AS BIGINT)
+           / CAST(MAX(CASE WHEN lbl = 0 THEN n END) AS BIGINT) AS d
+  FROM per GROUP BY seg, r
+),
+pv AS (
+  SELECT o.seg, o.n_a, o.n_b,
+         CAST(SUM(CASE WHEN ABS(d.d) >= ABS(o.diff_obs) THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS ext1
+  FROM diffs d JOIN obs2 o ON o.seg = d.seg
+  GROUP BY o.seg, o.n_a, o.n_b
+),
+ranked AS (
+  SELECT seg, n_a, n_b, ext1,
+         CAST(ROW_NUMBER() OVER (ORDER BY ext1, seg) AS BIGINT) AS bh_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv
+),
+cond AS (
+  SELECT *,
+         CASE WHEN ext1 * m * {_BH_Q_DEN}
+                   <= bh_rank * {_BH_Q_NUM} * ({_BH_R} + 1)
+              THEN bh_rank ELSE 0 END AS ok_rank
+  FROM ranked
+),
+kstar AS (SELECT CAST(MAX(ok_rank) AS BIGINT) AS k_star FROM cond)
+SELECT c.seg, c.n_a, c.n_b,
+       c.ext1 / ({_BH_R} + 1) AS p_value,
+       c.bh_rank,
+       CAST(CASE WHEN c.bh_rank <= k.k_star THEN 1 ELSE 0 END AS BIGINT)
+         AS is_discovery
+FROM cond c CROSS JOIN kstar k
+ORDER BY c.seg
+""",
+    tags=("stats", "fdr", "benjamini-hochberg", "permutation", "multiple-testing"),
+)
+def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FLEET of per-segment
+    randomization tests — what an experimentation platform actually
+    runs: 20 user-hash segments, each with its own click-vs-view
+    permutation p-value (32 deterministic LCG-relabeled replicas, the
+    stats_permutation_test machinery with a segment key), then the BH
+    step-up at q = 0.10 decided ENTIRELY in integers: p_i <= q·i/m
+    rewrites to (n_extreme_i + 1)·m·q_den <= i·q_num·(R + 1) — no
+    float ever enters the discovery decision, and ties in p are pinned
+    by segment id, so the discovery set is bit-reproducible at any
+    parallelism. Output per segment: p_value (one exact-integer
+    division, display only), BH rank, and the step-up discovery flag.
+
+    Scale: the replica fan-out combines map-side to (seg, r, lbl) =
+    20·32·2 groups per partition — never the fanned stream; the BH
+    ranking is a window over a 20-row table. The m hypotheses here are
+    segments, but the same plan shape handles thousands of metrics ×
+    slices (m grows the tiny table, never the scan count)."""
+    ev = load_table(spark, sf_dir, "events")
+    big_p = 2147483647
+    pool = ev.where(F.col("event_type").isin(_MWU_G1, _MWU_G2)).select(
+        F.expr(f"user_id % {_BH_SEGS}").alias("seg"),
+        F.col("event_id").alias("u"),
+        (dec("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == _MWU_G1, 1).otherwise(0).alias("g1"),
+    )
+    obs = pool.groupBy("seg").agg(
+        F.sum("g1").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g1") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("g1") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    obs2 = obs.select(
+        "seg",
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b")).alias(
+            "diff_obs"
+        ),
+    )
+    fanned = pool.select(
+        "seg",
+        "x",
+        F.explode(
+            F.array(*[F.lit(r).cast("long") for r in range(1, _BH_R + 1)])
+        ).alias("r"),
+        "u",
+    ).select(
+        "seg",
+        "x",
+        "r",
+        (
+            (
+                (F.col("u") % big_p) * F.lit(2654435761)
+                + F.col("r") * F.lit(40503)
+            )
+            % big_p
+            % 2
+        ).alias("lbl"),
+    )
+    per = fanned.groupBy("seg", "r", "lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    diffs = per.groupBy("seg", "r").agg(
+        (
+            F.max(F.when(F.col("lbl") == 1, F.col("s"))).cast("long")
+            / F.max(F.when(F.col("lbl") == 1, F.col("n"))).cast("long")
+            - F.max(F.when(F.col("lbl") == 0, F.col("s"))).cast("long")
+            / F.max(F.when(F.col("lbl") == 0, F.col("n"))).cast("long")
+        ).alias("d")
+    )
+    pv = (
+        diffs.join(F.broadcast(obs2), "seg")
+        .groupBy("seg", "n_a", "n_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), 1
+                    ).otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("ext1")
+        )
+    )
+    w = Window.orderBy("ext1", "seg")
+    ranked = pv.select(
+        "seg",
+        "n_a",
+        "n_b",
+        "ext1",
+        F.row_number().over(w).cast("long").alias("bh_rank"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias("m"),
+    )
+    cond = ranked.withColumn(
+        "ok_rank",
+        F.when(
+            F.col("ext1") * F.col("m") * _BH_Q_DEN
+            <= F.col("bh_rank") * _BH_Q_NUM * (_BH_R + 1),
+            F.col("bh_rank"),
+        ).otherwise(0),
+    )
+    kstar = cond.agg(F.max("ok_rank").cast("long").alias("k_star"))
+    return (
+        cond.crossJoin(F.broadcast(kstar))
+        .select(
+            "seg",
+            "n_a",
+            "n_b",
+            (F.col("ext1") / F.lit(_BH_R + 1)).alias("p_value"),
+            "bh_rank",
+            F.when(F.col("bh_rank") <= F.col("k_star"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_discovery"),
+        )
+        .orderBy("seg")
+    )
