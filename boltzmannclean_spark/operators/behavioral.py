@@ -2098,3 +2098,83 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_events",
         "total_users",
     ).orderBy("pct")
+
+
+@register(
+    "events_lorenz_gini",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY n, user_id) AS BIGINT) AS rk
+  FROM per_user
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(2 * SUM(rk * n) - (COUNT(*) + 1) * SUM(n) AS BIGINT)
+         AS gini_num,
+       CAST(2 * SUM(rk * n) - (COUNT(*) + 1) * SUM(n) AS BIGINT)
+         / (CAST(COUNT(*) AS BIGINT) * CAST(SUM(n) AS BIGINT)) AS gini
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("behavioral", "gini", "lorenz", "concentration", "skew"),
+)
+def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity, per event arm — the
+    scalar companion to events_pareto_concentration's crossing-point
+    readout (Pareto answers "how many users cover 80%", Gini compresses
+    the whole Lorenz curve into one comparable inequality number —
+    trendable across days, comparable across arms). Computed by the
+    rank identity G = (2·Σ(rank·n) − (N+1)·Σn) / (N·Σn) with ranks
+    ascending by activity (ties pinned by user_id): every term is an
+    exact bigint — gini_num is emitted as the exact integer numerator,
+    and the display coefficient is ONE correctly-rounded IEEE division
+    of exact integers, bit-equal in both engines.
+
+    Width: Σ(rank·n) ≤ N·Σn; at 1e7 users × 1e9 events that is 1e16 —
+    inside int64 with ×900 headroom; the rank identity never needs the
+    O(N²) pairwise |n_i − n_j| form.
+
+    Scale: one map-combined groupBy compresses the event stream to the
+    (arm, user) domain; ONE arm-partitioned ranking window over that
+    domain-sized table (same shard-at-unbounded-domain note as
+    mann_whitney_u), then a map-combined per-arm aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = per_user.select(
+        "event_type",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("n", "user_id"))
+        .cast("long")
+        .alias("rk"),
+    )
+    g_num = (
+        2 * F.sum(F.col("rk") * F.col("n"))
+        - (F.count(F.lit(1)) + 1) * F.sum("n")
+    ).cast("long")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("total_events"),
+            g_num.alias("gini_num"),
+            (
+                g_num
+                / (
+                    F.count(F.lit(1)).cast("long")
+                    * F.sum("n").cast("long")
+                )
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )

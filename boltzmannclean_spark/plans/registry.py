@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-10 additions (newest code, never harness-verified) --
+    "events_lorenz_gini",
     "stats_bh_fdr_permutation",
     "text_textrank_keywords",
     "ts_seasonal_residual_anomaly",

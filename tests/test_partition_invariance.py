@@ -160,6 +160,8 @@ INVARIANT_QUERIES = (
     "sql_recursive_cte_reachability",
     "ts_seasonal_residual_anomaly",
     "text_textrank_keywords",
+    "stats_bh_fdr_permutation",
+    "events_lorenz_gini",
 )
 
 
