@@ -2063,8 +2063,11 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at an unbounded user domain, shard the prefix sum into count
     buckets with per-bucket offsets — same note as mann_whitney_u);
     the three threshold probes ride a 3-row broadcast join, and the
-    min-crossing per threshold is a TakeOrdered(1)-shaped ranking
-    window over candidates, not a global sort."""
+    min-crossing per threshold is a min/min_by AGGREGATE over the
+    candidates (map-side combined, 3 output groups) — the crossing set
+    for pct=50 is roughly half the user domain, so a per-pct ranking
+    window would be a skewed single-partition sort; the aggregate
+    reduces it without ever sorting it."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     wo = Window.orderBy(F.desc("n"), "user_id")
@@ -2088,15 +2091,14 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(100 * F.col("cum") >= F.col("pct") * F.col("total_events"))
     )
-    best = crossing.withColumn(
-        "hit", F.row_number().over(Window.partitionBy("pct").orderBy("rk"))
-    ).where(F.col("hit") == 1)
+    best = crossing.groupBy("pct").agg(
+        F.min("rk").cast("long").alias("n_users"),
+        F.min_by("cum", "rk").cast("long").alias("cum_events"),
+        F.max("total_events").cast("long").alias("total_events"),
+        F.max("total_users").cast("long").alias("total_users"),
+    )
     return best.select(
-        "pct",
-        F.col("rk").alias("n_users"),
-        F.col("cum").alias("cum_events"),
-        "total_events",
-        "total_users",
+        "pct", "n_users", "cum_events", "total_events", "total_users"
     ).orderBy("pct")
 
 

@@ -1845,15 +1845,15 @@ grid AS (
   CROSS JOIN (SELECT 0 AS cur UNION ALL SELECT 1) h
   LEFT JOIN counts c ON c.event_type = bk.event_type
    AND c.bucket = bk.bucket AND c.cur = h.cur
-  JOIN tot ON tot.event_type = bk.event_type AND tot.cur = h.cur
+  LEFT JOIN tot ON tot.event_type = bk.event_type AND tot.cur = h.cur
   JOIN b ON b.event_type = bk.event_type
 ),
 rates AS (
   SELECT event_type, bucket, n_buckets,
          MAX(CASE WHEN cur = 0 THEN
-             CAST(n + 1 AS DOUBLE) / (t + n_buckets) END) AS p,
+             CAST(n + 1 AS DOUBLE) / (COALESCE(t, 0) + n_buckets) END) AS p,
          MAX(CASE WHEN cur = 1 THEN
-             CAST(n + 1 AS DOUBLE) / (t + n_buckets) END) AS q
+             CAST(n + 1 AS DOUBLE) / (COALESCE(t, 0) + n_buckets) END) AS q
   FROM grid GROUP BY event_type, bucket, n_buckets
 )
 SELECT event_type, CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
@@ -1869,7 +1869,10 @@ def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data (split at the exact integer midpoint of the observed time
     range — watermark semantics, no wall clock) has moved from the
     older half, over fixed $100 buckets with Laplace (+1) smoothing so
-    an empty bucket contributes a finite term. PSI < 0.1 is stable,
+    an empty bucket — or an entirely empty HALF (a retired or
+    late-starting arm; the empty half's total coalesces to 0, so each
+    bucket reads the pure-smoothing rate 1/n_buckets) — contributes a
+    finite term. PSI < 0.1 is stable,
     0.1-0.25 drifting, > 0.25 action. Counts, totals, the time split,
     and the bucket grid are all exact integers; only the final
     (p-q)·ln(p/q) sum runs in doubles and the result is FLOAT-cast —
@@ -1916,7 +1919,8 @@ obs AS (
 obs2 AS (SELECT n_a, n_b, s_a / n_a - s_b / n_b AS diff_obs FROM obs),
 fanned AS (
   SELECT p.x, t.r,
-         ((p.u % 2147483647) * 2654435761 + t.r * 40503)
+         ((((p.u % 2147483647) + 2147483647) % 2147483647)
+            * 2654435761 + t.r * 40503)
            % 2147483647 % 2 AS lbl
   FROM pool p
   CROSS JOIN (SELECT CAST(r AS BIGINT) AS r
@@ -1937,10 +1941,11 @@ diffs AS (
 )
 SELECT o.n_a, o.n_b, o.diff_obs,
        CAST(COUNT(*) AS BIGINT) AS n_resamples,
-       CAST(SUM(CASE WHEN ABS(d) >= ABS(o.diff_obs) THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_as_extreme,
-       (CAST(SUM(CASE WHEN ABS(d) >= ABS(o.diff_obs) THEN 1 ELSE 0 END)
-            AS BIGINT) + 1) / (CAST(COUNT(*) AS BIGINT) + 1) AS p_value
+       CAST(SUM(CASE WHEN d IS NULL OR ABS(d) >= ABS(o.diff_obs)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+       (CAST(SUM(CASE WHEN d IS NULL OR ABS(d) >= ABS(o.diff_obs)
+                THEN 1 ELSE 0 END) AS BIGINT) + 1)
+         / (CAST(COUNT(*) AS BIGINT) + 1) AS p_value
 FROM diffs CROSS JOIN obs2 o
 GROUP BY o.n_a, o.n_b, o.diff_obs
 """,
@@ -2001,7 +2006,8 @@ obs2 AS (
 ),
 fanned AS (
   SELECT p.seg, p.x, t.r,
-         ((p.u % 2147483647) * 2654435761 + t.r * 40503)
+         ((((p.u % 2147483647) + 2147483647) % 2147483647)
+            * 2654435761 + t.r * 40503)
            % 2147483647 % 2 AS lbl
   FROM pool p
   CROSS JOIN (SELECT CAST(r AS BIGINT) AS r
@@ -2022,8 +2028,8 @@ diffs AS (
 ),
 pv AS (
   SELECT o.seg, o.n_a, o.n_b,
-         CAST(SUM(CASE WHEN ABS(d.d) >= ABS(o.diff_obs) THEN 1 ELSE 0 END)
-              AS BIGINT) + 1 AS ext1
+         CAST(SUM(CASE WHEN d.d IS NULL OR ABS(d.d) >= ABS(o.diff_obs)
+                  THEN 1 ELSE 0 END) AS BIGINT) + 1 AS ext1
   FROM diffs d JOIN obs2 o ON o.seg = d.seg
   GROUP BY o.seg, o.n_a, o.n_b
 ),
@@ -2108,7 +2114,7 @@ def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         (
             (
-                (F.col("u") % big_p) * F.lit(2654435761)
+                F.pmod(F.col("u"), F.lit(big_p)) * F.lit(2654435761)
                 + F.col("r") * F.lit(40503)
             )
             % big_p
@@ -2134,7 +2140,9 @@ def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(
                     F.when(
-                        F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), 1
+                        F.col("d").isNull()
+                        | (F.abs(F.col("d")) >= F.abs(F.col("diff_obs"))),
+                        1,
                     ).otherwise(0)
                 )
                 + 1

@@ -1491,9 +1491,15 @@ def psi_drift(
     ``time_col`` range (watermark semantics — a backfilled rerun and
     the oracle agree forever), histograms over fixed ``bucket_width``
     buckets, Laplace ``smoothing`` so empty buckets contribute finite
-    terms. Returns one row per group: (group, n_buckets, psi) with
-    psi FLOAT-cast (counts, totals, split and grid are exact integers;
-    only the final (p-q)·ln(p/q) reduction runs in libm doubles).
+    terms. Buckets use FLOOR division (exact-integer ``(x - pmod) div
+    w``), matching the oracle's ``//`` on negative values, and a group
+    whose rows all fall in one time half (a retired or late-starting
+    group — the midpoint is global) still gets finite terms: the empty
+    half's total is coalesced to 0 so every bucket contributes the
+    pure-smoothing rate s/(s·n_buckets). Returns one row per group:
+    (group, n_buckets, psi) with psi FLOAT-cast (counts, totals, split
+    and grid are exact integers; only the final (p-q)·ln(p/q)
+    reduction runs in libm doubles).
 
     PSI < 0.1 is conventionally stable, 0.1-0.25 drifting, > 0.25
     actionable.
@@ -1514,9 +1520,10 @@ def psi_drift(
             "(CAST(MIN(_us) AS BIGINT) + CAST(MAX(_us) AS BIGINT)) div 2"
         ).alias("_mid")
     )
+    bw = int(bucket_width)
     halves = pool.crossJoin(F.broadcast(wm)).select(
         "_g",
-        F.expr(f"_x div {int(bucket_width)}").alias("_bucket"),
+        F.expr(f"(_x - pmod(_x, {bw})) div {bw}").alias("_bucket"),
         F.when(F.col("_us") <= F.col("_mid"), 0).otherwise(1).alias("_cur"),
     )
     counts = halves.groupBy("_g", "_bucket", "_cur").agg(
@@ -1532,14 +1539,14 @@ def psi_drift(
     grid = (
         buckets.crossJoin(F.broadcast(h))
         .join(counts, ["_g", "_bucket", "_cur"], "left")
-        .join(tot, ["_g", "_cur"])
+        .join(tot, ["_g", "_cur"], "left")
         .join(F.broadcast(nb), "_g")
         .select(
             "_g",
             "_bucket",
             "_cur",
             F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
-            "_t",
+            F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("_t"),
             "n_buckets",
         )
     )
@@ -1583,15 +1590,28 @@ def permutation_test(
     your data first).
 
     Replicas use deterministic RANDOM RELABELING: replica r assigns
-    each unit the pseudo-label ((unit % P) * 2654435761 + r * 40503)
-    % P % 2 with P = 2^31 - 1 — a fixed LCG mix evaluated identically
-    by any engine (no engine hash() in the plan, so the oracle twin
-    reproduces every replica bit-for-bit). Returns one row:
-    (n_a, n_b, diff_obs, n_resamples, n_as_extreme, p_value) where
-    n_as_extreme counts replicas with |diff_r| >= |diff_obs| (an exact
-    integer — the double comparisons feeding it are fixed expression
-    trees over exact sums) and p_value = (n_as_extreme + 1) /
-    (n_resamples + 1), the standard add-one Monte-Carlo estimate.
+    each unit the pseudo-label (pmod(unit, P) * 2654435761 + r *
+    40503) % P % 2 with P = 2^31 - 1 — a fixed LCG mix evaluated
+    identically by any engine (no engine hash() in the plan, so the
+    oracle twin reproduces every replica bit-for-bit; pmod keeps the
+    label in {0,1} even for NEGATIVE unit ids, where a sign-keeping
+    ``%`` would silently empty one arm of every replica). Returns one
+    row: (n_a, n_b, diff_obs, n_resamples, n_as_extreme, p_value)
+    where n_as_extreme counts replicas with |diff_r| >= |diff_obs| (an
+    exact integer — the double comparisons feeding it are fixed
+    expression trees over exact sums) and p_value = (n_as_extreme + 1)
+    / (n_resamples + 1), the standard add-one Monte-Carlo estimate. A
+    degenerate replica that assigns every unit one label has no
+    defined diff and is counted as extreme — the conservative
+    direction (inflates, never deflates, the p-value).
+
+    Known bias, documented: relabeling is ~50/50 per unit and does NOT
+    preserve the observed arm sizes (n_a, n_b). Under heavily
+    imbalanced arms the replica diff distribution has LARGER variance
+    than the true size-preserving permutation null, so p-values are
+    biased conservative (toward non-significance) — the safe direction
+    for a launch gate, but not the exact permutation test; use
+    welch_ttest alongside when arms are far from balanced.
 
     Scale: ONE pass — each row explodes to ``n_resamples`` (replica,
     label) pairs that feed an immediate map-side partial aggregation,
@@ -1635,7 +1655,7 @@ def permutation_test(
         "_r",
         (
             (
-                (F.col("_u") % big_p) * F.lit(2654435761)
+                F.pmod(F.col("_u"), F.lit(big_p)) * F.lit(2654435761)
                 + F.col("_r") * F.lit(40503)
             )
             % big_p
@@ -1663,7 +1683,9 @@ def permutation_test(
             F.count(F.lit(1)).cast("long").alias("n_resamples"),
             F.sum(
                 F.when(
-                    F.abs(F.col("_d")) >= F.abs(F.col("diff_obs")), 1
+                    F.col("_d").isNull()
+                    | (F.abs(F.col("_d")) >= F.abs(F.col("diff_obs"))),
+                    1,
                 ).otherwise(0)
             )
             .cast("long")

@@ -876,3 +876,96 @@ def test_permutation_test_detects_obvious_shift_and_respects_null(spark):
     ).collect()[0]
     assert out2.diff_obs == 0.0
     assert out2.p_value == 1.0
+
+
+def test_psi_drift_group_with_one_empty_half_is_finite(spark):
+    import datetime as dt
+
+    from boltzmannclean_spark import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    # The midpoint is GLOBAL: group "anchor" spans both halves and
+    # pins it; group "late" has every row after it (a late-starting
+    # arm).  Pre-fix, the empty old half dropped out of the grid
+    # (inner join on totals) and "late" returned psi = NULL, defeating
+    # the Laplace smoothing; now the empty half's total coalesces to 0
+    # so each bucket reads rate 1/n_buckets.
+    rows = [
+        ("anchor", 100, t0),
+        ("anchor", 100, t0 + dt.timedelta(days=10)),
+        ("late", 100, t0 + dt.timedelta(days=10)),
+        ("late", 100, t0 + dt.timedelta(days=10)),
+        ("late", 900, t0 + dt.timedelta(days=10)),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, ts timestamp")
+    out = {
+        r.g: r
+        for r in psi_drift(
+            df, value="v", group_col="g", time_col="ts", bucket_width=100
+        ).collect()
+    }
+    assert out["late"].psi is not None
+    # old half: p = 1/n_buckets = 0.5 per bucket; new half: q = 3/5, 2/5.
+    import math
+
+    expect = (0.5 - 0.6) * math.log(0.5 / 0.6) + (0.5 - 0.4) * math.log(
+        0.5 / 0.4
+    )
+    assert out["late"].psi == pytest.approx(expect, rel=1e-6)
+
+
+def test_psi_drift_negative_values_floor_bucketing(spark):
+    import datetime as dt
+
+    from boltzmannclean_spark import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    # -150 and +50 must land in DIFFERENT buckets (floor: -2 vs 0).
+    # Pre-fix Spark's truncating `div` put -150 in bucket -1 and gave
+    # bucket 0 a double width (-100, 100), diverging from the oracle's
+    # floor `//`.  With floor bucketing the two halves here occupy
+    # disjoint buckets, so psi is strictly positive.
+    rows = [
+        ("g", -150, t0),
+        ("g", -150, t0),
+        ("g", 50, t0 + dt.timedelta(days=10)),
+        ("g", 50, t0 + dt.timedelta(days=10)),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, ts timestamp")
+    r = psi_drift(
+        df, value="v", group_col="g", time_col="ts", bucket_width=100
+    ).collect()[0]
+    assert r.n_buckets == 2
+    assert r.psi > 0.5
+
+
+def test_permutation_test_negative_ids_and_degenerate_replicas(spark):
+    from boltzmannclean_spark import permutation_test
+
+    # Negative unit ids: pre-fix the sign-keeping % made the label
+    # land in {-1, 0}, so the lbl==1 arm of EVERY replica was empty,
+    # d was NULL, and p collapsed to the 1/(R+1) floor — spurious
+    # significance regardless of the data.  Identical groups must
+    # still read p = 1.
+    same = [("A", -(i + 1), 7) for i in range(20)] + [
+        ("B", -(100 + i), 7) for i in range(20)
+    ]
+    df = spark.createDataFrame(same, "g string, u long, v long")
+    out = permutation_test(
+        df, value="v", group_col="g", group_a="A", group_b="B",
+        unit_col="u", n_resamples=32,
+    ).collect()[0]
+    assert out.diff_obs == 0.0
+    assert out.p_value == 1.0
+    # Units {5, 6} are LCG-degenerate: every replica assigns both the
+    # same label, so every replica diff is undefined (NULL).  NULL
+    # replicas count as extreme — the conservative direction — so the
+    # test reports p = 1, never the significance floor.
+    tiny = [("A", 5, 7), ("B", 6, 7)]
+    df2 = spark.createDataFrame(tiny, "g string, u long, v long")
+    out2 = permutation_test(
+        df2, value="v", group_col="g", group_a="A", group_b="B",
+        unit_col="u", n_resamples=32,
+    ).collect()[0]
+    assert out2.n_as_extreme == 32
+    assert out2.p_value == 1.0
