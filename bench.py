@@ -112,7 +112,11 @@ HEADLINE = CORE9 + [
     # order only.
     "events_sessionize_skew",
     "dedup_prefix_filter_jaccard",
-    "similarity_ann_pq_adc",
+    # r11: similarity_ann_pq_adc moved to BUILD_JOBS — it trains PQ
+    # codebooks in-query (it exists as the oracle twin of the build
+    # job), so every deliberate recall investment read as a headline
+    # regression (r10: ×1.60). The serve-path twin
+    # similarity_ann_pq_adc_prebuilt stays in the headline.
     # round-5 session additions: exact set-similarity join, keyword
     # search, and the mergeable-rollup contract
     "text_bm25_topk",
@@ -150,6 +154,11 @@ HEADLINE = CORE9 + [
 # total misread r6 as a 38% regression that was actually 3 new entries.
 BUILD_JOBS = [
     "sink_ann_index_build",
+    # r11 (r10 verdict item 2): the train-in-query oracle twins of the
+    # build job — Lloyd training dominates their cost, so they are
+    # build jobs by nature; their registry/oracle entries are unchanged.
+    "similarity_ann_pq_adc",
+    "similarity_ann_ivfpq",
 ]
 
 # End-of-session canary: re-timed last; best_end/best_begin exposes

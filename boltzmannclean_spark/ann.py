@@ -268,6 +268,7 @@ def build_ann_index(
     micro: int = DEFAULT_MICRO,
     pq_seed_pred: Column | None = None,
     cell_seed_pred: Column | None = None,
+    residual: bool = False,
 ) -> str:
     """Train and persist a PQ (optionally IVF×PQ) ANN index for
     ``df[(id_col, vec_col)]`` under ``out_dir``. Returns ``out_dir``.
@@ -286,6 +287,18 @@ def build_ann_index(
       explicit init); default = the ``pq_k`` / ``n_cells`` smallest
       ids. Seeding is the ONLY stochasticity-shaped knob and it is
       fully deterministic either way.
+    - ``residual`` — IVF-centered PQ (the FAISS IVFPQ norm): the PQ
+      codebooks are trained on, and every vector encoded as,
+      ``x − centroid(cell(x))`` instead of the raw coordinates.
+      Requires an IVF build (``n_cells``). Residuals are differences
+      of exact integers, so the whole exact-arithmetic discipline
+      composes unchanged. Worth it when the corpus is CLUSTERED (the
+      coarse centroids absorb most of the variance and the codebooks
+      spend their capacity on the remainder); measured on this repo's
+      near-isotropic synthetic fixture it is recall-neutral (sf0.1
+      grid, m=16 k=256: 0.600 residual vs 0.612 raw — SCALING.md
+      round-11), which is itself the documented FAISS expectation for
+      unclustered data.
 
     Everything is exact integer micro-unit arithmetic (``micro``), so
     rebuilds are bit-identical and parquet round-trips losslessly —
@@ -296,11 +309,49 @@ def build_ann_index(
     orchestrator."""
     if dims % pq_m:
         raise ValueError(f"dims={dims} not divisible by pq_m={pq_m}")
+    has_ivf = n_cells is not None or cell_seed_pred is not None
+    if residual and not has_ivf:
+        raise ValueError(
+            "residual=True requires an IVF build (pass n_cells or "
+            "cell_seed_pred): residual PQ encodes x - centroid(cell(x))"
+        )
     pq_dsub = dims // pq_m
     q = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), micro).alias("qvec")
     )
-    sub = _subvectors(q, pq_m, pq_dsub).localCheckpoint()
+    ivf_cent = cells = None
+    if has_ivf:
+        cell_seeds = (
+            df.where(cell_seed_pred).select(F.col(id_col).alias("id"))
+            if cell_seed_pred is not None
+            else _smallest_ids(q, n_cells)
+        )
+        ivf_cent, cells = _ivf_train(
+            q, dims=dims, kmeans_iters=kmeans_iters, seeds=cell_seeds
+        )
+        ivf_cent = ivf_cent.localCheckpoint()
+        cells = cells.localCheckpoint()
+        cells.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "cells")
+        )
+        ivf_cent.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "ivf_centroids")
+        )
+    if residual:
+        # IVF-centered PQ: the encoded signal is x - centroid(cell(x)).
+        # One broadcast join against the tiny centroid table + a
+        # row-local zip_with difference — exact integers throughout.
+        pq_src = (
+            q.join(cells, "id")
+            .join(F.broadcast(ivf_cent), "cell")
+            .select(
+                "id",
+                F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
+            )
+        )
+    else:
+        pq_src = q
+    sub = _subvectors(pq_src, pq_m, pq_dsub).localCheckpoint()
     # Seed predicates evaluate against the CALLER'S frame (their own
     # column names); the default is the pq_k / n_cells smallest ids.
     pq_seeds = (
@@ -324,21 +375,6 @@ def build_ann_index(
     codes.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(out_dir, "codes")
     )
-    if n_cells is not None or cell_seed_pred is not None:
-        cell_seeds = (
-            df.where(cell_seed_pred).select(F.col(id_col).alias("id"))
-            if cell_seed_pred is not None
-            else _smallest_ids(q, n_cells)
-        )
-        ivf_cent, cells = _ivf_train(
-            q, dims=dims, kmeans_iters=kmeans_iters, seeds=cell_seeds
-        )
-        cells.coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "cells")
-        )
-        ivf_cent.repartition(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "ivf_centroids")
-        )
     n_corpus = df.count()
     conf = {
         "dims": dims,
@@ -349,7 +385,8 @@ def build_ann_index(
         "n_cells": n_cells,
         "kmeans_iters": kmeans_iters,
         "micro": micro,
-        "has_ivf": n_cells is not None or cell_seed_pred is not None,
+        "has_ivf": has_ivf,
+        "residual": residual,
     }
     with open(os.path.join(out_dir, META_FILE), "w") as fh:
         json.dump({"n": n_corpus, "conf": conf}, fh)
@@ -388,35 +425,35 @@ def ann_search(
     ``nprobe`` nearest coarse cells via the stored centroids and
     restrict the code scan to those cells — scan cost drops by
     ~n_cells/nprobe. ``exclude_self`` drops neighbor_id == query_id,
-    the right default when queries are corpus members."""
+    the right default when queries are corpus members.
+
+    A ``residual=True`` index is served transparently (the flag rides
+    meta.json): the ADC LUT becomes per-(query, cell) — block
+    distances between the query's RESIDUAL against each probed cell's
+    centroid and the codebook — still a broadcast (queries × probed
+    cells × pq_m × pq_k rows; with no ``nprobe`` every cell is
+    "probed", so pass ``nprobe`` on residual indexes at scale)."""
     conf = read_index_conf(index_dir)
     pq_dsub, pq_m, micro = conf["pq_dsub"], conf["pq_m"], conf["micro"]
+    residual = conf.get("residual", False)
     cent = spark.read.parquet(os.path.join(index_dir, "codebook"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     q = queries.select(
         F.col(id_col).alias("id"),
         _quantize(F.col(vec_col), micro).alias("qvec"),
     )
-    qsub = _subvectors(q, pq_m, pq_dsub)
-    lut = qsub.join(F.broadcast(cent), "b").select(
-        F.col("id").alias("query_id"),
-        "b",
-        "cid",
-        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), pq_dsub).alias(
-            "pdist"
-        ),
-    )
-    scan = codes
-    if nprobe is not None:
-        if not conf.get("has_ivf"):
-            raise ValueError(
-                f"index at {index_dir} was built without n_cells; "
-                "nprobe requires an IVF build"
-            )
+    if nprobe is not None and not conf.get("has_ivf"):
+        raise ValueError(
+            f"index at {index_dir} was built without n_cells; "
+            "nprobe requires an IVF build"
+        )
+    qcells = None
+    if nprobe is not None or residual:
         ivf_cent = spark.read.parquet(
             os.path.join(index_dir, "ivf_centroids")
         )
         cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    if nprobe is not None:
         # Query -> nprobe nearest cells: the centroid table is tiny, so
         # fan out queries×n_cells and keep the nprobe best per query
         # (salted top-k; ties to the smaller cell id, matching the
@@ -432,33 +469,98 @@ def ann_search(
             k=nprobe,
             salt_col="cell",
         ).select("qc_query", F.col("cell").alias("qcell"))
+    self_filter = (
+        (F.col("id") != F.col("query_id")) if exclude_self else F.lit(True)
+    )
+    if residual:
+        # Per-(query, probed cell) residual LUT: block distance between
+        # (qsub - csub) and each code. All frames feeding it are tiny
+        # (queries, centroids, codebook) — the corpus only appears in
+        # the final code-table equi-join.
+        probed = (
+            qcells
+            if qcells is not None
+            else q.select(F.col("id").alias("qc_query")).crossJoin(
+                F.broadcast(ivf_cent.select(F.col("cell").alias("qcell")))
+            )
+        )
+        csub = _subvectors(
+            ivf_cent.select(
+                F.col("cell").alias("id"), F.col("cvec").alias("qvec")
+            ),
+            pq_m,
+            pq_dsub,
+        ).select(
+            F.col("id").alias("ccell"),
+            F.col("b").alias("cb"),
+            F.col("qsub").alias("csub"),
+        )
+        rsub = (
+            _subvectors(q, pq_m, pq_dsub)
+            .join(probed, F.col("id") == F.col("qc_query"))
+            .join(
+                F.broadcast(csub),
+                (F.col("b") == F.col("cb"))
+                & (F.col("qcell") == F.col("ccell")),
+            )
+            .select(
+                F.col("id").alias("query_id"),
+                "qcell",
+                "b",
+                F.zip_with("qsub", "csub", lambda x, c: x - c).alias("rsub"),
+            )
+        )
+        lut = rsub.join(F.broadcast(cent), "b").select(
+            "query_id",
+            "qcell",
+            F.col("b").alias("lb"),
+            F.col("cid").alias("lcid"),
+            _int_dist_unrolled(F.col("rsub"), F.col("cvec"), pq_dsub).alias(
+                "pdist"
+            ),
+        )
         scan = codes.join(cells.withColumnRenamed("cell", "vcell"), "id")
         scored = (
-            scan.join(F.broadcast(lut), ["b", "cid"])
-            .join(
-                F.broadcast(qcells),
-                (F.col("vcell") == F.col("qcell"))
-                & (F.col("query_id") == F.col("qc_query")),
+            scan.join(
+                F.broadcast(lut),
+                (F.col("b") == F.col("lb"))
+                & (F.col("cid") == F.col("lcid"))
+                & (F.col("vcell") == F.col("qcell")),
             )
-            .where(
-                (F.col("id") != F.col("query_id"))
-                if exclude_self
-                else F.lit(True)
-            )
+            .where(self_filter)
             .groupBy("query_id", F.col("id").alias("neighbor_id"))
             .agg(F.sum("pdist").alias("adc_dist"))
         )
     else:
-        scored = (
-            scan.join(F.broadcast(lut), ["b", "cid"])
-            .where(
-                (F.col("id") != F.col("query_id"))
-                if exclude_self
-                else F.lit(True)
-            )
-            .groupBy("query_id", F.col("id").alias("neighbor_id"))
-            .agg(F.sum("pdist").alias("adc_dist"))
+        qsub = _subvectors(q, pq_m, pq_dsub)
+        lut = qsub.join(F.broadcast(cent), "b").select(
+            F.col("id").alias("query_id"),
+            "b",
+            "cid",
+            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), pq_dsub).alias(
+                "pdist"
+            ),
         )
+        if qcells is not None:
+            scan = codes.join(cells.withColumnRenamed("cell", "vcell"), "id")
+            scored = (
+                scan.join(F.broadcast(lut), ["b", "cid"])
+                .join(
+                    F.broadcast(qcells),
+                    (F.col("vcell") == F.col("qcell"))
+                    & (F.col("query_id") == F.col("qc_query")),
+                )
+                .where(self_filter)
+                .groupBy("query_id", F.col("id").alias("neighbor_id"))
+                .agg(F.sum("pdist").alias("adc_dist"))
+            )
+        else:
+            scored = (
+                codes.join(F.broadcast(lut), ["b", "cid"])
+                .where(self_filter)
+                .groupBy("query_id", F.col("id").alias("neighbor_id"))
+                .agg(F.sum("pdist").alias("adc_dist"))
+            )
     return topk_per_key(
         scored,
         keys=["query_id"],

@@ -18,8 +18,9 @@ train+query composition):
 - ``similarity_ann_pq_adc_prebuilt`` — the QUERY leg only: broadcast
   the stored codebook, compute each query's ADC LUT, scan the stored
   code table with an equi-join + sum, salted top-k. No training in the
-  plan; this is the shape that serves at 100 TB (codes are 64x smaller
-  than the raw vectors; the scan never touches a float vector).
+  plan; this is the shape that serves at 100 TB (codes are 8x smaller
+  than the raw float32 vectors at the r11 config — PQ_M=32 one-byte
+  codes per 64-dim vector; the scan never touches a float vector).
 - ``similarity_ann_ivfpq_prebuilt`` — the composed FAISS-style query:
   the stored IVF cell equi-join restricts the ADC scan to each query's
   cell before scoring.
@@ -63,7 +64,9 @@ from boltzmannclean_spark.operators.similarity import (
     TOP_K,
     _int_dist_unrolled,
     _ivfpq_oracle,
+    _pq_codes_sql,
     _pq_iter_sql,
+    _pq_lut_sql,
     _pq_oracle,
     _pq_subvectors,
     _pq_train,
@@ -90,6 +93,7 @@ _INDEX_CONF = {
     "kmeans_iters": KMEANS_ITERS,
     "micro": MICRO,
     "has_ivf": True,
+    "residual": False,
     "version": 2,
 }
 
@@ -314,24 +318,7 @@ def similarity_ann_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-RECALL_ORACLE = f"""{_BUILD_CTES},
-pdf AS (
-  SELECT q.vec_id, q.b, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM pq q JOIN {_BUILD_FINAL} c ON q.b = c.b AND q.d = c.d
-  GROUP BY q.vec_id, q.b, c.cid
-),
-codes AS (
-  SELECT vec_id, b, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                                 ORDER BY dist, cid) AS rn
-    FROM pdf
-  ) t WHERE rn = 1
-),
-lut AS (
-  SELECT vec_id AS query_id, b, cid, dist AS pdist
-  FROM pdf WHERE vec_id < {N_QUERY}
-),
+RECALL_ORACLE = f"""{_BUILD_CTES},{_pq_codes_sql(_BUILD_FINAL)},{_pq_lut_sql(_BUILD_FINAL)},
 scored AS (
   SELECT l.query_id, c.vec_id AS neighbor_id,
          CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
@@ -469,20 +456,7 @@ WITH pq AS (
 ),
 pq_init AS (SELECT * FROM pq WHERE vec_id % {_DELTA_MOD} <> 0),
 pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx
-        FROM pq_init WHERE vec_id < {PQ_K}),{",".join(iters)},
-pdf AS (
-  SELECT q.vec_id, q.b, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM pq q JOIN {prev} c ON q.b = c.b AND q.d = c.d
-  GROUP BY q.vec_id, q.b, c.cid
-),
-codes AS (
-  SELECT vec_id, b, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                                 ORDER BY dist, cid) AS rn
-    FROM pdf
-  ) t WHERE rn = 1
-)
+        FROM pq_init WHERE vec_id < {PQ_K}),{",".join(iters)},{_pq_codes_sql(prev, src="pq")}
 SELECT CAST(b AS BIGINT) AS b, CAST(cid AS BIGINT) AS cid,
        COUNT(*) AS n_vectors,
        CAST(SUM(CASE WHEN vec_id % {_DELTA_MOD} = 0 THEN 1 ELSE 0 END)
@@ -589,7 +563,10 @@ def _recall_curve_oracle() -> str:
     per-query cell RANKING (crk), PQ codebook/codes/LUT CTEs, then one
     pruned ADC top-k per probe point via a lateral probes join, each
     overlapped against the exact integer-L2 top-k."""
-    from boltzmannclean_spark.operators.similarity import _kmeans_iter_sql
+    from boltzmannclean_spark.operators.similarity import (
+        _kmeans_assign_sql,
+        _kmeans_iter_sql,
+    )
 
     ivf_iters, prev = [], "c0"
     for k in range(1, KMEANS_ITERS + 1):
@@ -608,21 +585,19 @@ WITH q AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(ivf_iters)},
-cdist AS (
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(ivf_iters)},{_kmeans_assign_sql(ivf_final)},
+qcdist AS (
   SELECT q.vec_id, c.cid,
          CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM q JOIN {ivf_final} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+  FROM (SELECT * FROM q WHERE vec_id < {N_QUERY}) q
+  JOIN {ivf_final} c ON q.d = c.d GROUP BY q.vec_id, c.cid
 ),
-crank AS (
-  SELECT vec_id, cid,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS crk
-  FROM cdist
-),
-af AS (SELECT vec_id, cid FROM crank WHERE crk = 1),
 qprobe AS (
-  SELECT vec_id, cid, crk FROM crank
-  WHERE crk <= {max(_PROBE_POINTS)} AND vec_id < {N_QUERY}
+  SELECT vec_id, cid, crk FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS crk
+    FROM qcdist
+  ) t WHERE crk <= {max(_PROBE_POINTS)}
 ),
 pq AS (
   SELECT vec_id,
@@ -631,24 +606,7 @@ pq AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(pq_iters)},
-pdf AS (
-  SELECT q.vec_id, q.b, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM pq q JOIN {pq_final} c ON q.b = c.b AND q.d = c.d
-  GROUP BY q.vec_id, q.b, c.cid
-),
-codes AS (
-  SELECT vec_id, b, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                                 ORDER BY dist, cid) AS rn
-    FROM pdf
-  ) t WHERE rn = 1
-),
-lut AS (
-  SELECT vec_id AS query_id, b, cid, dist AS pdist
-  FROM pdf WHERE vec_id < {N_QUERY}
-),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(pq_iters)},{_pq_codes_sql(pq_final)},{_pq_lut_sql(pq_final)},
 probes AS (SELECT * FROM (VALUES {probes_values}) t(p)),
 scored AS (
   SELECT pr.p, l.query_id, c.vec_id AS neighbor_id,

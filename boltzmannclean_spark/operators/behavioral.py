@@ -2059,26 +2059,38 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible at any parallelism.
 
     Scale: one map-combined groupBy compresses the event stream to the
-    user domain; ONE prefix-sum window over that domain-sized table
-    (at an unbounded user domain, shard the prefix sum into count
-    buckets with per-bucket offsets — same note as mann_whitney_u);
-    the three threshold probes ride a 3-row broadcast join, and the
-    min-crossing per threshold is a min/min_by AGGREGATE over the
-    candidates (map-side combined, 3 output groups) — the crossing set
-    for pct=50 is roughly half the user domain, so a per-pct ranking
-    window would be a skewed single-partition sort; the aggregate
-    reduces it without ever sorting it."""
+    user domain; the global prefix sum over that domain runs SHARDED
+    (``functions/prefix.sharded_prefix_sum`` — r10 verdict item 5's
+    executable version of the count-bucket recipe): shard key =
+    (-n, user_id div 4096), monotone in the global (n DESC, user_id)
+    order, so the local windows parallelize across count buckets AND
+    across user sub-ranges inside a crowded count, and the only global
+    window runs over shard totals, never the user domain. The three
+    threshold probes ride a 3-row broadcast join, and the min-crossing
+    per threshold is a min/min_by AGGREGATE over the candidates
+    (map-side combined, 3 output groups) — the crossing set for pct=50
+    is roughly half the user domain, so a per-pct ranking window would
+    be a skewed single-partition sort; the aggregate reduces it
+    without ever sorting it."""
+    from boltzmannclean_spark.functions.prefix import sharded_prefix_sum
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    wo = Window.orderBy(F.desc("n"), "user_id")
-    ranked = per_user.select(
-        "n",
-        F.row_number().over(wo).cast("long").alias("rk"),
-        F.sum("n")
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("cum"),
+    sharded = per_user.withColumn(
+        "__shard",
+        F.struct(
+            (F.col("n") * -1).alias("s1"),
+            F.expr("user_id div 4096").alias("s2"),
+        ),
     )
+    ranked = sharded_prefix_sum(
+        sharded,
+        shard_col="__shard",
+        order=[F.desc("n"), "user_id"],
+        value="n",
+        cum_col="cum",
+        rank_col="rk",
+    ).select("n", "rk", "cum")
     tot = per_user.agg(
         F.sum("n").cast("long").alias("total_events"),
         F.count(F.lit(1)).cast("long").alias("total_users"),

@@ -2019,6 +2019,7 @@ def _semdedup_oracle() -> str:
         CENT_MOD,
         KMEANS_ITERS,
         MICRO,
+        _kmeans_assign_sql,
         _kmeans_iter_sql,
     )
 
@@ -2041,19 +2042,7 @@ q AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(iters)},
-df AS (
-  SELECT q.vec_id, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid
-),
-af AS (
-  SELECT vec_id, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cid) AS rn
-    FROM df
-  ) t WHERE rn = 1
-),
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(iters)},{_kmeans_assign_sql(prev)},
 cells AS (
   SELECT n.vec_id, n.e, n.nrm, af.cid
   FROM n JOIN af ON n.vec_id = af.vec_id

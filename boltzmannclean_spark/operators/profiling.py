@@ -1805,9 +1805,11 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dq_distribution_psi",
-    oracle="""
+# Shared with streaming/queries.stream_psi_drift: the streaming leg
+# accumulates the same (arm, bucket, half) histogram via foreachBatch
+# and reduces through pipeline._psi_from_counts, so one oracle serves
+# both — stream-batch parity IS its correctness check.
+_PSI_ORACLE = """
 WITH pool AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
@@ -1860,7 +1862,12 @@ SELECT event_type, CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
        CAST(SUM((p - q) * ln(p / q)) AS FLOAT) AS psi
 FROM rates GROUP BY event_type
 ORDER BY event_type
-""",
+"""
+
+
+@register(
+    "dq_distribution_psi",
+    oracle=_PSI_ORACLE,
     tags=("dq", "drift", "psi", "mlops", "monitoring"),
 )
 def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,4 +2193,137 @@ def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_discovery"),
         )
         .orderBy("seg")
+    )
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+WITH pool AS (
+  SELECT event_type,
+         CAST(props ->> '$.k' AS BIGINT) // 25 AS kb
+  FROM events
+),
+cells AS (
+  SELECT event_type, kb, CAST(COUNT(*) AS BIGINT) AS o
+  FROM pool GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT kb, CAST(SUM(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n_total,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT kb) AS BIGINT) AS c
+  FROM cells
+),
+grid AS (
+  SELECT r_.event_type, c_.kb, COALESCE(ce.o, 0) AS o,
+         r_.row_tot, c_.col_tot, t.n_total,
+         (r_.row_tot * c_.col_tot) AS e_num,
+         (t.n_total * COALESCE(ce.o, 0) - r_.row_tot * c_.col_tot) AS d,
+         (t.r - 1) * (t.c - 1) AS dof
+  FROM rows_ r_ CROSS JOIN cols_ c_ CROSS JOIN tot t
+  LEFT JOIN cells ce
+    ON ce.event_type = r_.event_type AND ce.kb = c_.kb
+),
+terms AS (
+  SELECT event_type, kb, o, row_tot, col_tot, n_total, dof,
+         CAST(CAST(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
+                   AS STRING) AS DOUBLE)
+           / CAST(e_num * n_total AS DOUBLE) AS term
+  FROM grid
+)
+SELECT event_type, kb, o, row_tot, col_tot, n_total, dof,
+       term,
+       CAST(SUM(term) OVER () AS FLOAT) AS chi2_f
+FROM terms
+ORDER BY event_type, kb
+""",
+    tags=("stats", "chi-square", "independence", "contingency", "ab-test"),
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the event_type ×
+    k-segment contingency table (k from events.props JSON, bucketed
+    div 25) — the categorical companion to the two-sample tier: "is
+    the event mix independent of the user segment", the test behind
+    every funnel-mix or device-mix alarm. Every component is exact:
+    cell counts, margins, N, dof, and the per-cell discrepancy
+    d = N·O − row·col as a bigint with its square in DECIMAL(38,0)
+    (string-hopped to double, the correctly-rounded cast); each cell's
+    term (d²/(row·col·N)) is ONE fixed expression tree over exact
+    values so it is bit-equal across engines as a DOUBLE. The full
+    r×c grid is materialized from the margins (absent combinations
+    enter as O=0 — they contribute, exactly as the textbook statistic
+    requires). chi2_f is the FLOAT-cast sum of the 20 cell terms (the
+    libm-absorbing contract, psi precedent); the exact per-cell terms
+    ride along so a consumer needing more precision re-sums —
+    the components-not-p-value contract of welch/brown-forsythe.
+
+    Scale: one map-combined groupBy compresses the stream to the r×c
+    cell grid; margins/total are grid-sized aggregations; the grid
+    cross-join is r×c rows. Nothing row-scale shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        "event_type",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25").alias(
+            "kb"
+        ),
+    )
+    cells = pool.groupBy("event_type", "kb").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("row_tot")
+    )
+    cols_ = cells.groupBy("kb").agg(F.sum("o").cast("long").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n_total"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("kb").cast("long").alias("c"),
+    )
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["event_type", "kb"], "left")
+        .select(
+            "event_type",
+            "kb",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+            "row_tot",
+            "col_tot",
+            "n_total",
+            (F.col("row_tot") * F.col("col_tot")).alias("e_num"),
+            (
+                F.col("n_total") * F.coalesce(F.col("o"), F.lit(0))
+                - F.col("row_tot") * F.col("col_tot")
+            ).alias("d"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        )
+    )
+    terms = grid.select(
+        "event_type",
+        "kb",
+        "o",
+        "row_tot",
+        "col_tot",
+        "n_total",
+        "dof",
+        (
+            F.expr(
+                "CAST(CAST(CAST(d AS DECIMAL(38,0))"
+                " * CAST(d AS DECIMAL(38,0)) AS STRING) AS DOUBLE)"
+            )
+            / (F.col("e_num") * F.col("n_total")).cast("double")
+        ).alias("term"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        terms.withColumn("chi2_f", F.sum("term").over(w_all).cast("float"))
+        .orderBy("event_type", "kb")
     )

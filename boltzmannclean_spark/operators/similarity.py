@@ -235,26 +235,88 @@ CENT_MOD = 100
 KMEANS_ITERS = 4
 
 
+# The oracle Lloyd iterations are PIVOTED (one row per vector with the
+# dims as columns, distance as one inline expression, argmin via
+# arg_min over a HUGEINT (dist, cid) pack) instead of the textbook
+# per-(vec, dim) join + per-(vec, cid) grouped distance. Identical
+# results — arg_min on dist·2^40 + cid IS lexicographic (dist, cid)
+# because every cid < 2^40 and dist >= 0 — but the heavy hash
+# aggregation shrinks from corpus×k groups to corpus groups: measured
+# 46.5 s → 1.0 s per PQ iteration at the 20k-vector replica with
+# k=256, the difference between tractable and intractable ×10/×30
+# oracle sweeps (SCALING.md round 11).
+_ARGMIN_PACK = 1 << 40  # cid domain bound; dist·2^40 stays << 2^127
+
+
+_EMB_DIMS = 64
+
+
+def _kmeans_pivot_cols(expr: str, out: str) -> str:
+    return ", ".join(
+        f"MAX(CASE WHEN d = {d} THEN {expr} END) AS {out}{d}"
+        for d in range(_EMB_DIMS)
+    )
+
+
+def _kmeans_dist_expr() -> str:
+    return " + ".join(
+        f"(q.x{d} - c.c{d}) * (q.x{d} - c.c{d})" for d in range(_EMB_DIMS)
+    )
+
+
 def _kmeans_iter_sql(k: int, prev: str) -> str:
-    """One unrolled Lloyd iteration: distances to the previous centroids,
-    argmin assignment, truncated-integer-mean update."""
+    """One unrolled Lloyd iteration over the pivoted form; emits the
+    updated codebook BOTH pivoted (kw-naming, consumed by iteration
+    k+1 / final helpers) and unpivoted as ``c{k}`` (cid, d, cx) so
+    downstream SQL is shape-compatible with the persisted artifact."""
+    pivot_src = (
+        f"kv1 AS (\n  SELECT vec_id, {_kmeans_pivot_cols('qx', 'x')}"
+        "\n  FROM q GROUP BY vec_id\n),\n"
+        if k == 1
+        else ""
+    )
+    means = ", ".join(
+        _sdiv_duck(f"CAST(SUM(q.x{d}) AS BIGINT)", "COUNT(*)") + f" AS m{d}"
+        for d in range(_EMB_DIMS)
+    )
+    d_list = ", ".join(str(d) for d in range(_EMB_DIMS))
+    m_list = ", ".join(f"m{d}" for d in range(_EMB_DIMS))
     return f"""
-d{k} AS (
-  SELECT q.vec_id, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid
+{pivot_src}kw{k} AS (
+  SELECT cid, {_kmeans_pivot_cols('cx', 'c')} FROM {prev} GROUP BY cid
 ),
-a{k} AS (
-  SELECT vec_id, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cid) AS rn
-    FROM d{k}
-  ) t WHERE rn = 1
+ka{k} AS (
+  SELECT q.vec_id,
+         arg_min(c.cid, CAST({_kmeans_dist_expr()} AS HUGEINT)
+                          * {_ARGMIN_PACK}::HUGEINT + c.cid) AS cid
+  FROM kv1 q CROSS JOIN kw{k} c
+  GROUP BY q.vec_id
+),
+km{k} AS (
+  SELECT a.cid, {means}
+  FROM kv1 q JOIN ka{k} a ON q.vec_id = a.vec_id
+  GROUP BY a.cid
 ),
 c{k} AS (
-  SELECT a.cid, q.d,
-         {_sdiv_duck("CAST(SUM(q.qx) AS BIGINT)", "COUNT(*)")} AS cx
-  FROM q JOIN a{k} a ON q.vec_id = a.vec_id GROUP BY a.cid, q.d
+  SELECT cid, UNNEST([{d_list}]) AS d, UNNEST([{m_list}]) AS cx
+  FROM km{k}
+)"""
+
+
+def _kmeans_assign_sql(final_cb: str, out: str = "af") -> str:
+    """Final full-corpus nearest-cell assignment against the trained
+    codebook ``final_cb`` — the same pivoted arg_min as the iterations
+    (reuses kv1 from them)."""
+    return f"""
+{out}w AS (
+  SELECT cid, {_kmeans_pivot_cols('cx', 'c')} FROM {final_cb} GROUP BY cid
+),
+{out} AS (
+  SELECT q.vec_id,
+         arg_min(c.cid, CAST({_kmeans_dist_expr()} AS HUGEINT)
+                          * {_ARGMIN_PACK}::HUGEINT + c.cid) AS cid
+  FROM kv1 q CROSS JOIN {out}w c
+  GROUP BY q.vec_id
 )"""
 
 
@@ -279,19 +341,7 @@ q AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(iters)},
-df AS (
-  SELECT q.vec_id, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid
-),
-af AS (
-  SELECT vec_id, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cid) AS rn
-    FROM df
-  ) t WHERE rn = 1
-),
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(iters)},{_kmeans_assign_sql(prev)},
 cells AS (
   SELECT n.vec_id, n.e, n.nrm, af.cid
   FROM n JOIN af ON n.vec_id = af.vec_id
@@ -1007,37 +1057,117 @@ def similarity_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Asymmetric Distance Computation: a per-query lookup table of exact
 # block distances to every code, summed over blocks per neighbor. All
 # distances are exact integer sums, so both engines agree bit-for-bit.
-PQ_M = 8
-PQ_DSUB = 8
-PQ_K = 16
-PQ_ITERS = 6
+# r11 config: 32 blocks × 256 codes (8-bit codes, the industry
+# standard; 2-dim sub-vectors). Chosen from a measured grid at sf0.1
+# (2000 near-isotropic vectors, 50 queries, full-scan recall@10):
+#   m=8  k=16  it=6: 0.168   (the r10 config at this scale)
+#   m=8  k=256 it=6: 0.400
+#   m=16 k=256 it=6: 0.612
+#   m=32 k=64  it=3: 0.666
+#   m=32 k=128 it=3: 0.760
+#   m=32 k=256 it=2: 0.814   <- chosen (it=3 adds only +0.006)
+# Residual (IVF-centered) PQ was measured on the same grid and adds
+# ~nothing here (m=16 k=256: 0.600 res vs 0.612 raw) because the
+# fixture embeddings are near-isotropic (SVD spectrum 3.7..1.8) — the
+# coarse centroids capture almost no variance. The residual option
+# ships in ann.py (build_ann_index(residual=True)) as the scale path
+# for clustered real-world corpora; see SCALING.md round-11.
+PQ_M = 32
+PQ_DSUB = 2
+PQ_K = 256
+PQ_ITERS = 2
+
+
+def _pq_pivot_cols(expr: str, out: str) -> str:
+    return ", ".join(
+        f"MAX(CASE WHEN d = {d} THEN {expr} END) AS {out}{d}"
+        for d in range(PQ_DSUB)
+    )
+
+
+def _pq_dist_expr() -> str:
+    return " + ".join(
+        f"(q.x{d} - c.c{d}) * (q.x{d} - c.c{d})" for d in range(PQ_DSUB)
+    )
 
 
 def _pq_iter_sql(k: int, prev: str, src: str = "pq") -> str:
     """One unrolled per-block Lloyd iteration (block id `b` rides along
-    every key of the IVF iteration shape). ``src`` selects the training
-    population CTE (the incremental-assign oracle trains on a filtered
-    subset)."""
+    every key of the IVF iteration shape), in the pivoted arg_min form
+    (see _ARGMIN_PACK note above — measured 46.5 s → 1.0 s per
+    iteration at the ×10 replica with k=256). ``src`` selects the
+    training population CTE (the incremental-assign oracle trains on a
+    filtered subset). Emits the updated codebook pivoted (pw-naming)
+    AND unpivoted as ``pc{{k}}`` (cid, b, d, cx) for shape-compatible
+    downstream SQL."""
+    pivot_src = (
+        f"pv1 AS (\n  SELECT vec_id, b, {_pq_pivot_cols('qx', 'x')}"
+        f"\n  FROM {src} GROUP BY vec_id, b\n),\n"
+        if k == 1
+        else ""
+    )
+    means = ", ".join(
+        _sdiv_duck(f"CAST(SUM(q.x{d}) AS BIGINT)", "COUNT(*)") + f" AS m{d}"
+        for d in range(PQ_DSUB)
+    )
+    d_list = ", ".join(str(d) for d in range(PQ_DSUB))
+    m_list = ", ".join(f"m{d}" for d in range(PQ_DSUB))
     return f"""
-pd{k} AS (
-  SELECT q.vec_id, q.b, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM {src} q JOIN {prev} c ON q.b = c.b AND q.d = c.d
-  GROUP BY q.vec_id, q.b, c.cid
+{pivot_src}pw{k} AS (
+  SELECT cid, b, {_pq_pivot_cols('cx', 'c')} FROM {prev} GROUP BY cid, b
 ),
 pa{k} AS (
-  SELECT vec_id, b, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                                 ORDER BY dist, cid) AS rn
-    FROM pd{k}
-  ) t WHERE rn = 1
+  SELECT q.vec_id, q.b,
+         arg_min(c.cid, CAST({_pq_dist_expr()} AS HUGEINT)
+                          * {_ARGMIN_PACK}::HUGEINT + c.cid) AS cid
+  FROM pv1 q JOIN pw{k} c ON q.b = c.b
+  GROUP BY q.vec_id, q.b
+),
+pm{k} AS (
+  SELECT a.cid, q.b, {means}
+  FROM pv1 q JOIN pa{k} a ON q.vec_id = a.vec_id AND q.b = a.b
+  GROUP BY a.cid, q.b
 ),
 pc{k} AS (
-  SELECT a.cid, q.b, q.d,
-         {_sdiv_duck("CAST(SUM(q.qx) AS BIGINT)", "COUNT(*)")} AS cx
-  FROM {src} q JOIN pa{k} a ON q.vec_id = a.vec_id AND q.b = a.b
-  GROUP BY a.cid, q.b, q.d
+  SELECT cid, b, UNNEST([{d_list}]) AS d, UNNEST([{m_list}]) AS cx
+  FROM pm{k}
 )"""
+
+
+def _pq_codes_sql(final_cb: str, out: str = "codes", src: str = "pq") -> str:
+    """Full-corpus code assignment against the trained codebook — the
+    pivoted arg_min form. ``src`` may differ from the training
+    population (delta assignment encodes vectors the training never
+    saw), so it re-pivots under its own name."""
+    return f"""
+{out}v AS (
+  SELECT vec_id, b, {_pq_pivot_cols('qx', 'x')} FROM {src} GROUP BY vec_id, b
+),
+{out}w AS (
+  SELECT cid, b, {_pq_pivot_cols('cx', 'c')} FROM {final_cb} GROUP BY cid, b
+),
+{out} AS (
+  SELECT q.vec_id, q.b,
+         arg_min(c.cid, CAST({_pq_dist_expr()} AS HUGEINT)
+                          * {_ARGMIN_PACK}::HUGEINT + c.cid) AS cid
+  FROM {out}v q JOIN {out}w c ON q.b = c.b
+  GROUP BY q.vec_id, q.b
+)"""
+
+
+def _pq_lut_sql(final_cb: str, out: str = "lut", src: str = "pq") -> str:
+    """Per-(query, block, code) exact block distances — the ADC LUT.
+    Query-set-sized (N_QUERY × PQ_M × PQ_K rows), so the textbook
+    grouped-distance shape is kept but the scan is pushed down to the
+    query vectors BEFORE the codebook join."""
+    return f"""
+{out} AS (
+  SELECT q.vec_id AS query_id, q.b, c.cid,
+         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS pdist
+  FROM (SELECT * FROM {src} WHERE vec_id < {{n_query}}) q
+  JOIN {final_cb} c ON q.b = c.b AND q.d = c.d
+  GROUP BY q.vec_id, q.b, c.cid
+)""".replace("{n_query}", str(N_QUERY))
 
 
 def _pq_oracle() -> str:
@@ -1054,24 +1184,7 @@ WITH pq AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(iters)},
-pdf AS (
-  SELECT q.vec_id, q.b, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM pq q JOIN {prev} c ON q.b = c.b AND q.d = c.d
-  GROUP BY q.vec_id, q.b, c.cid
-),
-codes AS (
-  SELECT vec_id, b, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                                 ORDER BY dist, cid) AS rn
-    FROM pdf
-  ) t WHERE rn = 1
-),
-lut AS (
-  SELECT vec_id AS query_id, b, cid, dist AS pdist
-  FROM pdf WHERE vec_id < {N_QUERY}
-),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(iters)},{_pq_codes_sql(prev)},{_pq_lut_sql(prev)},
 scored AS (
   SELECT l.query_id, c.vec_id AS neighbor_id,
          CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
@@ -1171,9 +1284,10 @@ def _pq_train(sub: DataFrame) -> DataFrame:
 def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC scoring (Jégou et al. 2011) —
     the COMPRESSION leg of a 100 TB vector store: each 64-dim float
-    vector is stored as PQ_M=8 one-byte codes (64× smaller than
-    float64), and a query scans codes, not vectors. Per-block codebooks
-    (PQ_K=16 codes) are trained by integer-exact Lloyd rounds
+    vector is stored as PQ_M=32 one-byte codes (8× smaller than
+    float32), and a query scans codes, not vectors. Per-block codebooks
+    (PQ_K=256 codes — 8-bit, the industry standard; chosen from the
+    measured recall grid above) are trained by integer-exact Lloyd rounds
     (the IVF recipe with the block id as an extra key); ADC sums each
     query's precomputed exact block-distance LUT over a neighbor's
     codes. LUT is (queries × PQ_M × PQ_K) rows broadcast; the scan
@@ -1244,19 +1358,7 @@ WITH q AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(ivf_iters)},
-df AS (
-  SELECT q.vec_id, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM q JOIN {ivf_final} c ON q.d = c.d GROUP BY q.vec_id, c.cid
-),
-af AS (
-  SELECT vec_id, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cid) AS rn
-    FROM df
-  ) t WHERE rn = 1
-),
+c0 AS (SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id % {CENT_MOD} = 0),{",".join(ivf_iters)},{_kmeans_assign_sql(ivf_final)},
 pq AS (
   SELECT vec_id,
          (generate_subscripts(embedding, 1) - 1) // {PQ_DSUB} AS b,
@@ -1264,24 +1366,7 @@ pq AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {MICRO}) AS BIGINT) AS qx
   FROM embeddings
 ),
-pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(pq_iters)},
-pdf AS (
-  SELECT q.vec_id, q.b, c.cid,
-         CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dist
-  FROM pq q JOIN {pq_final} c ON q.b = c.b AND q.d = c.d
-  GROUP BY q.vec_id, q.b, c.cid
-),
-codes AS (
-  SELECT vec_id, b, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                                 ORDER BY dist, cid) AS rn
-    FROM pdf
-  ) t WHERE rn = 1
-),
-lut AS (
-  SELECT vec_id AS query_id, b, cid, dist AS pdist
-  FROM pdf WHERE vec_id < {N_QUERY}
-),
+pc0 AS (SELECT vec_id AS cid, b, d, qx AS cx FROM pq WHERE vec_id < {PQ_K}),{",".join(pq_iters)},{_pq_codes_sql(pq_final)},{_pq_lut_sql(pq_final)},
 scored AS (
   SELECT l.query_id, c.vec_id AS neighbor_id,
          CAST(SUM(l.pdist) AS BIGINT) AS adc_dist

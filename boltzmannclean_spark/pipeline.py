@@ -1529,12 +1529,24 @@ def psi_drift(
     counts = halves.groupBy("_g", "_bucket", "_cur").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
+    return _psi_from_counts(counts, smoothing=s, group_col=group_col)
+
+
+def _psi_from_counts(
+    counts: DataFrame, *, smoothing: int, group_col: str
+) -> DataFrame:
+    """The PSI reduction over a pre-aggregated (_g, _bucket, _cur, _n)
+    histogram — factored out so the STREAMING leg
+    (streaming/queries.stream_psi_drift accumulates the same histogram
+    via foreachBatch) reduces through the IDENTICAL expression tree and
+    stays bit-equal to the batch operator."""
+    s = int(smoothing)
     buckets = counts.select("_g", "_bucket").distinct()
     nb = buckets.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets")
     )
     tot = counts.groupBy("_g", "_cur").agg(F.sum("_n").cast("long").alias("_t"))
-    spark = frame.sparkSession
+    spark = counts.sparkSession
     h = spark.range(2).select(F.col("id").cast("int").alias("_cur"))
     grid = (
         buckets.crossJoin(F.broadcast(h))

@@ -78,17 +78,29 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
-    # -- round-10 additions (newest code, never harness-verified) --
-    "events_lorenz_gini",
+    # -- round-11: new entry + every plan/oracle changed this round
+    #    (ADVICE fixes, PQ 32x256 retrain, sharded prefix sum) --
+    "stream_psi_drift",
+    "stats_chi_square_independence",
+    "similarity_ann_recall_eval",
+    "similarity_ann_recall_vs_nprobe",
+    "similarity_ann_pq_adc",
+    "similarity_ann_pq_adc_prebuilt",
+    "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_prebuilt",
+    "similarity_ann_delta_assign",
+    "sink_ann_index_build",
+    "dq_distribution_psi",
+    "stats_permutation_test",
     "stats_bh_fdr_permutation",
+    "events_pareto_concentration",
+    # -- round-10 additions (harness-verified in r10's 50-sample) --
+    "events_lorenz_gini",
     "text_textrank_keywords",
     "ts_seasonal_residual_anomaly",
-    "stats_permutation_test",
     "sql_recursive_cte_reachability",
-    "dq_distribution_psi",
     "stats_brown_forsythe",
     "dq_freshness_lag",
-    "events_pareto_concentration",
     "ts_lag_feature_matrix",
     "stats_welch_ttest",
     "graph_linkpred_jaccard",

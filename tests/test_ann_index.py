@@ -8,6 +8,8 @@ import json
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from boltzmannclean_spark.operators import ann_index
 from boltzmannclean_spark.plans.registry import all_queries
 
@@ -168,3 +170,120 @@ def test_rename_race_falls_back_to_winner(spark, sf_dir, tmp_path, monkeypatch):
     assert got == path
     # the served artifact is the WINNER's and is complete/readable
     assert spark.read.parquet(os.path.join(got, "codebook")).count() > 0
+
+
+def test_residual_index_lifecycle(spark, sf_dir, tmp_path):
+    """Residual (IVF-centered) PQ, the FAISS IVFPQ norm (r10 verdict
+    item 1a): build with residual=True, serve transparently, and the
+    probe-all-cells search must equal the full-scan search exactly
+    (same per-(query, cell) LUT domain either way)."""
+    import pytest as _pytest
+
+    from boltzmannclean_spark.ann import (
+        ann_search,
+        build_ann_index,
+        read_index_conf,
+    )
+    from boltzmannclean_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "res_idx")
+    n_cells = 5
+    build_ann_index(
+        emb,
+        out,
+        dims=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        pq_m=8,
+        pq_k=16,
+        pq_iters=2,
+        n_cells=n_cells,
+        kmeans_iters=2,
+        residual=True,
+    )
+    conf = read_index_conf(out)
+    assert conf["residual"] is True and conf["has_ivf"] is True
+    queries = emb.where(F.col("vec_id") < 3)
+    full = ann_search(
+        spark, out, queries, k=5, id_col="vec_id", vec_col="embedding"
+    )
+    rows = full.collect()
+    assert len(rows) == 15  # 3 queries x k=5
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    assert all(r.adc_dist >= 0 for r in rows)
+    probed_all = ann_search(
+        spark,
+        out,
+        queries,
+        k=5,
+        nprobe=n_cells,
+        id_col="vec_id",
+        vec_col="embedding",
+    ).collect()
+    assert sorted(map(tuple, probed_all)) == sorted(map(tuple, rows))
+    # nprobe=1 is a strict subset of the scanned corpus: every hit it
+    # returns must also score identically in the full scan.
+    one = ann_search(
+        spark, out, queries, k=5, nprobe=1,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()
+    full_scores = {(r.query_id, r.neighbor_id): r.adc_dist for r in rows}
+    for r in one:
+        got = full_scores.get((r.query_id, r.neighbor_id))
+        assert got is None or got == r.adc_dist
+
+    with _pytest.raises(ValueError, match="residual=True requires"):
+        build_ann_index(
+            emb,
+            str(tmp_path / "bad"),
+            dims=64,
+            id_col="vec_id",
+            vec_col="embedding",
+            pq_m=8,
+            pq_k=16,
+            residual=True,
+        )
+
+
+def test_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
+    """The value proposition residual PQ ships for: on a CLUSTERED
+    corpus the coarse centroid absorbs the cluster offset and the
+    codebook spends its capacity on the remainder, so residual ADC
+    distances reconstruct the truth better than raw-coordinate ADC at
+    the same (pq_m, pq_k) budget. Deterministic synthetic corpus:
+    5 well-separated cluster centers + small LCG jitter."""
+    from boltzmannclean_spark.ann import ann_search, build_ann_index
+
+    n, dims, n_cl = 200, 8, 5
+    rows = []
+    for i in range(n):
+        c = i % n_cl
+        # fixed LCG jitter in [-0.05, 0.05); cluster centers 2.0 apart
+        vec = [
+            float(c * 2.0 + (((i * 1103515245 + d * 12345 + 7) % 1000)
+                             - 500) / 10000.0)
+            for d in range(dims)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def recall(out_dir):
+        hits = ann_search(
+            spark, out_dir, emb.where(F.col("vec_id") < 10), k=10,
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+        # ground truth: same cluster mod-5 members are the near set
+        ok = sum(1 for r in hits if r.neighbor_id % n_cl == r.query_id % n_cl)
+        return ok / len(hits)
+
+    common = dict(dims=dims, id_col="vec_id", vec_col="embedding",
+                  pq_m=4, pq_k=8, pq_iters=2, n_cells=n_cl,
+                  kmeans_iters=3)
+    raw_dir = str(tmp_path / "raw")
+    res_dir = str(tmp_path / "res")
+    build_ann_index(emb, raw_dir, residual=False, **common)
+    build_ann_index(emb, res_dir, residual=True, **common)
+    r_raw, r_res = recall(raw_dir), recall(res_dir)
+    assert r_res >= r_raw
+    assert r_res >= 0.9

@@ -969,3 +969,51 @@ def test_permutation_test_negative_ids_and_degenerate_replicas(spark):
     ).collect()[0]
     assert out2.n_as_extreme == 32
     assert out2.p_value == 1.0
+
+
+def test_sharded_prefix_sum_equals_global(spark):
+    """The two-level count-bucket prefix sum (functions/prefix.py) must
+    be BIT-identical to the single global window it replaces — ranks
+    and running sums both — including when one shard holds most rows
+    (the crowded n=1 bucket) and when the composite struct shard splits
+    it."""
+    from pyspark.sql import Window
+
+    from boltzmannclean_spark.functions.prefix import sharded_prefix_sum
+
+    # skewed counts: half the keys have n=1, a head has big n
+    rows = [(k, 1 if k % 2 else (k % 7) * 10 + 1) for k in range(500)]
+    df = spark.createDataFrame(rows, "user_id long, n long")
+    wo = Window.orderBy(F.desc("n"), "user_id")
+    ref = {
+        r.user_id: (r.rk, r.cum)
+        for r in df.select(
+            "user_id",
+            F.row_number().over(wo).cast("long").alias("rk"),
+            F.sum("n")
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum"),
+        ).collect()
+    }
+    for shard in (
+        (F.col("n") * -1).cast("long"),
+        F.struct(
+            (F.col("n") * -1).alias("s1"),
+            F.expr("user_id div 16").alias("s2"),
+        ),
+    ):
+        got = {
+            r.user_id: (r.rk, r.cum)
+            for r in sharded_prefix_sum(
+                df.withColumn("__shard", shard),
+                shard_col="__shard",
+                order=[F.desc("n"), "user_id"],
+                value="n",
+                cum_col="cum",
+                rank_col="rk",
+            )
+            .select("user_id", "rk", "cum")
+            .collect()
+        }
+        assert got == ref
