@@ -51,6 +51,12 @@ from boltzmannclean_spark.pipeline import (  # noqa: E402,F401
     token_stats,
     welch_ttest,
 )
+from boltzmannclean_spark.functions.prefix import (  # noqa: E402,F401
+    sharded_prefix_sum,
+)
+from boltzmannclean_spark.functions.topk import (  # noqa: E402,F401
+    topk_per_key,
+)
 
 
 def clean(

@@ -1281,3 +1281,142 @@ def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_micro"), "p1", "p2")
         .limit(50)
     )
+
+
+_HC_ROOTS = 100
+_HC_MAX_LVL = 3
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+WITH eo AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+),
+roots AS (
+  SELECT node, d FROM (
+    SELECT node, d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn
+    FROM deg
+  ) t WHERE rn <= {_HC_ROOTS}
+),
+l1 AS (
+  SELECT r.node AS root, e.dst AS node
+  FROM roots r JOIN edges e ON e.src = r.node GROUP BY 1, 2
+),
+l2 AS (
+  SELECT l.root, e.dst AS node
+  FROM l1 l JOIN edges e ON e.src = l.node GROUP BY 1, 2
+),
+l3 AS (
+  SELECT l.root, e.dst AS node
+  FROM l2 l JOIN edges e ON e.src = l.node GROUP BY 1, 2
+),
+reach AS (
+  SELECT root, node, CAST(MIN(lvl) AS BIGINT) AS lvl FROM (
+    SELECT root, node, 1 AS lvl FROM l1
+    UNION ALL SELECT root, node, 2 FROM l2
+    UNION ALL SELECT root, node, 3 FROM l3
+  ) t WHERE node <> root GROUP BY 1, 2
+),
+hsum AS (
+  SELECT root,
+         CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+         CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+         CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+         CAST(SUM(CASE lvl WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)
+              AS BIGINT) AS harmonic_sixths
+  FROM reach GROUP BY root
+)
+SELECT h.root AS node, ro.d AS degree,
+       h.n_l1, h.n_l2, h.n_l3, h.harmonic_sixths
+FROM hsum h JOIN roots ro ON ro.node = h.root
+ORDER BY h.harmonic_sixths DESC, h.root
+""",
+    tags=("graph", "centrality", "harmonic", "bfs"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality (Boldi & Vigna's preferred
+    closeness variant for disconnected graphs: H(v) = Σ_u 1/d(v,u))
+    over the customer↔supplier graph, truncated at 3 hops and measured
+    for the top-{_HC_ROOTS} hub nodes — the influence readout next to
+    pagerank (global stationary mass) and clustering coefficient
+    (local closure). Distances on the bipartite graph are 1..3;
+    1/d sums are kept EXACT as integer SIXTHS (6/1=6, 6/2=3, 6/3=2 —
+    the lcm trick), so the ranking needs zero float arithmetic and is
+    bit-reproducible at any parallelism. Per root also reports the
+    per-level reach histogram (n_l1/n_l2/n_l3 at MIN distance — a node
+    reached at level 1 never recounts at 2).
+
+    Scale: multi-source BFS as three equi-joins of level frontiers
+    against the edge list, each level DISTINCT-compressed to
+    (root, node) before the next expansion, so fan-out is bounded by
+    roots × |V| per level, never multiplicative; the root cap bounds
+    the whole computation at {_HC_ROOTS}·|E| join work (the
+    clustering-coefficient hub-cap recipe); the final reduction is one
+    map-combined groupBy over the (root, node) reach set. Truncated-
+    at-L harmonic is itself the standard at-scale formulation (exact
+    all-pairs distance is quadratic; HyperBall-style sketches are the
+    probabilistic alternative when L must grow)."""
+    ed, _, _ = _pagerank_state(spark, sf_dir)
+    edges = ed.select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    roots = deg.orderBy(F.desc("d"), "node").limit(_HC_ROOTS)
+    frontier = roots.select(F.col("node").alias("root"), F.col("node"))
+    levels = []
+    for lvl in range(1, _HC_MAX_LVL + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("lvl", F.lit(lvl).cast("long")))
+    unioned = levels[0]
+    for f in levels[1:]:
+        unioned = unioned.unionAll(f)
+    reach = (
+        unioned.where(F.col("node") != F.col("root"))
+        .groupBy("root", "node")
+        .agg(F.min("lvl").alias("lvl"))
+    )
+    return (
+        reach.groupBy(F.col("root").alias("node"))
+        .agg(
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_l1"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_l2"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_l3"),
+            F.sum(
+                F.when(F.col("lvl") == 1, 6)
+                .when(F.col("lvl") == 2, 3)
+                .otherwise(2)
+            )
+            .cast("long")
+            .alias("harmonic_sixths"),
+        )
+        .join(F.broadcast(roots.select("node", "d")), "node")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            "n_l1",
+            "n_l2",
+            "n_l3",
+            "harmonic_sixths",
+        )
+        .orderBy(F.desc("harmonic_sixths"), "node")
+    )

@@ -82,6 +82,7 @@ _VERIFY_FIRST = (
     #    (ADVICE fixes, PQ 32x256 retrain, sharded prefix sum) --
     "stream_psi_drift",
     "stats_chi_square_independence",
+    "graph_harmonic_centrality",
     "similarity_ann_recall_eval",
     "similarity_ann_recall_vs_nprobe",
     "similarity_ann_pq_adc",
