@@ -2580,3 +2580,117 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "word")
         .limit(_TR_TOP)
     )
+
+
+_PMI_MIN_PAIR = 5
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM src
+),
+bi AS (
+  SELECT doc_id, tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+pair_counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bi GROUP BY w1, w2
+),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_pairs FROM pair_counts),
+left_counts AS (
+  SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pair_counts GROUP BY w1
+),
+right_counts AS (
+  SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pair_counts GROUP BY w2
+),
+scored AS (
+  SELECT p.w1, p.w2, p.n_ab, l.n_a, r.n_b, t.n_pairs,
+         CAST(ln(CAST(p.n_ab AS DOUBLE) * t.n_pairs
+                 / (CAST(l.n_a AS DOUBLE) * r.n_b)) AS FLOAT) AS pmi
+  FROM pair_counts p
+  JOIN left_counts l ON l.w1 = p.w1
+  JOIN right_counts r ON r.w2 = p.w2
+  CROSS JOIN tot t
+  WHERE p.n_ab >= {_PMI_MIN_PAIR}
+)
+SELECT w1, w2, n_ab, n_a, n_b, n_pairs, pmi
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+  FROM scored
+) t WHERE rk <= 50
+ORDER BY pmi DESC, w1, w2
+""",
+    tags=("text", "collocation", "pmi", "vocab"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the corpus-
+    linguistics standard (Church & Hanks 1990) for finding multiword
+    units worth merging into a tokenizer vocabulary or phrase table:
+    PMI(a,b) = ln(P(ab) / (P(a·)·P(·b))) over adjacent token pairs,
+    with a min-count floor ({_PMI_MIN_PAIR}) so rare-pair noise never
+    tops the ranking. All counts (pair, left-marginal, right-marginal,
+    total) are exact integers; the PMI value is ONE fixed
+    ln-of-exact-ratio expression tree per row, FLOAT-cast (the
+    libm-absorbing contract), and the top-50 ordering ties break on
+    the words, so the readout is bit-reproducible.
+
+    Scale: one window pass per doc for adjacency (the bigram_logprob
+    exchange — keyed on doc_id), one map-combined groupBy to the pair
+    vocabulary, two marginal aggregations OVER THE PAIR TABLE (already
+    vocab²-bounded, never row-scale), one 1-row total broadcast. The
+    ranked output is a TakeOrdered over the floored pair table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.array_remove(F.split("text", " "), "")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    pairs = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    tot = pairs.agg(F.sum("n_ab").cast("long").alias("n_pairs"))
+    left = pairs.groupBy("w1").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    right = pairs.groupBy("w2").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    scored = (
+        pairs.where(F.col("n_ab") >= _PMI_MIN_PAIR)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_pairs",
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("n_pairs")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            )
+            .cast("float")
+            .alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )

@@ -83,6 +83,7 @@ _VERIFY_FIRST = (
     "stream_psi_drift",
     "stats_chi_square_independence",
     "graph_harmonic_centrality",
+    "text_collocations_pmi",
     "similarity_ann_recall_eval",
     "similarity_ann_recall_vs_nprobe",
     "similarity_ann_pq_adc",
