@@ -162,6 +162,12 @@ INVARIANT_QUERIES = (
     "text_textrank_keywords",
     "stats_bh_fdr_permutation",
     "events_lorenz_gini",
+    # round-11 exact-arithmetic additions: sharded prefix sum (pareto,
+    # above, now runs through it), per-cell fixed-tree chi-square terms,
+    # integer-sixths harmonic centrality, per-row fixed-tree PMI.
+    "stats_chi_square_independence",
+    "graph_harmonic_centrality",
+    "text_collocations_pmi",
 )
 
 
