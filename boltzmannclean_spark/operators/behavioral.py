@@ -2158,8 +2158,11 @@ def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-combined groupBy compresses the event stream to the
     (arm, user) domain; ONE arm-partitioned ranking window over that
-    domain-sized table (same shard-at-unbounded-domain note as
-    mann_whitney_u), then a map-combined per-arm aggregate."""
+    domain-sized table — at an unbounded per-arm user domain, route
+    the rank through ``functions/prefix.sharded_prefix_sum`` with an
+    (arm-composed) shard key exactly as events_pareto_concentration
+    now does (the recipe is code, not prose) — then a map-combined
+    per-arm aggregate."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")

@@ -1233,9 +1233,11 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two arms compresses N rows to the value domain (2-dp bounded
     money data: <=10k groups), and the prefix sum that turns counts
     into ranks runs over that tiny table (the one ordered window; at
-    an unbounded domain production shards it into range buckets with
-    per-bucket offsets — same two-pass prefix-sum trick the global
-    sort uses). The arm aggregates are map-combined; nothing touches
+    an unbounded domain route it through
+    ``functions/prefix.sharded_prefix_sum`` — the two-pass count-bucket
+    prefix sum is CODE since r11, wired and proven on
+    events_pareto_concentration). The arm aggregates are map-combined;
+    nothing touches
     the raw rows twice. Delegates to the public ``mann_whitney_u``
     API (pipeline.py)."""
     from boltzmannclean_spark.pipeline import mann_whitney_u
