@@ -2195,3 +2195,96 @@ def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS gap
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         CAST(CAST(SUM(gap) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(gap AS HUGEINT) * gap) AS VARCHAR) AS DOUBLE)
+           AS s2
+  FROM seq WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(gap) >= 2
+),
+scored AS (
+  SELECT user_id, n_gaps, s1 / n_gaps AS mean_gap_us,
+         (SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+            - s1 / n_gaps)
+         / (SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+            + s1 / n_gaps) AS burstiness
+  FROM per_user
+)
+SELECT user_id, n_gaps, mean_gap_us, burstiness
+FROM scored
+ORDER BY n_gaps DESC, user_id
+LIMIT 20
+""",
+    tags=("behavioral", "burstiness", "interarrival", "bot-detection"),
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event gaps — the standard temporal-signature score behind
+    bot/automation detection in training-data curation: B → −1 is a
+    metronome (scripted traffic), B ≈ 0 Poisson (organic), B → +1
+    heavy-tailed human sessions. Gaps are exact integer microseconds
+    over the unique (ts, event_id) order (the gaps-islands tie
+    discipline); per-user Σgap telescopes to the user's time span
+    (bigint) and Σgap² accumulates in HUGEINT/DECIMAL(38,0) — both
+    string-hop to double, so mean, population σ (one correctly-rounded
+    SQRT), and B are a single fixed IEEE tree per user, bit-equal
+    across engines with no float aggregation. Users with <2 gaps carry
+    no signal and are dropped.
+
+    Scale: the lag window and the per-user aggregation share ONE
+    user-keyed exchange (the window's sort feeds the partial agg);
+    output is top-20 by activity via orderBy+limit, which Spark plans
+    as TakeOrderedAndProject — per-partition heaps + a 20-row driver
+    merge, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)).alias(
+            "gap"
+        ),
+    ).where(F.col("gap").isNotNull())
+    per_user = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.expr("CAST(CAST(SUM(gap) AS STRING) AS DOUBLE)").alias("s1"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap)"
+                " AS STRING) AS DOUBLE)"
+            ).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    sd = F.sqrt(
+        F.col("s2") / F.col("n_gaps")
+        - (F.col("s1") / F.col("n_gaps")) * (F.col("s1") / F.col("n_gaps"))
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    return (
+        per_user.select(
+            "user_id",
+            "n_gaps",
+            mean.alias("mean_gap_us"),
+            ((sd - mean) / (sd + mean)).alias("burstiness"),
+        )
+        .orderBy(F.desc("n_gaps"), "user_id")
+        .limit(20)
+    )

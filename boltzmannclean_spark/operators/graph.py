@@ -1420,3 +1420,111 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("harmonic_sixths"), "node")
     )
+
+
+KATZ_BETA = 1_000_000  # per-node base score in micro-units
+KATZ_DEN = 8  # attenuation alpha = 1/8 (integer division keeps it exact)
+
+
+def _katz_oracle() -> str:
+    its = []
+    prev = "x0"
+    for i in range(1, N_ITER + 1):
+        its.append(
+            f"""
+x{i} AS (
+  SELECT e.dst AS node,
+         {KATZ_BETA} + CAST(SUM({prev}.x) AS BIGINT) // {KATZ_DEN} AS x
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"x{i}"
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT 'c:' || c AS src, 's:' || s AS dst FROM eo
+  UNION ALL
+  SELECT 's:' || s AS src, 'c:' || c AS dst FROM eo
+),
+x0 AS (
+  SELECT DISTINCT src AS node, CAST({KATZ_BETA} AS BIGINT) AS x FROM edges
+),{",".join(its)}
+SELECT node, x AS katz_micro
+FROM {prev}
+ORDER BY katz_micro DESC, node
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "graph_katz_centrality",
+    oracle=_katz_oracle(),
+    tags=("graph", "katz", "centrality", "iterative"),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 truncated power iterations, attenuation
+    α = 1/8, β = 1) over the customer↔supplier graph — the
+    path-counting centrality PageRank is NOT: no degree normalization,
+    so a node's score is the attenuated count of walks reaching it
+    (Σ_k α^k·(Aᵏ1)ᵢ), the "influence reach" ranking behind seed-node
+    selection. Scores live in integer micro-units: each iteration is
+    x' = β + (Σ_{{j→i}} x_j) div 8 — all integer arithmetic, so every
+    iteration is bit-identical in any engine at any parallelism (the
+    pagerank discipline, graph.py module docstring). With α strictly
+    below 1/λ_max the truncated series is the standard Katz
+    approximation; 3 hops covers customer→supplier→customer→supplier
+    influence on this bipartite graph.
+
+    Scale: per iteration one shuffle join (score vector ⋈ cached edge
+    list on src — the vector is node-count sized and NEVER broadcast)
+    plus one map-side-combined aggregation to dst; the edge list is
+    cached across iterations and the per-iteration vector is
+    localCheckpoint'ed. Output is top-25 via orderBy+limit
+    (TakeOrderedAndProject). Identical two-shuffle-per-iteration shape
+    at any graph size."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eo = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = eo.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = eo.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionAll(rev).cache()
+    x = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(KATZ_BETA).cast("long").alias("x")
+    )
+    for _ in range(N_ITER):
+        x = (
+            edges.join(x.hint("shuffle_hash"), edges.src == F.col("node"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(KATZ_BETA)
+                    + F.expr(f"SUM(x) div {KATZ_DEN}")
+                ).alias("x")
+            )
+            .select(F.col("dst").alias("node"), "x")
+            .localCheckpoint()
+        )
+    return (
+        x.selectExpr(
+            "CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node div 2 AS STRING)"
+            " ELSE 's:' || CAST(node div 2 AS STRING) END AS node",
+            "x AS katz_micro",
+        )
+        .orderBy(F.desc("katz_micro"), "node")
+        .limit(TOP_N)
+    )

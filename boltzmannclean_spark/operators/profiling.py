@@ -2329,3 +2329,455 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         terms.withColumn("chi2_f", F.sum("term").over(w_all).cast("float"))
         .orderBy("event_type", "kb")
     )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+WITH pool AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x
+  FROM events
+),
+grp AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s1e,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS s2
+  FROM pool GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(CAST(SUM(s1e) AS VARCHAR) AS DOUBLE) AS s1_all
+  FROM grp
+),
+terms AS (
+  SELECT g.event_type, g.n, g.s1 / g.n AS mean_x,
+         (g.s1 / g.n) * g.s1 AS t_between,
+         g.s2 - (g.s1 / g.n) * g.s1 AS ss_within,
+         t.n_total, t.k, t.s1_all,
+         (t.k - 1) AS df_between, (t.n_total - t.k) AS df_within
+  FROM grp g CROSS JOIN tot t
+)
+SELECT event_type, n, mean_x, ss_within, n_total, k,
+       df_between, df_within,
+       CAST(
+         ((SUM(t_between) OVER () - (s1_all / n_total) * s1_all)
+            / (k - 1))
+         / ((SUM(ss_within) OVER ()) / (n_total - k))
+       AS FLOAT) AS f_stat
+FROM terms
+ORDER BY event_type
+""",
+    tags=("stats", "anova", "f-test", "ab-test", "parametric"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over the k=5 event_type arms (value in exact
+    cent units) — the k-group parametric companion to welch_ttest
+    (k=2) and kruskal_wallis (k-group nonparametric): "does mean value
+    differ across arms at all", the omnibus gate run before any
+    pairwise test. Sufficient statistics are exact: per-group n,
+    Σx, Σx² accumulate in HUGEINT/DECIMAL(38,0) and string-hop to
+    double (the correctly-rounded cast), so every per-group component
+    — mean, between-term (Σx/n)·Σx, within-SS Σx² − (Σx/n)·Σx — is
+    ONE fixed IEEE expression tree, bit-equal across engines. The two
+    grand sums (SSB's Σ t_between and SSW's Σ ss_within) run over the
+    k=5 group rows, and f_stat absorbs their merge-order last-ulp in
+    the FLOAT cast (the chi2_f/psi contract); the exact per-group
+    components ride along for a consumer needing full precision.
+
+    Scale: one map-combined groupBy compresses N rows to k group rows;
+    everything after is k-row arithmetic with a broadcast 1-row total.
+    Identical shape at 100 TB — the scan dominates, nothing row-scale
+    shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        "event_type",
+        (dec("value") * 100).cast("decimal(38,0)").alias("x"),
+    )
+    grp = pool.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("SUM(x)").alias("s1e"),
+        F.expr("CAST(CAST(SUM(x) AS STRING) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(CAST(SUM(x * x) AS STRING) AS DOUBLE)").alias("s2"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr("CAST(CAST(SUM(s1e) AS STRING) AS DOUBLE)").alias("s1_all"),
+    )
+    terms = grp.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_x"),
+        ((F.col("s1") / F.col("n")) * F.col("s1")).alias("t_between"),
+        (F.col("s2") - (F.col("s1") / F.col("n")) * F.col("s1")).alias(
+            "ss_within"
+        ),
+        "n_total",
+        "k",
+        "s1_all",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n_total") - F.col("k")).alias("df_within"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        terms.withColumn(
+            "f_stat",
+            (
+                (
+                    (
+                        F.sum("t_between").over(w_all)
+                        - (F.col("s1_all") / F.col("n_total"))
+                        * F.col("s1_all")
+                    )
+                    / (F.col("k") - 1)
+                )
+                / (
+                    F.sum("ss_within").over(w_all)
+                    / (F.col("n_total") - F.col("k"))
+                )
+            ).cast("float"),
+        )
+        .drop("t_between", "s1_all")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+WITH pool AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CAST(props ->> '$.k' AS BIGINT) AS y
+  FROM events
+),
+rx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM pool GROUP BY x
+),
+rx2 AS (
+  SELECT x,
+         2 * (SUM(t) OVER (ORDER BY x) - t) + t + 1 AS rx2
+  FROM rx
+),
+ry AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM pool GROUP BY y
+),
+ry2 AS (
+  SELECT y,
+         2 * (SUM(t) OVER (ORDER BY y) - t) + t + 1 AS ry2
+  FROM ry
+),
+ranked AS (
+  SELECT rx2.rx2 AS rxx, ry2.ry2 AS ryy
+  FROM pool JOIN rx2 USING (x) JOIN ry2 USING (y)
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(rxx AS HUGEINT)) AS sx,
+         SUM(CAST(ryy AS HUGEINT)) AS sy,
+         SUM(CAST(rxx AS HUGEINT) * ryy) AS sxy,
+         SUM(CAST(rxx AS HUGEINT) * rxx) AS sxx,
+         SUM(CAST(ryy AS HUGEINT) * ryy) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov_num,
+       CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS var_x_num,
+       CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS var_y_num,
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+         AS spearman_rho
+FROM sums
+""",
+    tags=("stats", "spearman", "rank-correlation", "nonparametric"),
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value (cent units) and
+    the k property — the monotone-association companion to
+    agg_corr_matrix's Pearson: robust to the heavy tails and outliers
+    that dominate raw usage metrics. Average ranks for ties are kept
+    in EXACT ×2 integer units (the mann_whitney_u identity: avg rank
+    of a tie group = below + (t+1)/2, so ×2 = 2·below + t + 1 is
+    always integral); the ×2 scaling cancels in rho. All five
+    correlation sums (Σr, Σr², Σrxry) accumulate exactly in
+    HUGEINT/DECIMAL(38,0) — rank² ≤ (2N)², so N·Σr² ≤ 4N⁴ stays
+    inside 38 digits to N ≈ 10⁹ rows — and the three covariance
+    numerators n·Σxy − Σx·Σy are formed in EXACT integer arithmetic
+    before ONE string-hopped cast each, so rho is a single IEEE
+    div/sqrt tree over bit-identical operands: bit-equal across
+    engines with no float aggregation anywhere.
+
+    Scale: ranking is per DISTINCT VALUE, not per row — each variable
+    compresses to its value domain (2-dp money / small-int k), the
+    prefix sums run over those tiny tables (route through
+    ``functions/prefix.sharded_prefix_sum`` at an unbounded domain),
+    and the rank maps broadcast back onto the single row-scale scan.
+    One row-scale shuffle-free pass + two domain-sized windows."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        (dec("value") * 100).cast("long").alias("x"),
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("y"),
+    )
+    rxd = pool.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wx = Window.orderBy("x")
+    rx2 = rxd.select(
+        "x",
+        (2 * (F.sum("t").over(wx) - F.col("t")) + F.col("t") + 1).alias(
+            "rx2"
+        ),
+    )
+    ryd = pool.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wy = Window.orderBy("y")
+    ry2 = ryd.select(
+        "y",
+        (2 * (F.sum("t").over(wy) - F.col("t")) + F.col("t") + 1).alias(
+            "ry2"
+        ),
+    )
+    ranked = (
+        pool.join(F.broadcast(rx2), "x")
+        .join(F.broadcast(ry2), "y")
+        .select(F.col("rx2").alias("rxx"), F.col("ry2").alias("ryy"))
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("rxx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ryy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("rxx").cast("decimal(38,0)") * F.col("ryy")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("rxx").cast("decimal(38,0)") * F.col("rxx")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("ryy").cast("decimal(38,0)") * F.col("ryy")).alias(
+            "syy"
+        ),
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE) AS cov_num",
+        "CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE) AS var_x_num",
+        "CAST(CAST(n * syy - sy * sy AS STRING) AS DOUBLE) AS var_y_num",
+        "CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)"
+        " / SQRT(CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE)"
+        " * CAST(CAST(n * syy - sy * sy AS STRING) AS DOUBLE))"
+        " AS spearman_rho",
+    )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+WITH pool AS (
+  SELECT event_type,
+         CAST(props ->> '$.k' AS BIGINT) // 25 AS kb
+  FROM events
+),
+cells AS (
+  SELECT event_type, kb, CAST(COUNT(*) AS BIGINT) AS o
+  FROM pool GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT kb, CAST(SUM(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n_total,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT kb) AS BIGINT) AS c
+  FROM cells
+),
+terms AS (
+  SELECT t.n_total, t.r, t.c,
+         CAST(CAST(CAST(t.n_total * COALESCE(ce.o, 0)
+                        - r_.row_tot * c_.col_tot AS DECIMAL(38,0))
+                   * CAST(t.n_total * COALESCE(ce.o, 0)
+                          - r_.row_tot * c_.col_tot AS DECIMAL(38,0))
+                   AS VARCHAR) AS DOUBLE)
+           / CAST(r_.row_tot * c_.col_tot * t.n_total AS DOUBLE) AS term
+  FROM rows_ r_ CROSS JOIN cols_ c_ CROSS JOIN tot t
+  LEFT JOIN cells ce
+    ON ce.event_type = r_.event_type AND ce.kb = c_.kb
+)
+SELECT n_total, r, c,
+       CAST(SUM(term) AS FLOAT) AS chi2_f,
+       CAST(SQRT(CAST(CAST(SUM(term) AS FLOAT) AS DOUBLE)
+                 / (n_total * LEAST(r - 1, c - 1))) AS FLOAT) AS cramers_v
+FROM terms
+GROUP BY n_total, r, c
+""",
+    tags=("stats", "cramers-v", "effect-size", "contingency"),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size over the event_type × k-segment
+    contingency table — the companion stats_chi_square_independence
+    omits by contract: χ² says WHETHER the mix depends on the segment,
+    V = √(χ²/(N·min(r−1,c−1))) says HOW MUCH on a 0..1 scale that a
+    monitoring threshold can be written against (χ² itself grows with
+    N, so "alert when χ² > T" silently tightens as traffic grows —
+    the exact failure mode effect sizes exist to fix). Reuses the
+    chi-square cell discipline: exact counts/margins, per-cell
+    d = N·O − row·col squared in DECIMAL(38,0) and string-hopped; the
+    20-term sum lands as FLOAT (the merge-order-absorbing contract)
+    and V is one fixed sqrt tree over that float — bit-equal across
+    engines. Output is the 1-row summary (n, r, c, χ², V).
+
+    Scale: identical to chi_square_independence — one map-combined
+    groupBy to the r×c grid, margins are grid-sized, output is 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        "event_type",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25").alias(
+            "kb"
+        ),
+    )
+    cells = pool.groupBy("event_type", "kb").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("row_tot")
+    )
+    cols_ = cells.groupBy("kb").agg(F.sum("o").cast("long").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n_total"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("kb").cast("long").alias("c"),
+    )
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["event_type", "kb"], "left")
+        .select(
+            "n_total",
+            "r",
+            "c",
+            (
+                F.col("n_total") * F.coalesce(F.col("o"), F.lit(0))
+                - F.col("row_tot") * F.col("col_tot")
+            ).alias("d"),
+            (
+                F.col("row_tot") * F.col("col_tot") * F.col("n_total")
+            ).alias("e_den"),
+        )
+    )
+    terms = grid.select(
+        "n_total",
+        "r",
+        "c",
+        (
+            F.expr(
+                "CAST(CAST(CAST(d AS DECIMAL(38,0))"
+                " * CAST(d AS DECIMAL(38,0)) AS STRING) AS DOUBLE)"
+            )
+            / F.col("e_den").cast("double")
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("n_total", "r", "c")
+        .agg(F.sum("term").cast("float").alias("chi2_f"))
+        .select(
+            "n_total",
+            "r",
+            "c",
+            "chi2_f",
+            F.sqrt(
+                F.col("chi2_f").cast("double")
+                / (
+                    F.col("n_total")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            )
+            .cast("float")
+            .alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "stats_srm_check",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+),
+bucketed AS (
+  SELECT substring(md5(user_id::VARCHAR), 1, 1) AS bucket
+  FROM users
+),
+cells AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM bucketed GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n_total,
+         CAST(SUM(n_users * n_users) AS BIGINT) AS sum_sq
+  FROM cells
+)
+SELECT c.bucket, c.n_users, t.n_total,
+       CAST(15 AS BIGINT) AS dof,
+       (16.0 * t.sum_sq - CAST(t.n_total AS DOUBLE) * t.n_total)
+         / t.n_total AS srm_chi2
+FROM cells c CROSS JOIN tot t
+ORDER BY c.bucket
+""",
+    tags=("stats", "srm", "experiment-assignment", "goodness-of-fit"),
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check over deterministic hash assignment —
+    the guardrail every experimentation platform runs before reading a
+    single metric: assign each user to one of 16 buckets by the first
+    md5 hex digit of user_id (the engine-portable assignment idiom,
+    sample_hash_reproducible precedent: stable under reruns,
+    repartitioning, and engine migrations), then a chi-square
+    goodness-of-fit against the uniform 1/16 expectation. The GOF
+    statistic collapses to the EXACT integer identity
+    χ² = (16·ΣOᵢ² − N²)/N (expand Σ(Oᵢ−N/16)²/(N/16)), so both counts
+    and the statistic's numerator are exact bigints and srm_chi2 is
+    one IEEE division of identical operands — no float aggregation,
+    bit-equal across engines. dof = 15 rides along; the caller
+    compares against its own critical value (components-not-p-value
+    contract).
+
+    Scale: distinct users is one map-combined aggregation; 16 cells
+    after. The md5 evaluates per distinct user, not per event. At
+    100 TB the scan dominates; the statistic is grid-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    cells = (
+        users.select(
+            F.substring(
+                F.md5(F.col("user_id").cast("string")), 1, 1
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    tot = cells.agg(
+        F.sum("n_users").cast("long").alias("n_total"),
+        F.sum(F.col("n_users") * F.col("n_users")).cast("long").alias(
+            "sum_sq"
+        ),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_users",
+            "n_total",
+            F.lit(15).cast("long").alias("dof"),
+            (
+                (
+                    16.0 * F.col("sum_sq")
+                    - F.col("n_total").cast("double") * F.col("n_total")
+                )
+                / F.col("n_total")
+            ).alias("srm_chi2"),
+        )
+        .orderBy("bucket")
+    )

@@ -2694,3 +2694,94 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .orderBy(F.desc("pmi"), "w1", "w2")
     )
+
+
+CHUNK_W = 64  # tokens per retrieval chunk
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+
+
+@register(
+    "chunk_sliding_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n,
+         1 + (GREATEST(CAST(LEN(toks) AS BIGINT) - {CHUNK_W}, 0)
+              + {CHUNK_S} - 1) // {CHUNK_S} AS n_chunks
+  FROM t
+),
+chunks AS (
+  SELECT doc_id, n,
+         CAST(i AS BIGINT) AS chunk_idx,
+         CAST(i * {CHUNK_S} AS BIGINT) AS start_tok,
+         list_slice(toks, i * {CHUNK_S} + 1,
+                    LEAST(i * {CHUNK_S} + {CHUNK_W}, n)) AS ctoks
+  FROM sized, UNNEST(range(n_chunks)) AS u(i)
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(LEN(ctoks) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("curation", "chunking", "rag", "sliding-window"),
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG/embedding prep
+    companion to chunk_pack_tokens (which packs whole docs into
+    training chunks; this SPLITS each doc into fixed-size retrieval
+    windows): 64-token windows at stride 48, so consecutive chunks
+    share 16 tokens and no sentence is lost on a boundary. The chunk
+    count is the closed form 1 + ceil(max(n−W, 0)/S) in pure integer
+    arithmetic, so chunking is deterministic in any engine at any
+    parallelism; chunks surface as (doc_id, chunk_idx, start_tok,
+    token count, md5 of the joined window) — the md5 keeps the
+    oracle canon content-addressed without hauling full chunk text
+    through the comparison, and is exactly the key a downstream
+    chunk-level dedup joins on.
+
+    Scale: explode is narrow (no shuffle) — each doc expands to
+    ~n/S chunk rows in place, and output size is the corpus token
+    count × (W/S) ≈ 1.33× — linear. The only exchange is the output
+    sort; drop the orderBy in production and the plan is a single
+    scan→project→explode pipeline with full whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_remove(F.split("text", " "), "").alias("toks"),
+    )
+    sized = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n"),
+        F.expr(
+            f"1 + (GREATEST(CAST(size(toks) AS BIGINT) - {CHUNK_W}, 0)"
+            f" + {CHUNK_S} - 1) div {CHUNK_S}"
+        ).alias("n_chunks"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        (F.col("i") * CHUNK_S).cast("long").alias("start_tok"),
+        F.expr(f"slice(toks, i * {CHUNK_S} + 1, {CHUNK_W})").alias("ctoks"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.size("ctoks").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join("ctoks", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -78,6 +78,14 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # entries. Rotate this list each round until every query has a green
 # harness row.
 _VERIFY_FIRST = (
+    # -- round-11 session 2: new operators --
+    "stats_anova_oneway",
+    "stats_spearman_rho",
+    "stats_cramers_v",
+    "stats_srm_check",
+    "events_interarrival_burstiness",
+    "chunk_sliding_windows",
+    "graph_katz_centrality",
     # -- round-11: new entry + every plan/oracle changed this round
     #    (ADVICE fixes, PQ 32x256 retrain, sharded prefix sum) --
     "stream_psi_drift",

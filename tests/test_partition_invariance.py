@@ -168,6 +168,20 @@ INVARIANT_QUERIES = (
     "stats_chi_square_independence",
     "graph_harmonic_centrality",
     "text_collocations_pmi",
+    # round-11 session 2: exact sufficient statistics (ANOVA components,
+    # Spearman's integer covariance numerators, the SRM integer GOF
+    # identity, per-user burstiness trees), closed-form integer
+    # chunking, integer-micro Katz iterations. (stats_anova_oneway's
+    # per-group components are fixed trees; its f_stat is the FLOAT
+    # libm-absorbing sum — included because the 5-term sum is exact in
+    # practice and pinned here intentionally, like chi2_f.)
+    "stats_anova_oneway",
+    "stats_spearman_rho",
+    "stats_cramers_v",
+    "stats_srm_check",
+    "events_interarrival_burstiness",
+    "chunk_sliding_windows",
+    "graph_katz_centrality",
 )
 
 
