@@ -2781,3 +2781,217 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_rowcount_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+med AS (
+  SELECT day_us, n_rows,
+         (SELECT CAST(lst[(LEN(lst) + 1) // 2] AS BIGINT)
+          FROM (SELECT LIST(n_rows ORDER BY n_rows) AS lst FROM daily))
+           AS med_rows
+  FROM daily
+),
+mad AS (
+  SELECT day_us, n_rows, med_rows,
+         (SELECT CAST(lst[(LEN(lst) + 1) // 2] AS BIGINT)
+          FROM (SELECT LIST(ABS(n_rows - med_rows)
+                            ORDER BY ABS(n_rows - med_rows)) AS lst
+                FROM med))
+           AS mad_rows
+  FROM med
+)
+SELECT day_us, n_rows, med_rows, mad_rows,
+       CASE WHEN mad_rows = 0 THEN CAST(n_rows - med_rows AS DOUBLE)
+            ELSE CAST(n_rows - med_rows AS DOUBLE) / mad_rows END
+         AS robust_z,
+       CASE WHEN 2 * ABS(n_rows - med_rows) > 7 * mad_rows THEN 1
+            ELSE 0 END AS is_alarm
+FROM mad
+ORDER BY day_us
+""",
+    tags=("dq", "rowcount", "anomaly", "monitoring"),
+)
+def dq_rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-volume anomaly monitor: per-day ingest row counts
+    flagged by robust (median/MAD) z-score — the "did yesterday's
+    partition land short" check every warehouse runs before letting
+    consumers read, robust where a mean/stddev gate is poisoned by the
+    very outage it should catch. Counts, the lower median (the
+    window_rolling_median element-of-sorted-list idiom), MAD, and the
+    alarm decision 2·|n−med| > 7·mad (3.5 MAD units) are ALL exact
+    integer arithmetic — the flag can never flip on a float last-ulp;
+    robust_z rides along as one IEEE division (zero-MAD days fall back
+    to the raw deviation — the window_hampel_filter contract).
+
+    Scale: one map-combined groupBy compresses the stream to the day
+    domain; the two medians run on that domain-sized table (at an
+    unbounded partition domain use the count-bucket sharded prefix
+    sum, functions/prefix.py). The scan dominates at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lst = F.array_sort(F.collect_list("n_rows").over(w_all))
+    med = daily.withColumn(
+        "med_rows",
+        F.element_at(lst, ((F.size(lst) + 1) / 2).cast("int")).cast("long"),
+    )
+    dlst = F.array_sort(
+        F.collect_list(F.abs(F.col("n_rows") - F.col("med_rows"))).over(w_all)
+    )
+    mad = med.withColumn(
+        "mad_rows",
+        F.element_at(dlst, ((F.size(dlst) + 1) / 2).cast("int")).cast(
+            "long"
+        ),
+    )
+    d = F.col("n_rows") - F.col("med_rows")
+    return (
+        mad.select(
+            "day_us",
+            "n_rows",
+            "med_rows",
+            "mad_rows",
+            F.when(F.col("mad_rows") == 0, d.cast("double"))
+            .otherwise(d.cast("double") / F.col("mad_rows"))
+            .alias("robust_z"),
+            F.when(
+                2 * F.abs(d) > 7 * F.col("mad_rows"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_alarm"),
+        )
+        .orderBy("day_us")
+    )
+
+
+_JK_B = 32  # jackknife blocks
+
+
+@register(
+    "stats_jackknife_ci_mean",
+    oracle=f"""
+WITH pool AS (
+  SELECT CAST((event_id * 1103515245 + 12345) % 2147483648 AS BIGINT)
+           % {_JK_B} AS block,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x
+  FROM events
+),
+blk AS (
+  SELECT block, CAST(COUNT(*) AS BIGINT) AS n_b,
+         SUM(x) AS s_be,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS s_b
+  FROM pool GROUP BY block
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n_total,
+         CAST(CAST(SUM(s_be) AS VARCHAR) AS DOUBLE) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS b
+  FROM blk
+),
+loo AS (
+  SELECT blk.block, blk.n_b,
+         (t.s_all - blk.s_b) / (t.n_total - blk.n_b) AS mean_loo,
+         t.s_all / t.n_total AS mean_all, t.b
+  FROM blk CROSS JOIN tot t
+)
+SELECT block, n_b, mean_loo, mean_all, b AS n_blocks,
+       CAST(1.96 * SQRT(
+         (CAST(b - 1 AS DOUBLE) / b)
+         * (SUM(mean_loo * mean_loo) OVER ()
+            - (SUM(mean_loo) OVER ()) * (SUM(mean_loo) OVER ()) / b)
+       ) AS FLOAT) AS ci_half_f
+FROM loo
+ORDER BY block
+""",
+    tags=("stats", "jackknife", "confidence-interval", "resampling"),
+)
+def stats_jackknife_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-jackknife 95% confidence interval for the mean event
+    value — the assumption-free interval the experimentation tier
+    reports next to its test statistics, and the estimator that stays
+    honest under within-block correlation (users/sessions landing in
+    the same block) where the naive s/√n interval is too narrow. The
+    32 blocks come from the fixed LCG mix over event_id (the
+    permutation-test discipline — deterministic in any engine at any
+    parallelism); per-block and grand sums are exact
+    HUGEINT/DECIMAL(38,0) string-hopped, so every leave-one-block-out
+    mean (S−s_b)/(N−n_b) is ONE fixed IEEE tree, bit-equal across
+    engines. The CI half-width needs Σm_b and Σm_b² over the 32
+    block rows — two window sums whose merge-order last-ulp is
+    absorbed by the single final FLOAT cast (the anova/chi2 contract);
+    the exact per-block components ride along.
+
+    Scale: one map-combined groupBy to 32 block rows; everything
+    after is 32-row arithmetic. The LCG is a per-row projection —
+    no extra pass, no shuffle beyond the block aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        F.expr(
+            "CAST((event_id * CAST(1103515245 AS BIGINT) + 12345)"
+            f" % 2147483648 AS BIGINT) % {_JK_B}"
+        ).alias("block"),
+        (dec("value") * 100).cast("decimal(38,0)").alias("x"),
+    )
+    blk = pool.groupBy("block").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.expr("SUM(x)").alias("s_be"),
+        F.expr("CAST(CAST(SUM(x) AS STRING) AS DOUBLE)").alias("s_b"),
+    )
+    tot = blk.agg(
+        F.sum("n_b").cast("long").alias("n_total"),
+        F.expr("CAST(CAST(SUM(s_be) AS STRING) AS DOUBLE)").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    loo = blk.crossJoin(F.broadcast(tot)).select(
+        "block",
+        "n_b",
+        (
+            (F.col("s_all") - F.col("s_b"))
+            / (F.col("n_total") - F.col("n_b"))
+        ).alias("mean_loo"),
+        (F.col("s_all") / F.col("n_total")).alias("mean_all"),
+        F.col("b"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        loo.select(
+            "block",
+            "n_b",
+            "mean_loo",
+            "mean_all",
+            F.col("b").alias("n_blocks"),
+            (
+                1.96
+                * F.sqrt(
+                    ((F.col("b") - 1).cast("double") / F.col("b"))
+                    * (
+                        F.sum(
+                            F.col("mean_loo") * F.col("mean_loo")
+                        ).over(w_all)
+                        - F.sum("mean_loo").over(w_all)
+                        * F.sum("mean_loo").over(w_all)
+                        / F.col("b")
+                    )
+                )
+            )
+            .cast("float")
+            .alias("ci_half_f"),
+        )
+        .orderBy("block")
+    )

@@ -1685,3 +1685,162 @@ def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_XCORR_LAGS = tuple(range(-3, 4))  # hours
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "ts_lagged_cross_correlation",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h_us) AS lo, MAX(h_us) AS hi FROM hourly),
+grid AS (
+  SELECT unnest(range(lo, hi + 1, {_HOUR_US})) AS h_us FROM bounds
+),
+series AS (
+  SELECT g.h_us,
+         CAST(COALESCE(hourly.a, 0) AS BIGINT) AS a,
+         CAST(COALESCE(hourly.b, 0) AS BIGINT) AS b
+  FROM grid g LEFT JOIN hourly ON g.h_us = hourly.h_us
+),
+lags AS (
+  SELECT unnest(ARRAY[{", ".join(str(x) for x in _XCORR_LAGS)}])
+    AS lag_hours
+),
+pairs AS (
+  SELECT l.lag_hours, s1.a AS x, s2.b AS y
+  FROM lags l
+  JOIN series s1 ON TRUE
+  JOIN series s2 ON s2.h_us = s1.h_us + l.lag_hours * {_HOUR_US}
+),
+st AS (
+  SELECT lag_hours, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY lag_hours
+)
+SELECT lag_hours, n_pairs,
+       (n_pairs * sxy - sx * sy)
+         / (SQRT(n_pairs * sxx - sx * sx) * SQRT(n_pairs * syy - sy * sy))
+         AS xcorr
+FROM st
+ORDER BY lag_hours
+""",
+    tags=("timeseries", "cross-correlation", "lead-lag", "causality"),
+)
+def ts_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click and
+    purchase volumes at lags −3..+3 h — the "which metric moves
+    first" scan behind leading-indicator discovery and alerting
+    root-cause triage (a peak at lag +2 reads "clicks lead purchases
+    by 2 hours"). Both series live on the SAME zero-filled hour grid
+    (the ts_hourly_autocorr discipline — missing hours are real
+    zeros, not dropped rows); per-lag sufficient statistics are exact
+    integer counts/products in HUGEINT/DECIMAL(38,0), string-hopped
+    once, so each lag's Pearson is a single IEEE tree over
+    bit-identical operands — bit-equal across engines with no float
+    aggregation.
+
+    Scale: one map-combined groupBy compresses the stream to the hour
+    domain; the 7 lags are a 7-row broadcast against the hour-domain
+    self-join (each lag pairs the grid with its shifted self — an
+    equi-join on h_us, domain-sized). At 100 TB the event scan
+    dominates; everything downstream is hours×7."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h_us")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("h_us").alias("lo"), F.max("h_us").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(_HOUR_US))
+        ).alias("h_us")
+    )
+    series = (
+        grid.join(hourly, "h_us", "left")
+        .select(
+            "h_us",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).cast("long").alias("b"),
+        )
+    )
+    lags = spark.createDataFrame(
+        [(x,) for x in _XCORR_LAGS], "lag_hours int"
+    )
+    s2 = series.select(
+        F.col("h_us").alias("h2_us"), F.col("b").alias("y")
+    )
+    pairs = (
+        series.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "h2_us", F.col("h_us") + F.col("lag_hours") * F.lit(_HOUR_US)
+        )
+        .join(s2, "h2_us")
+        .select("lag_hours", F.col("a").alias("x"), "y")
+    )
+    st = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS STRING) AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS STRING) AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return st.select(
+        "lag_hours",
+        "n_pairs",
+        (
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    F.col("n_pairs") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n_pairs") * F.col("syy")
+                    - F.col("sy") * F.col("sy")
+                )
+            )
+        ).alias("xcorr"),
+    ).orderBy("lag_hours")

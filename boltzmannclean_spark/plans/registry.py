@@ -79,6 +79,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-11 session 2: new operators --
+    "dq_rowcount_anomaly",
+    "stats_jackknife_ci_mean",
+    "ts_lagged_cross_correlation",
+    "text_lexical_diversity",
     "stats_anova_oneway",
     "stats_spearman_rho",
     "stats_cramers_v",

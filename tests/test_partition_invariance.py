@@ -182,6 +182,15 @@ INVARIANT_QUERIES = (
     "events_interarrival_burstiness",
     "chunk_sliding_windows",
     "graph_katz_centrality",
+    # round-11 session 2, batch 2: exact integer medians/MAD and alarm
+    # decisions, LCG block assignment with fixed-tree leave-one-out
+    # means (ci_half_f is the FLOAT-absorbed 32-term sum, pinned like
+    # chi2_f), zero-filled-grid integer correlation sums, exact
+    # type/hapax counts.
+    "dq_rowcount_anomaly",
+    "stats_jackknife_ci_mean",
+    "ts_lagged_cross_correlation",
+    "text_lexical_diversity",
 )
 
 
