@@ -1405,3 +1405,76 @@ def agg_kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+WITH per_type AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS n_distinct_users
+  FROM events GROUP BY event_type
+),
+overall AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_overall
+  FROM events
+)
+SELECT p.event_type, p.n_distinct_users, o.n_users_overall
+FROM per_type p CROSS JOIN overall o
+ORDER BY p.event_type
+""",
+    tags=("agg", "bitmap", "exact-distinct", "mergeable"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via Spark's bitmap
+    aggregates (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count) — the mergeable exact-distinct
+    idiom that sits between COUNT(DISTINCT) (exact, but its shuffle
+    carries every distinct VALUE) and HLL (mergeable, but approximate;
+    agg_hll_mergeable_rollup): each 32k-id bucket compresses to a 4 KB
+    bitmap in the partial aggregate, bitmaps OR together
+    associatively, and the count is exact. This is how a 100 TB
+    warehouse materializes daily distinct-user cubes it can later
+    re-merge into weeks/months WITHOUT rescanning (the second level
+    here — bitmap_or_agg across event types before counting — is
+    precisely that rollup, proving the partials re-merge).
+
+    Scale: the shuffle carries (groups × buckets) fixed-width bitmaps
+    instead of raw ids — for a dense 1B-user domain that is ~30k
+    bitmaps/group regardless of row count. Oracle is plain
+    COUNT(DISTINCT): the bitmap path must agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select("event_type", "user_id")
+        .groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bmp")
+        )
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bitmap_count(bmp)) AS BIGINT)").alias(
+            "n_distinct_users"
+        )
+    )
+    # second-level re-merge: OR the per-type bucket bitmaps down to
+    # global bucket bitmaps, then count — distinct users overall from
+    # the SAME partials, no rescan.
+    overall = (
+        buckets.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bmp)").alias("bmp"))
+        .agg(
+            F.expr("CAST(SUM(bitmap_count(bmp)) AS BIGINT)").alias(
+                "n_users_overall"
+            )
+        )
+    )
+    return (
+        per_type.crossJoin(F.broadcast(overall))
+        .select("event_type", "n_distinct_users", "n_users_overall")
+        .orderBy("event_type")
+    )

@@ -2700,9 +2700,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stats_srm_check",
-    oracle="""
+_SRM_ORACLE = """
 WITH users AS (
   SELECT DISTINCT user_id FROM events
 ),
@@ -2725,7 +2723,12 @@ SELECT c.bucket, c.n_users, t.n_total,
          / t.n_total AS srm_chi2
 FROM cells c CROSS JOIN tot t
 ORDER BY c.bucket
-""",
+"""
+
+
+@register(
+    "stats_srm_check",
+    oracle=_SRM_ORACLE,
     tags=("stats", "srm", "experiment-assignment", "goodness-of-fit"),
 )
 def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2748,7 +2751,15 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     after. The md5 evaluates per distinct user, not per event. At
     100 TB the scan dominates; the statistic is grid-sized."""
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
+    return srm_from_users(ev.select("user_id").distinct())
+
+
+def srm_from_users(users: DataFrame) -> DataFrame:
+    """The SRM reduction over a distinct-user DataFrame — shared by
+    the batch leg (stats_srm_check) and the streaming monitor
+    (streaming/queries.stream_srm_monitor), so both run the LITERAL
+    same expression tree and agree bit-for-bit (the
+    stream_psi_drift / _psi_from_counts precedent)."""
     cells = (
         users.select(
             F.substring(
@@ -2994,4 +3005,100 @@ def stats_jackknife_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ci_half_f"),
         )
         .orderBy("block")
+    )
+
+
+@register(
+    "stats_proportion_ci_wilson",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+                IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm,
+         conv
+  FROM per_user
+),
+cells AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS x
+  FROM armed GROUP BY arm
+)
+SELECT arm, n, x,
+       CAST(x AS DOUBLE) / n AS p_hat,
+       (x + 3.8416 / 2) / (n + 3.8416)
+         - 1.96 / (n + 3.8416)
+           * SQRT(CAST(x * (n - x) AS DOUBLE) / n + 3.8416 / 4) AS ci_lo,
+       (x + 3.8416 / 2) / (n + 3.8416)
+         + 1.96 / (n + 3.8416)
+           * SQRT(CAST(x * (n - x) AS DOUBLE) / n + 3.8416 / 4) AS ci_hi
+FROM cells
+ORDER BY arm
+""",
+    tags=("stats", "wilson", "confidence-interval", "proportion", "ab-test"),
+)
+def stats_proportion_ci_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for per-arm conversion
+    rate — the interval every A/B readout should print instead of the
+    Wald p̂ ± z·√(p̂q̂/n) (which collapses to zero width at p̂ ∈ {0,1}
+    and undercovers at small x; Wilson is the standard fix, Brown et
+    al. 2001). Users split into arms by the md5-digit hash (the
+    stats_srm_check assignment — the two operators together are the
+    readout pair: SRM gate first, then this interval); conversion is
+    "user has ≥1 purchase event". n, x, and x·(n−x) are exact
+    bigints; the interval endpoints are ONE fixed IEEE tree each over
+    exact operands and the double literals 1.96/3.8416 (decimal
+    literals parse to identical doubles in both engines) — bit-equal
+    with no float aggregation.
+
+    Scale: one map-combined per-user groupBy (the scan), then a
+    2-row arm aggregation. Nothing row-scale shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv")
+    )
+    armed = per_user.select(
+        F.when(
+            F.substring(
+                F.md5(F.col("user_id").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "conv",
+    )
+    cells = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    center = (F.col("x") + 3.8416 / 2) / (F.col("n") + 3.8416)
+    half = (
+        1.96
+        / (F.col("n") + 3.8416)
+        * F.sqrt(
+            (F.col("x") * (F.col("n") - F.col("x"))).cast("double")
+            / F.col("n")
+            + 3.8416 / 4
+        )
+    )
+    return (
+        cells.select(
+            "arm",
+            "n",
+            "x",
+            (F.col("x").cast("double") / F.col("n")).alias("p_hat"),
+            (center - half).alias("ci_lo"),
+            (center + half).alias("ci_hi"),
+        )
+        .orderBy("arm")
     )

@@ -79,6 +79,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-11 session 2: new operators --
+    "stream_srm_monitor",
+    "agg_bitmap_exact_distinct",
+    "stats_proportion_ci_wilson",
     "dq_rowcount_anomaly",
     "stats_jackknife_ci_mean",
     "ts_lagged_cross_correlation",

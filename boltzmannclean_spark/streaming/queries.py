@@ -862,3 +862,74 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_n").cast("long").alias("_n"))
     )
     return _psi_from_counts(counts, smoothing=1, group_col="event_type")
+
+
+from boltzmannclean_spark.operators.profiling import _SRM_ORACLE, srm_from_users
+
+
+@register(
+    "stream_srm_monitor",
+    # the SHARED batch oracle (stats_srm_check): stream-batch parity is
+    # the check, hash-exact because the final reduction reuses the batch
+    # expression tree over the accumulated assignment log.
+    oracle=_SRM_ORACLE,
+    tags=("streaming", "srm", "experiment", "monitoring", "foreachBatch"),
+)
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sample-ratio-mismatch monitor: the ``stats_srm_check``
+    guardrail run the way an experimentation platform actually runs it
+    — continuously over the enrollment stream, not once at readout. A
+    foreachBatch consumer folds each micro-batch's DISTINCT user set
+    into an accumulated assignment log (per-epoch work is one
+    map-combined distinct of the BATCH; the log grows with the user
+    domain, exactly like a production assignment table); the final GOF
+    reduction calls ``profiling.srm_from_users`` — the LITERAL batch
+    expression tree — so stream and batch agree bit-for-bit and the
+    SHARED oracle hash-matches (the stream_psi_drift discipline).
+    Distinct-union is idempotent and commutative, so ANY micro-batch
+    split, replay, or duplicate delivery converges to the same answer
+    — the at-least-once-safe property a production monitor needs.
+
+    The fixture re-splits events into 3 files streamed one per trigger
+    so the accumulate loop really runs multiple epochs; the per-epoch
+    ``toPandas()`` moves only the batch's distinct-user ids (bounded
+    by the user domain — at an unbounded domain, keep the log as a
+    parquet-backed table instead: the stream_cdc_merge_snapshot
+    recipe, same semantics)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from boltzmannclean_spark.sources.catalog import normalize_events_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bcs_srm_")
+    feed_dir = os.path.join(base, "feed")
+    ev.repartition(3).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    enrolled = stream.select("user_id")
+
+    parts: list[pd.DataFrame] = []
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        pdf = batch_df.select("user_id").distinct().toPandas()
+        if len(pdf):
+            parts.append(pdf)
+
+    q = enrolled.writeStream.outputMode("append").foreachBatch(absorb).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not parts:
+        log_pdf = pd.DataFrame({"user_id": []})
+    else:
+        log_pdf = pd.concat(parts, ignore_index=True)
+    log = spark.createDataFrame(log_pdf, "user_id long").distinct()
+    return srm_from_users(log)

@@ -191,6 +191,10 @@ INVARIANT_QUERIES = (
     "stats_jackknife_ci_mean",
     "ts_lagged_cross_correlation",
     "text_lexical_diversity",
+    # batch 3: bitmap partials OR associatively (exact at any split);
+    # Wilson endpoints are fixed trees over exact (n, x).
+    "agg_bitmap_exact_distinct",
+    "stats_proportion_ci_wilson",
 )
 
 

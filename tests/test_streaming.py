@@ -23,6 +23,10 @@ STREAM_QUERIES = [
     "stream_dedup_watermark",
     "stream_static_join",
     "stream_stateful_user_totals",
+    # r11 session 2: the multi-epoch SRM monitor hash-matches the
+    # SHARED stats_srm_check oracle (same reduction tree over the
+    # accumulated assignment log).
+    "stream_srm_monitor",
 ]
 
 
