@@ -2477,3 +2477,90 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.where(F.col("head_dist") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+INCR_BATCH_DIGITS = ("c", "d", "e", "f")  # md5 digits marking "today's batch" (~1/4)
+INCR_THRESHOLD = 0.8  # looser than the 0.9 full-corpus pass: a delta
+# dedup errs toward flagging (a flagged doc gets VERIFIED jaccard in the
+# output; the consumer picks its own cut), and 0.8 is the production
+# near-dup norm (Lee et al. use 0.8 Jaccard for C4/MassiveText-style dedup)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH vocab AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                IN ({", ".join("'" + d + "'" for d in INCR_BATCH_DIGITS)})
+              THEN 1 ELSE 0 END AS is_new
+  FROM documents
+),
+toks AS (SELECT doc_id, is_new, UNNEST(toks) AS sh FROM vocab),
+seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed),
+minh AS (
+  SELECT doc_id, is_new, seed,
+         MIN(substring(md5((seed // 4)::VARCHAR || '|' || sh),
+                       1 + 8 * (seed % 4), 8)) AS mh
+  FROM toks CROSS JOIN seeds
+  GROUP BY doc_id, is_new, seed
+),
+bands AS (
+  SELECT doc_id, is_new, seed // {BAND_ROWS} AS band,
+         STRING_AGG(mh, '' ORDER BY seed) AS band_key
+  FROM minh GROUP BY doc_id, is_new, seed // {BAND_ROWS}
+),
+cands AS (
+  SELECT nb.doc_id AS new_id, MIN(cb.doc_id) AS rep
+  FROM bands nb
+  JOIN bands cb ON cb.band = nb.band AND cb.band_key = nb.band_key
+  WHERE nb.is_new = 1 AND cb.is_new = 0
+  GROUP BY nb.doc_id
+)
+SELECT c.new_id AS doc_id, c.rep AS dup_of,
+       CAST(LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+         / CAST(LEN(va.toks) + LEN(vb.toks)
+                - LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+         AS jaccard
+FROM cands c
+JOIN vocab va ON va.doc_id = c.new_id
+JOIN vocab vb ON vb.doc_id = c.rep
+WHERE CAST(LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+        / CAST(LEN(va.toks) + LEN(vb.toks)
+               - LEN(list_intersect(va.toks, vb.toks)) AS DOUBLE)
+      >= {INCR_THRESHOLD}
+ORDER BY doc_id
+""",
+    tags=("dedup", "minhash", "incremental", "delta"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) near-dup dedup — the shape a production
+    ingest pipeline runs DAILY: dedupe today's batch (the ~1/16 of
+    docs whose md5 digit is c-f — the hash-sampling idiom standing in
+    for an ingest date) against the existing corpus, never re-dedupe
+    the corpus against itself. Candidates come from the new-bands ⋈
+    corpus-bands equi-join, so candidate volume is Θ(batch ×
+    collisions), not corpus²; verification is exact token-set Jaccard
+    against each new doc's MIN-id corpus collision only. In production
+    the corpus side is a PRECOMPUTED signature store — the md5
+    minhashes are deterministic, so stored and recomputed signatures
+    are bit-identical, and this fixture recomputation proves the
+    stored-side contract. Instantiates the public
+    ``pipeline.incremental_minhash_dedup``.
+
+    Scale: signatures are one map-combined groupBy per side; the band
+    join shuffles (band, 16-char key) pairs; the verify join touches
+    batch-sized rows. At 100 TB only the BATCH's text is scanned —
+    the corpus contributes its (already stored) band table."""
+    from boltzmannclean_spark.pipeline import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        docs,
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *INCR_BATCH_DIGITS
+        ),
+        n_hashes=N_SEEDS,
+        band_rows=BAND_ROWS,
+        threshold=INCR_THRESHOLD,
+    )

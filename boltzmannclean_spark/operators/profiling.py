@@ -3102,3 +3102,119 @@ def stats_proportion_ci_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "stats_delta_method_ratio_ci",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS x,
+         CAST(COUNT(*) AS HUGEINT) AS y
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+                IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm,
+         x, y
+  FROM per_user
+),
+cells AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM armed GROUP BY arm
+),
+m AS (
+  SELECT arm, n, sx, sy,
+         sx / sy AS ratio,
+         ((sxx - (sx / n) * sx) / (n - 1)
+          - 2 * (sx / sy) * ((sxy - (sx / n) * sy) / (n - 1))
+          + (sx / sy) * (sx / sy) * ((syy - (sy / n) * sy) / (n - 1)))
+           / (n * (sy / n) * (sy / n)) AS var_ratio
+  FROM cells
+)
+SELECT arm, n AS n_users, ratio AS ratio_cents_per_event,
+       SQRT(var_ratio) AS se,
+       ratio - 1.96 * SQRT(var_ratio) AS ci_lo,
+       ratio + 1.96 * SQRT(var_ratio) AS ci_hi
+FROM m
+ORDER BY arm
+""",
+    tags=("stats", "delta-method", "ratio-metric", "ab-test"),
+)
+def stats_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for a RATIO metric (cents per event, per
+    arm) — the estimator every experimentation platform needs for
+    revenue-per-session-class metrics, where the naive per-user-mean
+    t-test answers the wrong question (a ratio of sums is not a mean
+    of ratios) and treating the ratio's numerator alone ignores the
+    denominator's variance. Per-user (x=cents, y=events) pairs
+    aggregate to exact HUGEINT/DECIMAL(38,0) arm sums (Σx, Σy, Σx²,
+    Σy², Σxy), string-hopped once; Var(x̄/ȳ) ≈ (s²ₓ − 2R·s_xy +
+    R²·s²ᵧ)/(n·ȳ²) and the interval endpoints are ONE fixed IEEE
+    tree each (SQRT is correctly rounded) — bit-equal across engines
+    with no float aggregation. Arms come from the md5 assignment
+    shared with stats_srm_check / stats_proportion_ci_wilson — the
+    three form the readout set: SRM gate, proportion CI, ratio CI.
+
+    Scale: one map-combined per-user groupBy, then a 2-row arm
+    aggregation of six sufficient statistics. Nothing row-scale
+    shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((dec("value") * 100).cast("decimal(38,0)")).alias("x"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("y"),
+    )
+    armed = per_user.select(
+        F.when(
+            F.substring(
+                F.md5(F.col("user_id").cast("string")), 1, 1
+            ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    cells = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(CAST(SUM(x) AS STRING) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(CAST(SUM(y) AS STRING) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(CAST(SUM(x * x) AS STRING) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(CAST(SUM(y * y) AS STRING) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(CAST(SUM(x * y) AS STRING) AS DOUBLE)").alias("sxy"),
+    )
+    ratio = F.col("sx") / F.col("sy")
+    var_ratio = (
+        (F.col("sxx") - (F.col("sx") / F.col("n")) * F.col("sx"))
+        / (F.col("n") - 1)
+        - 2
+        * ratio
+        * (
+            (F.col("sxy") - (F.col("sx") / F.col("n")) * F.col("sy"))
+            / (F.col("n") - 1)
+        )
+        + ratio
+        * ratio
+        * (
+            (F.col("syy") - (F.col("sy") / F.col("n")) * F.col("sy"))
+            / (F.col("n") - 1)
+        )
+    ) / (F.col("n") * (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+    return (
+        cells.select(
+            "arm",
+            F.col("n").alias("n_users"),
+            ratio.alias("ratio_cents_per_event"),
+            F.sqrt(var_ratio).alias("se"),
+            (ratio - 1.96 * F.sqrt(var_ratio)).alias("ci_lo"),
+            (ratio + 1.96 * F.sqrt(var_ratio)).alias("ci_hi"),
+        )
+        .orderBy("arm")
+    )

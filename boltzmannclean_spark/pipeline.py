@@ -1714,3 +1714,88 @@ def permutation_test(
             ).alias("p_value"),
         )
     )
+
+
+def incremental_minhash_dedup(
+    docs: DataFrame,
+    is_new: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Incremental near-dup dedup: flag docs of an incoming batch
+    (``is_new``) that near-duplicate the EXISTING corpus — the shape a
+    production ingest pipeline actually runs daily (dedupe the delta
+    against the index, never re-dedupe the corpus). Same deterministic
+    md5 minhash/banding as ``minhash_dedup``; the candidate join is
+    new-bands ⋈ corpus-bands on (band, band_key), so candidate volume
+    is Θ(new × collisions), never corpus² — and in production the
+    corpus side is the PRECOMPUTED signature store (here recomputed
+    from the fixture; the signatures are deterministic, so a stored
+    and a recomputed corpus band table are bit-identical). Each new
+    doc verifies by exact token-set Jaccard against its MIN-id corpus
+    collision only (work bounded at new-docs × bands), and rows
+    (id, dup_of, jaccard) at jaccard ≥ ``threshold`` come back —
+    the keep/drop decision for the batch."""
+    if n_hashes % band_rows:
+        raise ValueError("n_hashes must be a multiple of band_rows")
+    vocab = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(text_col, " ")).alias("toks"),
+        is_new.cast("int").alias("is_new"),
+    )
+    toks = vocab.select("doc_id", "is_new", F.explode("toks").alias("sh"))
+    minh = toks.groupBy("doc_id", "is_new").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s // 4}|"), F.col("sh"))),
+                    1 + 8 * (s % 4),
+                    8,
+                )
+            ).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
+        for b in range(n_hashes // band_rows)
+    ]
+    bands = minh.select(
+        "doc_id",
+        "is_new",
+        F.posexplode(F.array(*band_cols)).alias("band", "band_key"),
+    )
+    new_b = bands.where(F.col("is_new") == 1).select(
+        F.col("doc_id").alias("new_id"), "band", "band_key"
+    )
+    corp_b = bands.where(F.col("is_new") == 0).select(
+        F.col("doc_id").alias("corp_id"), "band", "band_key"
+    )
+    cands = (
+        new_b.join(corp_b, ["band", "band_key"])
+        .groupBy("new_id")
+        .agg(F.min("corp_id").alias("rep"))
+    )
+    va = vocab.alias("va")
+    vb = vocab.alias("vb")
+    n_int = F.size(F.array_intersect(F.col("va.toks"), F.col("vb.toks")))
+    n_sum = F.size(F.col("va.toks")) + F.size(F.col("vb.toks"))
+    jac = (n_int.cast("double") / (n_sum - n_int).cast("double")).alias(
+        "jaccard"
+    )
+    c = cands.alias("c")
+    return (
+        c.join(va, F.col("va.doc_id") == F.col("c.new_id"))
+        .join(vb, F.col("vb.doc_id") == F.col("c.rep"))
+        .select(
+            F.col("c.new_id").alias(id_col),
+            F.col("c.rep").alias("dup_of"),
+            jac,
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy(id_col)
+    )

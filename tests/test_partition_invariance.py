@@ -195,6 +195,10 @@ INVARIANT_QUERIES = (
     # Wilson endpoints are fixed trees over exact (n, x).
     "agg_bitmap_exact_distinct",
     "stats_proportion_ci_wilson",
+    # batch 4: deterministic md5 minhash/banding with min-id reps;
+    # delta-method trees over exact arm sums.
+    "dedup_incremental_batch",
+    "stats_delta_method_ratio_ci",
 )
 
 
