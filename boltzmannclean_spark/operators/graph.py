@@ -1528,3 +1528,131 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_micro"), "node")
         .limit(TOP_N)
     )
+
+
+PPR_N_SEEDS = 5  # lowest-custkey customers form the seed set
+
+
+def _ppr_oracle() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        its.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node, CAST(SUM({prev}.r // deg.d) AS BIGINT) AS contrib
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         (15 * n.seed_share + 85 * COALESCE(c{i}.contrib, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT 'c:' || c AS src, 's:' || s AS dst FROM eo
+  UNION ALL
+  SELECT 's:' || s AS src, 'c:' || c AS dst FROM eo
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+seeds AS (
+  SELECT 'c:' || c AS node FROM (
+    SELECT DISTINCT c FROM eo ORDER BY c LIMIT {PPR_N_SEEDS}
+  )
+),
+nodes AS (
+  SELECT deg.src AS node,
+         CAST(CASE WHEN seeds.node IS NOT NULL
+              THEN {RSCALE} // {PPR_N_SEEDS} ELSE 0 END AS BIGINT)
+           AS seed_share
+  FROM deg LEFT JOIN seeds ON seeds.node = deg.src
+),
+r0 AS (SELECT node, CAST(seed_share AS BIGINT) AS r FROM nodes),{",".join(its)}
+SELECT node, r AS ppr_micro
+FROM {prev}
+WHERE r > 0
+ORDER BY ppr_micro DESC, node
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "pagerank", "personalized", "recommendation"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 5-customer seed set (3 iterations,
+    damping 0.85) — the "what is close to THESE nodes" ranking behind
+    graph-based recommendation and trust propagation, where global
+    pagerank answers the wrong question (global importance, not
+    proximity to the seeds). Identical integer-micro discipline to
+    graph_pagerank_bipartite, but the teleport mass returns to the
+    SEED nodes only: r' = (15·seed_share + 85·Σ contrib) div 100 with
+    seed_share = RSCALE/|S| on seeds and 0 elsewhere — all integer
+    arithmetic, bit-identical at any parallelism. Nodes never reached
+    from the seeds stay at exactly 0 and are filtered (r > 0), so the
+    output is the seeds' 3-hop neighborhood ranked by proximity.
+
+    Scale: same two-shuffles-per-iteration shape as pagerank (vector ⋈
+    cached edges on src, map-combined aggregation to dst, LEFT join
+    back to the node list so unreached nodes keep their exact 0);
+    the vector is node-count sized and never broadcast. Top-25 via
+    TakeOrderedAndProject."""
+    ed, _r0_unused, _n = _pagerank_state(spark, sf_dir)
+    nodes = ed.select("src").distinct()
+    seeds = (
+        nodes.where(F.col("src") % 2 == 0)
+        .orderBy("src")
+        .limit(PPR_N_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(1).alias("is_seed"))
+    )
+    base = nodes.select(F.col("src").alias("node")).join(
+        F.broadcast(seeds), "node", "left"
+    ).select(
+        "node",
+        F.when(
+            F.col("is_seed").isNotNull(),
+            F.lit(RSCALE // PPR_N_SEEDS),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("seed_share"),
+    ).localCheckpoint()
+    r = base.select("node", F.col("seed_share").alias("r"))
+    for _ in range(N_ITER):
+        contrib = (
+            ed.join(r.hint("shuffle_hash"), ed.src == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div d")).alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        r = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "(15 * seed_share + 85 * COALESCE(contrib, 0)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.where(F.col("r") > 0)
+        .selectExpr(
+            "CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node div 2 AS STRING)"
+            " ELSE 's:' || CAST(node div 2 AS STRING) END AS node",
+            "r AS ppr_micro",
+        )
+        .orderBy(F.desc("ppr_micro"), "node")
+        .limit(TOP_N)
+    )

@@ -79,6 +79,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-11 session 2: new operators --
+    "text_winnowing_overlap",
+    "graph_personalized_pagerank",
     "dedup_incremental_batch",
     "stats_delta_method_ratio_ci",
     "stream_srm_monitor",

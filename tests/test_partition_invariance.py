@@ -199,6 +199,10 @@ INVARIANT_QUERIES = (
     # delta-method trees over exact arm sums.
     "dedup_incremental_batch",
     "stats_delta_method_ratio_ci",
+    # batch 5: window-min fingerprints over unique (doc, pos) order;
+    # integer-micro personalized teleport.
+    "text_winnowing_overlap",
+    "graph_personalized_pagerank",
 )
 
 
