@@ -1478,3 +1478,247 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_distinct_users", "n_users_overall")
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH pool AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+  FROM lineitem
+),
+dom AS (
+  SELECT l_returnflag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+  FROM pool GROUP BY l_returnflag, price_cents
+),
+cum AS (
+  SELECT l_returnflag, price_cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents)
+           AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM dom
+)
+SELECT l_returnflag, CAST(MIN(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "weighted-median", "percentile", "robust"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag (weight = quantity) —
+    the warehouse staple the unweighted percentile family
+    (agg_median_percentile) can't answer: "the price at which half
+    the UNITS ship", not half the line items. Definition is the exact
+    lower weighted median (smallest value whose cumulative weight
+    reaches half the total, decided by the integer comparison
+    2·cum ≥ total — no float, no interpolation), so the answer can
+    never flip on a rounding edge and is identical in any engine.
+
+    Scale: the row stream compresses to the (flag × distinct-price)
+    domain in one map-combined groupBy; the prefix sum runs per flag
+    over that domain (route through functions/prefix.py's sharded
+    prefix sum at an unbounded value domain). Same shape as
+    mann_whitney's ranking — domain-sized, never row-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pool = li.select(
+        "l_returnflag",
+        (dec("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        (dec("l_quantity") * 100).cast("long").alias("w"),
+    )
+    dom = pool.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("price_cents")
+    wt = Window.partitionBy("l_returnflag")
+    cum = dom.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+            )
+            .cast("long")
+            .alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_FH_BUCKETS = 16  # feature-hashing dimensionality
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+WITH feats AS (
+  SELECT user_id,
+         event_type || ':' || (CAST(props ->> '$.k' AS BIGINT) // 25)
+           AS feat
+  FROM events
+),
+hashed AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5(feat), 1, 1))::INTEGER AS BIGINT)
+           AS bucket,
+         CASE WHEN substring(md5(feat), 2, 1)
+                IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS sgn
+  FROM feats
+)
+SELECT user_id,
+       {", ".join(
+         "CAST(SUM(CASE WHEN bucket = %d THEN sgn ELSE 0 END) AS BIGINT)"
+         " AS f%02d" % (b, b) for b in range(_FH_BUCKETS)
+       )}
+FROM hashed
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("ml", "feature-hashing", "hashing-trick", "featurization"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): per-user signed
+    16-bucket feature vectors over the unbounded (event_type ×
+    k-segment) feature space — the featurizer that makes
+    billion-category ML features fixed-width WITHOUT a vocabulary
+    build or broadcast (no dictionary pass, no OOV problem; the
+    signed hash keeps collisions unbiased in expectation). Bucket and
+    sign come from md5 hex digits (the engine-portable hash
+    discipline: stable under reruns, repartitioning, engine
+    migration), and every cell is an exact signed integer count —
+    bit-equal in any engine at any parallelism.
+
+    Scale: ONE map-combined groupBy — the 16 conditional sums are
+    parallel aggregate expressions over the same exchange (wide-agg
+    pivot, not 16 passes). Output is user-domain-sized — exactly the
+    feature table a downstream trainer consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        "user_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.expr(
+                "CAST(CAST(get_json_object(props, '$.k') AS BIGINT)"
+                " div 25 AS STRING)"
+            ),
+        ).alias("feat"),
+    )
+    hashed = feats.select(
+        "user_id",
+        F.expr("CAST(conv(substring(md5(feat), 1, 1), 16, 10) AS BIGINT)")
+        .alias("bucket"),
+        F.when(
+            F.substring(F.md5("feat"), 2, 1).isin(
+                "0", "1", "2", "3", "4", "5", "6", "7"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("user_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == b, F.col("sgn")).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"f{b:02d}")
+                for b in range(_FH_BUCKETS)
+            ]
+        )
+        .orderBy("user_id")
+    )
+
+
+_TE_SMOOTH = 100  # pseudo-observations toward the global mean
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+WITH pool AS (
+  SELECT o_orderpriority AS category,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS HUGEINT) AS y
+  FROM orders
+),
+cat AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(y) AS sye,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy
+  FROM pool GROUP BY category
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(CAST(SUM(sye) AS VARCHAR) AS DOUBLE) AS sy_all
+  FROM cat
+)
+SELECT c.category, c.n,
+       c.sy / c.n AS mean_y_cents,
+       (c.sy + {_TE_SMOOTH} * (t.sy_all / t.n_total))
+         / (c.n + {_TE_SMOOTH}) AS encoded_cents
+FROM cat c CROSS JOIN tot t
+ORDER BY c.category
+""",
+    tags=("ml", "target-encoding", "categorical", "featurization"),
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding for a categorical feature (order
+    priority → mean order value): enc = (Σy + m·ȳ_global)/(n + m)
+    with m = 100 pseudo-observations — the high-cardinality
+    categorical encoder tree models use where one-hot explodes
+    (micro-partner of A4's one-hot in the imputer pipeline), with the
+    shrinkage toward the global mean that keeps rare categories from
+    memorizing noise. Per-category and global sums are exact
+    HUGEINT/DECIMAL(38,0) string-hopped; mean and encoding are ONE
+    fixed IEEE tree each — bit-equal across engines, no float
+    aggregation.
+
+    Scale: one map-combined groupBy to the category domain, a 1-row
+    broadcast total, category-domain arithmetic after. The encoding
+    table is what ships to the trainer — at 100 TB it is still
+    category-domain-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    pool = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        (dec("o_totalprice", 14) * 100).cast("decimal(38,0)").alias("y"),
+    )
+    cat = pool.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("SUM(y)").alias("sye"),
+        F.expr("CAST(CAST(SUM(y) AS STRING) AS DOUBLE)").alias("sy"),
+    )
+    tot = cat.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr("CAST(CAST(SUM(sye) AS STRING) AS DOUBLE)").alias("sy_all"),
+    )
+    return (
+        cat.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            (F.col("sy") / F.col("n")).alias("mean_y_cents"),
+            (
+                (
+                    F.col("sy")
+                    + _TE_SMOOTH * (F.col("sy_all") / F.col("n_total"))
+                )
+                / (F.col("n") + _TE_SMOOTH)
+            ).alias("encoded_cents"),
+        )
+        .orderBy("category")
+    )

@@ -79,6 +79,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-11 session 2: new operators --
+    "agg_weighted_median",
+    "ml_feature_hashing",
+    "ml_target_encoding",
     "text_winnowing_overlap",
     "graph_personalized_pagerank",
     "dedup_incremental_batch",

@@ -203,6 +203,11 @@ INVARIANT_QUERIES = (
     # integer-micro personalized teleport.
     "text_winnowing_overlap",
     "graph_personalized_pagerank",
+    # batch 6: integer 2·cum ≥ total median decision, signed-integer
+    # hash buckets, fixed-tree smoothed encodings.
+    "agg_weighted_median",
+    "ml_feature_hashing",
+    "ml_target_encoding",
 )
 
 
