@@ -28,7 +28,7 @@ at any parallelism; no floating-point merge-order noise ever enters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.plans.registry import register
@@ -1656,3 +1656,117 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr_micro"), "node")
         .limit(TOP_N)
     )
+
+
+HITS_ITER = 3
+
+
+def _hits_oracle() -> str:
+    its = []
+    prev_a, prev_h = "a0", "h0"
+    for i in range(1, HITS_ITER + 1):
+        its.append(
+            f"""
+h{i} AS (
+  SELECT e.c AS node, CAST(SUM({prev_a}.v) AS HUGEINT) AS v
+  FROM eo e JOIN {prev_a} ON {prev_a}.node = e.s
+  GROUP BY e.c
+),
+a{i} AS (
+  SELECT e.s AS node, CAST(SUM(h{i}.v) AS HUGEINT) AS v
+  FROM eo e JOIN h{i} ON h{i}.node = e.c
+  GROUP BY e.s
+)"""
+        )
+        prev_a, prev_h = f"a{i}", f"h{i}"
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a0 AS (SELECT DISTINCT s AS node, CAST(1 AS HUGEINT) AS v FROM eo),
+h0 AS (SELECT DISTINCT c AS node, CAST(1 AS HUGEINT) AS v FROM eo),{",".join(its)},
+ranked AS (
+  SELECT 'hub' AS role, 'c:' || node AS node,
+         CAST(CAST(v AS VARCHAR) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (ORDER BY v DESC, node) AS rk
+  FROM {prev_h}
+  UNION ALL
+  SELECT 'authority' AS role, 's:' || node AS node,
+         CAST(CAST(v AS VARCHAR) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (ORDER BY v DESC, node) AS rk
+  FROM {prev_a}
+)
+SELECT role, node, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_N}
+ORDER BY role, rk
+"""
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "hubs", "authorities", "iterative"),
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the customer→supplier bipartite graph:
+    customers are hubs (score = Σ authority of their suppliers),
+    suppliers are authorities (score = Σ hub of their customers) —
+    3 mutual-reinforcement iterations, top-25 each. The pair
+    completes the centrality family with the DIRECTIONAL notion
+    pagerank/katz collapse: a big buyer (hub) and a widely-bought
+    supplier (authority) are different roles, and HITS scores them
+    separately. Scores stay UNNORMALIZED exact integers
+    (HUGEINT/DECIMAL(38,0) — growth over 3 iterations is bounded by
+    (max degree)³·|V|, ~10²⁰ here, inside 38 digits): normalization
+    rescales, never reorders, so the RANKING is the textbook HITS
+    ranking while every score is bit-identical at any parallelism
+    (string-hopped to double only for display).
+
+    Scale: each half-iteration is one edge ⋈ score-vector shuffle
+    join plus a map-combined aggregation (the pagerank contract); the
+    distinct edge list is cached, the vector never broadcast. Top-25
+    per role via per-role row_number over the vector — at an
+    unbounded node domain route through functions/topk.py's salted
+    top-k (the similarity_cosine_topk path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eo = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .cache()
+    )
+    a = eo.select(F.col("l_suppkey").alias("node")).distinct().select(
+        "node", F.lit(1).cast("decimal(38,0)").alias("v")
+    )
+    h = None
+    for _ in range(HITS_ITER):
+        h = (
+            eo.join(a.hint("shuffle_hash"), eo.l_suppkey == F.col("node"))
+            .groupBy("o_custkey")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("o_custkey").alias("node"), "v")
+            .localCheckpoint()
+        )
+        a = (
+            eo.join(h.hint("shuffle_hash"), eo.o_custkey == F.col("node"))
+            .groupBy("l_suppkey")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("l_suppkey").alias("node"), "v")
+            .localCheckpoint()
+        )
+    wr = Window.orderBy(F.desc("v"), "node")
+    hubs = h.select(
+        F.lit("hub").alias("role"),
+        F.concat(F.lit("c:"), F.col("node").cast("string")).alias("node"),
+        F.expr("CAST(CAST(v AS STRING) AS DOUBLE)").alias("score"),
+        F.row_number().over(wr).cast("long").alias("rk"),
+    ).where(F.col("rk") <= TOP_N)
+    auths = a.select(
+        F.lit("authority").alias("role"),
+        F.concat(F.lit("s:"), F.col("node").cast("string")).alias("node"),
+        F.expr("CAST(CAST(v AS STRING) AS DOUBLE)").alias("score"),
+        F.row_number().over(wr).cast("long").alias("rk"),
+    ).where(F.col("rk") <= TOP_N)
+    return hubs.unionAll(auths).orderBy("role", "rk")

@@ -670,3 +670,117 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_median",
         "window_mad",
     ).orderBy("user_id", "event_id")
+
+
+BOLL_WIN = 25  # trailing window (rows)
+BOLL_MIN = 10  # minimum observations before a band is meaningful
+
+
+@register(
+    "window_bollinger_breakout",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM events
+),
+stats_ AS (
+  SELECT user_id, event_id, t_us, x,
+         CAST(COUNT(*) OVER w AS BIGINT) AS m,
+         CAST(SUM(x) OVER w AS BIGINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS s2
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN {BOLL_WIN} PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT user_id, event_id, t_us, x, m, s1,
+         CAST(m AS HUGEINT) * x - s1 AS dev_num,
+         CAST(m AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS var_num
+  FROM stats_
+  WHERE m >= {BOLL_MIN}
+)
+SELECT user_id, event_id, x AS x_cents,
+       CAST(s1 / m AS DOUBLE) AS band_mean_cents,
+       CASE WHEN CAST(dev_num AS HUGEINT) * dev_num > 4 * var_num * m
+            THEN (CASE WHEN dev_num > 0 THEN 1 ELSE -1 END)
+            ELSE 0 END AS breakout
+FROM flagged
+WHERE CAST(dev_num AS HUGEINT) * dev_num > 4 * var_num * m
+ORDER BY user_id, t_us, event_id
+""",
+    tags=("window", "bollinger", "breakout", "monitoring", "robust"),
+)
+def window_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection per user: flag events whose
+    value leaves the trailing-25 mean ± 2σ band — the rolling
+    volatility alarm (trading's Bollinger bands, ops' dynamic
+    thresholds) next to the fixed-window z-score family. The band
+    test is decided ENTIRELY in integers: |x − s1/m| > 2σ with
+    σ² = (m·s2 − s1²)/m² is equivalent to
+    (m·x − s1)² > 4·(m·s2 − s1²)·m over exact HUGEINT/DECIMAL(38,0)
+    window sums — no sqrt, no division, no float: the flag can never
+    flip on a rounding edge and is bit-identical at any parallelism
+    (the dq_rowcount_anomaly alarm discipline, windowed). The band
+    excludes the current row (1 PRECEDING) so an outlier never
+    suppresses its own alarm; bands need ≥10 prior observations.
+
+    Scale: one user-keyed window (count/sum/sum-of-squares share the
+    frame and one sort); output is breakouts only — alarm-sized, not
+    row-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        (dec("value") * 100).cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-BOLL_WIN, -1)
+    )
+    stats_ = seq.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("m"),
+        F.sum("x").over(w).cast("long").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .over(w)
+        .alias("s2"),
+    ).where(F.col("m") >= BOLL_MIN)
+    flagged = stats_.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "x",
+        "m",
+        "s1",
+        F.expr("CAST(m AS DECIMAL(38,0)) * x - s1").alias("dev_num"),
+        F.expr(
+            "CAST(m AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1"
+        ).alias("var_num"),
+    )
+    breach = F.expr(
+        "CAST(dev_num AS DECIMAL(38,0)) * dev_num > 4 * var_num * m"
+    )
+    return (
+        flagged.where(breach)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("x").alias("x_cents"),
+            (F.col("s1") / F.col("m")).cast("double").alias(
+                "band_mean_cents"
+            ),
+            F.when(F.col("dev_num") > 0, 1)
+            .otherwise(-1)
+            .alias("breakout"),
+            "t_us",
+        )
+        .orderBy("user_id", "t_us", "event_id")
+        .drop("t_us")
+    )

@@ -79,6 +79,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-11 session 2: new operators --
+    "window_bollinger_breakout",
+    "graph_hits_hubs_authorities",
     "agg_weighted_median",
     "ml_feature_hashing",
     "ml_target_encoding",

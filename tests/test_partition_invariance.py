@@ -208,6 +208,10 @@ INVARIANT_QUERIES = (
     "agg_weighted_median",
     "ml_feature_hashing",
     "ml_target_encoding",
+    # batch 7: all-integer band breach (m·x−s1)² > 4·(m·s2−s1²)·m;
+    # unnormalized exact-integer HITS scores.
+    "window_bollinger_breakout",
+    "graph_hits_hubs_authorities",
 )
 
 
