@@ -19,6 +19,12 @@ from boltzmannclean_spark.sources.catalog import TABLES
 
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
+    # Bound the spill so a runaway oracle (wedge enumeration at the x30
+    # replica spilled 70+ GB — round-10/11 lesson) fails ITS query loudly
+    # instead of exhausting the disk under everything else. Override via
+    # SPARK_GRAFT_ORACLE_SPILL for a deliberate solo heavy run.
+    spill_cap = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "24GiB")
+    con.execute(f"SET max_temp_directory_size='{spill_cap}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables are DIRECTORIES of part files (the x10/x30
