@@ -3218,3 +3218,193 @@ def stats_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "stats_power_sample_size",
+    oracle="""
+WITH pool AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS s2
+  FROM pool
+),
+m AS (
+  SELECT n, s1 / n AS mean_cents,
+         (s2 - (s1 / n) * s1) / (n - 1) AS var_cents
+  FROM sums
+),
+mde AS (
+  SELECT m.*, g.rel_mde,
+         m.mean_cents * g.rel_mde AS delta
+  FROM m CROSS JOIN (
+    SELECT UNNEST(ARRAY[0.01, 0.02, 0.05, 0.10]) AS rel_mde
+  ) g
+)
+SELECT rel_mde, n AS n_observed, mean_cents,
+       CAST(CEIL(2.0 * var_cents * (1.959964 + 0.841621)
+                 * (1.959964 + 0.841621) / (delta * delta))
+            AS BIGINT) AS n_per_arm
+FROM mde
+ORDER BY rel_mde
+""",
+    tags=("stats", "power", "sample-size", "experiment-design"),
+)
+def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment sample-size calculator: observations per arm to
+    detect a 1/2/5/10% lift in mean purchase value at α = 0.05
+    (two-sided) and 80% power — the DESIGN-side companion to the
+    readout set (SRM → Wilson/ratio CIs → Welch), answering "how long
+    must this test run" from the metric's OWN observed variance
+    instead of a guessed σ. Formula: n = 2σ²(z₀.₉₇₅ + z₀.₈)²/δ²
+    with the z-constants as fixed double literals (1.959964,
+    0.841621 — identical parses in both engines); n and the variance
+    come from exact HUGEINT sums string-hopped, so each n_per_arm is
+    ONE fixed IEEE tree ending in CEIL of identical doubles —
+    bit-equal, no float aggregation.
+
+    Scale: one map-combined scan to (n, Σx, Σx²); the MDE grid is a
+    4-row broadcast. The calculator is scan-bound at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.where(F.col("event_type") == "purchase").select(
+        (dec("value") * 100).cast("decimal(38,0)").alias("x")
+    )
+    sums = pool.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(CAST(SUM(x) AS STRING) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(CAST(SUM(x * x) AS STRING) AS DOUBLE)").alias("s2"),
+    )
+    m = sums.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_cents"),
+        (
+            (F.col("s2") - (F.col("s1") / F.col("n")) * F.col("s1"))
+            / (F.col("n") - 1)
+        ).alias("var_cents"),
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,), (0.10,)], "rel_mde double"
+    )
+    zsum = 1.959964 + 0.841621
+    mde = m.crossJoin(F.broadcast(grid)).withColumn(
+        "delta", F.col("mean_cents") * F.col("rel_mde")
+    )
+    return (
+        mde.select(
+            "rel_mde",
+            F.col("n").alias("n_observed"),
+            "mean_cents",
+            F.ceil(
+                2.0
+                * F.col("var_cents")
+                * zsum
+                * zsum
+                / (F.col("delta") * F.col("delta"))
+            )
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("rel_mde")
+    )
+
+
+@register(
+    "stats_g_test",
+    oracle="""
+WITH pool AS (
+  SELECT event_type,
+         CAST(props ->> '$.k' AS BIGINT) // 25 AS kb
+  FROM events
+),
+cells AS (
+  SELECT event_type, kb, CAST(COUNT(*) AS BIGINT) AS o
+  FROM pool GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT kb, CAST(SUM(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n_total,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT kb) AS BIGINT) AS c
+  FROM cells
+),
+terms AS (
+  SELECT t.n_total, t.r, t.c, (t.r - 1) * (t.c - 1) AS dof,
+         2.0 * ce.o * ln(CAST(ce.o * t.n_total AS DOUBLE)
+                         / (r_.row_tot * c_.col_tot)) AS term
+  FROM cells ce
+  JOIN rows_ r_ ON r_.event_type = ce.event_type
+  JOIN cols_ c_ ON c_.kb = ce.kb
+  CROSS JOIN tot t
+)
+SELECT n_total, r, c, CAST(dof AS BIGINT) AS dof,
+       CAST(SUM(term) AS FLOAT) AS g_stat_f
+FROM terms
+GROUP BY n_total, r, c, dof
+""",
+    tags=("stats", "g-test", "likelihood-ratio", "contingency"),
+)
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio) of independence on the same
+    event_type × k-segment table as the Pearson chi-square — the
+    variant information-theoretic pipelines prefer (G = 2·N·MI in
+    nats, so it composes with the PMI/entropy tier, and it is
+    additive across table partitions where Pearson's χ² is not —
+    the property that lets a sharded monitor sum per-shard G values
+    exactly). Empty cells contribute exactly 0 (lim x·ln x = 0) and
+    are simply absent from the cell join; each present cell's term
+    2·O·ln(O·N/(row·col)) is one fixed tree over exact integers
+    whose ln is absorbed by the final FLOAT-cast sum (the chi2_f
+    contract). dof rides along exact.
+
+    Scale: identical to chi_square_independence — one map-combined
+    groupBy to the cell grid, grid-sized margins, 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.select(
+        "event_type",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25").alias(
+            "kb"
+        ),
+    )
+    cells = pool.groupBy("event_type", "kb").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("row_tot")
+    )
+    cols_ = cells.groupBy("kb").agg(F.sum("o").cast("long").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n_total"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("kb").cast("long").alias("c"),
+    )
+    terms = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "kb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_total",
+            "r",
+            "c",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            (
+                2.0
+                * F.col("o")
+                * F.log(
+                    (F.col("o") * F.col("n_total")).cast("double")
+                    / (F.col("row_tot") * F.col("col_tot"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("n_total", "r", "c", "dof").agg(
+        F.sum("term").cast("float").alias("g_stat_f")
+    )

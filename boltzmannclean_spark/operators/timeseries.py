@@ -1844,3 +1844,136 @@ def ts_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("xcorr"),
     ).orderBy("lag_hours")
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, day, yc,
+         CAST(SUM(yc) OVER w AS BIGINT) AS trend_x7c,
+         COUNT(*) OVER w AS n_win
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT event_type, isodow(day) - 1 AS weekday,
+         7 * yc - trend_x7c AS d
+  FROM ma WHERE n_win = 7
+),
+wk AS (
+  SELECT event_type, weekday, CAST(COUNT(*) AS BIGINT) AS n_w,
+         SUM(CAST(d AS HUGEINT)) AS s1e,
+         SUM(CAST(d AS HUGEINT) * d) AS s2e,
+         CAST(CAST(SUM(CAST(d AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS DOUBLE) AS s2
+  FROM detr GROUP BY event_type, weekday
+),
+et AS (
+  SELECT event_type, CAST(SUM(n_w) AS BIGINT) AS n_days,
+         CAST(CAST(SUM(s1e) AS VARCHAR) AS DOUBLE) AS s1_all,
+         CAST(CAST(SUM(s2e) AS VARCHAR) AS DOUBLE) AS s2_all
+  FROM wk GROUP BY event_type
+),
+terms AS (
+  SELECT w.event_type, w.s2 - (w.s1 / w.n_w) * w.s1 AS ssw_w,
+         e.n_days, e.s1_all, e.s2_all
+  FROM wk w JOIN et e USING (event_type)
+)
+SELECT event_type, n_days,
+       CAST(1.0 - SUM(ssw_w) OVER (PARTITION BY event_type)
+              / (s2_all - (s1_all / n_days) * s1_all) AS FLOAT)
+         AS seasonal_strength_f
+FROM terms
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_type) = 1
+ORDER BY event_type
+""",
+    tags=("timeseries", "seasonality", "strength", "monitoring"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength score per arm (Hyndman's F_s, computed as the
+    weekday η² of the detrended series): 1 − SSW/SST over the exact
+    ×7-cent detrended values — "how much of the detrended variance the
+    weekly pattern explains", the scalar a seasonality monitor tracks
+    where ts_seasonal_decompose_additive emits the full profile (F_s
+    near 0 → no weekly cycle, near 1 → calendar-dominated; alert on
+    CHANGE). Reuses the decomposition's exact-integer discipline end
+    to end: detrended d = 7y − trend is an exact bigint, per-weekday
+    Σd/Σd² accumulate in HUGEINT/DECIMAL(38,0) and string-hop once,
+    each weekday's within-SS is one fixed IEEE tree, and the final
+    strength FLOAT-absorbs the 7-term sum (the anova/chi2 contract —
+    this IS the one-way ANOVA identity with weekday groups).
+
+    Scale: identical shape to the decomposition (calendar-bounded
+    daily pre-agg, per-arm centered window, ≤7×arms groups), plus
+    arm-partitioned 7-row window sums. Output is one row per arm."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg((F.sum(dec("value")) * 100).cast("long").alias("yc"))
+    w = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "yc",
+        F.sum("yc").over(w).cast("long").alias("trend_x7c"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    detr = ma.where(F.col("n_win") == 7).select(
+        "event_type",
+        F.weekday("day").cast("int").alias("weekday"),
+        (7 * F.col("yc") - F.col("trend_x7c"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    wk = detr.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+        F.expr("SUM(d)").alias("s1e"),
+        F.expr("SUM(d * d)").alias("s2e"),
+        F.expr("CAST(CAST(SUM(d) AS STRING) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(CAST(SUM(d * d) AS STRING) AS DOUBLE)").alias("s2"),
+    )
+    et = wk.groupBy("event_type").agg(
+        F.sum("n_w").cast("long").alias("n_days"),
+        F.expr("CAST(CAST(SUM(s1e) AS STRING) AS DOUBLE)").alias("s1_all"),
+        F.expr("CAST(CAST(SUM(s2e) AS STRING) AS DOUBLE)").alias("s2_all"),
+    )
+    terms = wk.join(et, "event_type").select(
+        "event_type",
+        (
+            F.col("s2") - (F.col("s1") / F.col("n_w")) * F.col("s1")
+        ).alias("ssw_w"),
+        "n_days",
+        "s1_all",
+        "s2_all",
+    )
+    warm = Window.partitionBy("event_type")
+    wrn = Window.partitionBy("event_type").orderBy("event_type")
+    return (
+        terms.select(
+            "event_type",
+            "n_days",
+            (
+                1.0
+                - F.sum("ssw_w").over(warm)
+                / (
+                    F.col("s2_all")
+                    - (F.col("s1_all") / F.col("n_days")) * F.col("s1_all")
+                )
+            )
+            .cast("float")
+            .alias("seasonal_strength_f"),
+            F.row_number().over(wrn).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("event_type")
+    )

@@ -212,6 +212,12 @@ INVARIANT_QUERIES = (
     # unnormalized exact-integer HITS scores.
     "window_bollinger_breakout",
     "graph_hits_hubs_authorities",
+    # batch 8: exact detrended SS decomposition (strength_f pinned like
+    # chi2_f), CEIL-of-fixed-tree sample sizes, exact-cell G terms
+    # (g_stat_f pinned like chi2_f).
+    "ts_seasonal_strength",
+    "stats_power_sample_size",
+    "stats_g_test",
 )
 
 
