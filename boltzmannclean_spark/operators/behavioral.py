@@ -2288,3 +2288,134 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("n_gaps"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_markov_eval",
+    oracle="""
+WITH bounds AS (
+  SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT)
+          + CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+         LEAD(event_type) OVER w AS next_type,
+         LEAD(epoch_us(ts)) OVER w AS next_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+pairs AS (
+  SELECT s.event_type AS prev_type, s.next_type,
+         CASE WHEN s.next_us <= b.mid THEN 0
+              WHEN s.t_us > b.mid THEN 1 END AS half
+  FROM seq s CROSS JOIN bounds b
+  WHERE s.next_type IS NOT NULL
+    AND (s.next_us <= b.mid OR s.t_us > b.mid)
+),
+train AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE half = 0 GROUP BY prev_type, next_type
+),
+model AS (
+  SELECT prev_type, next_type AS predicted_next FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                                 ORDER BY c DESC, next_type) AS rk
+    FROM train
+  ) t WHERE rk = 1
+),
+test_ AS (
+  SELECT prev_type, next_type FROM pairs WHERE half = 1
+)
+SELECT t.prev_type,
+       COALESCE(m.predicted_next, 'none') AS predicted_next,
+       CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+       CAST(SUM(CASE WHEN t.next_type = m.predicted_next
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN t.next_type = m.predicted_next
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+FROM test_ t LEFT JOIN model m ON m.prev_type = t.prev_type
+GROUP BY t.prev_type, m.predicted_next
+ORDER BY t.prev_type
+""",
+    tags=("behavioral", "markov", "train-eval", "model-lifecycle"),
+)
+def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/evaluate lifecycle for the first-order Markov next-event
+    model: fit transition counts on the first time half, predict each
+    prev-type's argmax next event, score top-1 accuracy on the second
+    half — the temporal-holdout eval events_markov_transitions (the
+    descriptive matrix) deliberately omits, and the baseline every
+    sequence model must beat before it ships. The split is the PSI
+    midpoint convention; a pair belongs to a half only if BOTH its
+    events do (straddling pairs dropped — no train/test leakage
+    through the boundary). The argmax is deterministic (count desc,
+    then type — the mode_deterministic tiebreak); counts, hits, and
+    the accuracy division are exact. Unseen prev-types surface as
+    'none' (never NULL — the comparator contract).
+
+    Scale: one user-keyed window builds pairs (shared with every
+    sessionize-family exchange); train counts and the model are
+    |types|²-sized; the eval is a broadcast join of the model onto
+    the test pairs. Scan-bound at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(CAST(MIN(unix_micros(ts)) AS BIGINT)"
+            " + CAST(MAX(unix_micros(ts)) AS BIGINT)) div 2"
+        ).alias("mid")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_type").isNotNull())
+    pairs = (
+        seq.crossJoin(F.broadcast(mid))
+        .where((F.col("next_us") <= F.col("mid")) | (F.col("t_us") > F.col("mid")))
+        .select(
+            "prev_type",
+            "next_type",
+            F.when(F.col("next_us") <= F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+    )
+    train = (
+        pairs.where(F.col("half") == 0)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wrk = Window.partitionBy("prev_type").orderBy(
+        F.desc("c"), "next_type"
+    )
+    model = (
+        train.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    test_ = pairs.where(F.col("half") == 1).select("prev_type", "next_type")
+    hit = F.when(
+        F.col("next_type") == F.col("predicted_next"), 1
+    ).otherwise(0)
+    return (
+        test_.join(F.broadcast(model), "prev_type", "left")
+        .groupBy(
+            "prev_type",
+            F.coalesce(F.col("predicted_next"), F.lit("none")).alias(
+                "predicted_next"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_pairs"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            (
+                F.sum(hit).cast("double") / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )

@@ -218,6 +218,8 @@ INVARIANT_QUERIES = (
     "ts_seasonal_strength",
     "stats_power_sample_size",
     "stats_g_test",
+    # batch 9: deterministic time-split train/eval with exact counts.
+    "events_markov_eval",
 )
 
 
