@@ -1532,3 +1532,102 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     ).orderBy("dim")
+
+
+HARD_NEG_QUERIES = 10  # anchors (vec_id < this)
+
+
+@register(
+    "pairs_hard_negatives",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x))
+           AS nrm
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_reduce(list_transform(range(1, len(q.e) + 1),
+                                    i -> q.e[i] * c.e[i]),
+                     (s, x) -> s + x) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id < {HARD_NEG_QUERIES}
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+""",
+    tags=("similarity", "hard-negatives", "contrastive", "training-pairs"),
+)
+def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-SIMILAR vectors with a DIFFERENT label — the pairs
+    that actually move an embedding model (random negatives are
+    trivially separable; training signal lives in the near-but-wrong
+    region), and the standard companion to pairs_negative_sampling's
+    uniform negatives. Same IEEE-double cosine discipline as
+    similarity_cosine_topk (per-pair fixed tree, bit-equal both
+    engines); the label-mismatch filter applies BEFORE ranking, so the
+    k slots are all hard negatives, not whatever survives a post-hoc
+    filter of a plain top-k.
+
+    Scale: anchors broadcast against the corpus scan (one pass);
+    ranking via the salted two-stage top-k (functions/topk.py) — no
+    single-partition-per-anchor window. For corpus-scale anchor sets,
+    swap the brute-force scan for the IVF-bucketed path
+    (ann_search + label filter) exactly as similarity_cosine_topk
+    documents; the mining semantics are unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    q = v.where(F.col("vec_id") < HARD_NEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (
+                dot(F.col("qe"), F.col("e"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        "cosine",
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("query_id", "rk")

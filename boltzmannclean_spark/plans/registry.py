@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # harness row.
 _VERIFY_FIRST = (
     # -- round-11 session 2: new operators --
+    "pairs_hard_negatives",
     "events_markov_eval",
     "ts_seasonal_strength",
     "stats_power_sample_size",

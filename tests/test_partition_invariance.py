@@ -220,6 +220,8 @@ INVARIANT_QUERIES = (
     "stats_g_test",
     # batch 9: deterministic time-split train/eval with exact counts.
     "events_markov_eval",
+    # batch 10: per-pair IEEE cosine trees under the salted top-k.
+    "pairs_hard_negatives",
 )
 
 
