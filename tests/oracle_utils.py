@@ -25,6 +25,13 @@ def run_oracle(sql: str, sf_dir: str):
     # SPARK_GRAFT_ORACLE_SPILL for a deliberate solo heavy run.
     spill_cap = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "24GiB")
     con.execute(f"SET max_temp_directory_size='{spill_cap}'")
+    # DuckDB's default memory_limit is ~80% of RAM; alongside a Spark
+    # JVM on the same box that overcommits and the KERNEL oom-kills the
+    # whole process (round-11 x30 sweep: three consecutive exit-137
+    # deaths). Cap the oracle engine so engine + JVM fit; heavy oracles
+    # spill (bounded above) instead of ballooning.
+    mem_cap = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "40GiB")
+    con.execute(f"SET memory_limit='{mem_cap}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables are DIRECTORIES of part files (the x10/x30
