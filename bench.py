@@ -166,6 +166,30 @@ BUILD_JOBS = [
 CANARY = "pricing_summary"
 
 
+def measure_cpu_ref(spark) -> tuple[float, float]:
+    """Deterministic host-speed sentinel: best-of-3 (and spread) of a
+    fixed CPU-bound JVM job — `range(2e9).sum(id % 7919)`, one codegen
+    stage, no shuffle, no disk, no Python. Identical work every round,
+    so the number moves ONLY when the machine itself does.
+
+    Round-12 motivation: r11's +17% core9 / +38% headline creep
+    reproduced in a fresh JVM on a quiet guest (isolated best-of-3
+    core9 = 6.30-6.54 s vs r10's isolated 4.72 s) with ZERO plan
+    changes, ~0.2% steal, and back-to-back single-thread pure-CPU
+    samples spreading ±38% — physical-host (hypervisor co-tenant)
+    variance that guest-visible counters cannot see. Publishing the
+    sentinel in every gate line turns "host state dominates" from a
+    per-round hypothesis into a measured artifact: compare
+    core9_total/cpu_ref_sec across rounds, not raw seconds.
+    """
+    t = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr("sum(id % 7919)").collect()
+        t.append(time.perf_counter() - t0)
+    return round(min(t), 4), round((max(t) - min(t)) / min(t), 4)
+
+
 def build_reports(
     timings: dict[str, float],
     first_runs: dict[str, float],
@@ -173,6 +197,7 @@ def build_reports(
     failed: dict[str, str],
     sf,
     canary_drift: float | None,
+    cpu_ref: tuple[float, float] | None = None,
 ) -> tuple[dict, dict]:
     """Assemble (gate_line, detail) reports from raw measurements.
 
@@ -222,6 +247,11 @@ def build_reports(
         ),
         "noise_med_spread": med_spread,
         "canary_drift": canary_drift,
+        # Host-speed sentinel (see measure_cpu_ref): fixed CPU-bound JVM
+        # job, best-of-3 seconds + sample spread. Cross-round perf reads
+        # should normalize by this before crying regression.
+        "cpu_ref_sec": cpu_ref[0] if cpu_ref else None,
+        "cpu_ref_spread": cpu_ref[1] if cpu_ref else None,
         "n_queries": len(query_names),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
@@ -248,6 +278,8 @@ def build_reports(
         "first_run_total": gate["first_run_total"],
         "noise_med_spread": med_spread,
         "canary_drift": canary_drift,
+        "cpu_ref_sec": cpu_ref[0] if cpu_ref else None,
+        "cpu_ref_spread": cpu_ref[1] if cpu_ref else None,
         "failed": failed,
         "sf": sf,
     }
@@ -349,8 +381,18 @@ def main() -> None:
         except Exception as exc:
             print(f"# canary rerun failed: {exc}", file=sys.stderr)
 
+    cpu_ref = None
+    try:
+        cpu_ref = measure_cpu_ref(spark)
+        print(
+            f"# cpu_ref: {cpu_ref[0]:.3f}s (spread {cpu_ref[1]:.2%})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # the sentinel must never fail the bench
+        print(f"# cpu_ref failed: {exc}", file=sys.stderr)
+
     gate, detail = build_reports(
-        timings, first_runs, samples, failed, sf, canary_drift
+        timings, first_runs, samples, failed, sf, canary_drift, cpu_ref
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

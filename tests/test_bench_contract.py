@@ -30,7 +30,13 @@ def _worst_case_reports():
     samples = {n: [2345.6789, 1234.5678] for n in names}
     failed = {f"future_query_{i}": "AnalysisException: boom" for i in range(5)}
     return bench.build_reports(
-        timings, first_runs, samples, failed, sf=0.1, canary_drift=1.2345
+        timings,
+        first_runs,
+        samples,
+        failed,
+        sf=0.1,
+        canary_drift=1.2345,
+        cpu_ref=(1234.5678, 1.2345),
     )
 
 
@@ -59,6 +65,8 @@ def test_gate_line_carries_the_gate_fields():
         "first_run_total",
         "noise_med_spread",
         "canary_drift",
+        "cpu_ref_sec",
+        "cpu_ref_spread",
         "sf",
     ):
         assert key in gate, f"gate line lost required field {key!r}"
