@@ -2535,7 +2535,7 @@ ORDER BY doc_id
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (delta) near-dup dedup — the shape a production
-    ingest pipeline runs DAILY: dedupe today's batch (the ~1/16 of
+    ingest pipeline runs DAILY: dedupe today's batch (the ~1/4 of
     docs whose md5 digit is c-f — the hash-sampling idiom standing in
     for an ingest date) against the existing corpus, never re-dedupe
     the corpus against itself. Candidates come from the new-bands ⋈

@@ -2594,17 +2594,23 @@ tot AS (
          CAST(COUNT(DISTINCT kb) AS BIGINT) AS c
   FROM cells
 ),
-terms AS (
+diffs AS (
+  -- d and e_den in HUGEINT (128-bit): the BIGINT products overflow
+  -- loudly at n ~ 2-3e9 events; HUGEINT mirrors Spark's DECIMAL(38,0)
+  -- width. String-hop to DOUBLE is correctly rounded on both engines.
   SELECT t.n_total, t.r, t.c,
-         CAST(CAST(CAST(t.n_total * COALESCE(ce.o, 0)
-                        - r_.row_tot * c_.col_tot AS DECIMAL(38,0))
-                   * CAST(t.n_total * COALESCE(ce.o, 0)
-                          - r_.row_tot * c_.col_tot AS DECIMAL(38,0))
-                   AS VARCHAR) AS DOUBLE)
-           / CAST(r_.row_tot * c_.col_tot * t.n_total AS DOUBLE) AS term
+         CAST(t.n_total AS HUGEINT) * COALESCE(ce.o, 0)
+           - CAST(r_.row_tot AS HUGEINT) * c_.col_tot AS d,
+         CAST(r_.row_tot AS HUGEINT) * c_.col_tot * t.n_total AS e_den
   FROM rows_ r_ CROSS JOIN cols_ c_ CROSS JOIN tot t
   LEFT JOIN cells ce
     ON ce.event_type = r_.event_type AND ce.kb = c_.kb
+),
+terms AS (
+  SELECT n_total, r, c,
+         CAST(CAST(d * d AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(e_den AS VARCHAR) AS DOUBLE) AS term
+  FROM diffs
 )
 SELECT n_total, r, c,
        CAST(SUM(term) AS FLOAT) AS chi2_f,
@@ -2658,12 +2664,24 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
             "r",
             "c",
-            (
-                F.col("n_total") * F.coalesce(F.col("o"), F.lit(0))
-                - F.col("row_tot") * F.col("col_tot")
+            # d likewise in DECIMAL(38,0): n*o and row*col are n²-bounded
+            # products, overflowing 64-bit at n ≈ 3.04e9 events.
+            F.expr(
+                "CAST(n_total AS DECIMAL(38,0))"
+                " * CAST(COALESCE(o, 0) AS DECIMAL(38,0))"
+                " - CAST(row_tot AS DECIMAL(38,0))"
+                " * CAST(col_tot AS DECIMAL(38,0))"
             ).alias("d"),
-            (
-                F.col("row_tot") * F.col("col_tot") * F.col("n_total")
+            # e_den = row_tot * col_tot * n_total formed in
+            # DECIMAL(38,0), not 64-bit longs (r11 ADVICE): the triple
+            # product is bounded by n³, which exceeds 2^63 at
+            # n ≈ 2.1M events — DuckDB's BIGINT fails loudly there but
+            # non-ANSI Spark would wrap silently. DECIMAL(38,0) holds
+            # up to n = 10^12 events; string-hop to double is correctly
+            # rounded on both engines (same discipline as d²).
+            F.expr(
+                "CAST(row_tot AS DECIMAL(38,0)) * CAST(col_tot AS"
+                " DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))"
             ).alias("e_den"),
         )
     )
@@ -2676,7 +2694,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(CAST(CAST(d AS DECIMAL(38,0))"
                 " * CAST(d AS DECIMAL(38,0)) AS STRING) AS DOUBLE)"
             )
-            / F.col("e_den").cast("double")
+            / F.expr("CAST(CAST(e_den AS STRING) AS DOUBLE)")
         ).alias("term"),
     )
     return (

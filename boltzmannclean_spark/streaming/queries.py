@@ -890,22 +890,27 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, replay, or duplicate delivery converges to the same answer
     — the at-least-once-safe property a production monitor needs.
 
-    The fixture re-splits events into 3 files streamed one per trigger
-    so the accumulate loop really runs multiple epochs; the per-epoch
-    ``toPandas()`` moves only the batch's distinct-user ids (bounded
-    by the user domain — at an unbounded domain, keep the log as a
-    parquet-backed table instead: the stream_cdc_merge_snapshot
-    recipe, same semantics)."""
+    The assignment log is PARQUET-BACKED (r11 verdict #3): each epoch
+    appends the batch's distinct-user ids to a log directory entirely
+    executor-side — nothing domain-sized ever crosses the driver, so
+    the monitor holds at a 10^9-user domain where the log is a
+    multi-TB table (the stream_cdc_merge_snapshot persistence recipe;
+    a lakehouse deployment would MERGE instead of append+distinct,
+    same semantics). The final GOF reduction reads the log back and
+    re-distincts — append of per-batch distincts followed by a global
+    distinct is the same idempotent union as before, so the SHARED
+    oracle stays hash-exact. The fixture re-splits events into 3
+    files streamed one per trigger so the accumulate loop really runs
+    multiple epochs."""
     import os
     import tempfile
-
-    import pandas as pd
 
     from boltzmannclean_spark.sources.catalog import normalize_events_ts
 
     ev = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="bcs_srm_")
     feed_dir = os.path.join(base, "feed")
+    log_dir = os.path.join(base, "assign_log")
     ev.repartition(3).write.parquet(feed_dir)
     schema = spark.read.parquet(feed_dir).schema
     stream = normalize_events_ts(
@@ -915,21 +920,20 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enrolled = stream.select("user_id")
 
-    parts: list[pd.DataFrame] = []
-
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        pdf = batch_df.select("user_id").distinct().toPandas()
-        if len(pdf):
-            parts.append(pdf)
+        # Executor-side append of the BATCH's distinct ids; the driver
+        # never materializes user ids at any scale.
+        batch_df.select("user_id").distinct().write.mode("append").parquet(
+            log_dir
+        )
 
     q = enrolled.writeStream.outputMode("append").foreachBatch(absorb).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    if not parts:
-        log_pdf = pd.DataFrame({"user_id": []})
-    else:
-        log_pdf = pd.concat(parts, ignore_index=True)
-    log = spark.createDataFrame(log_pdf, "user_id long").distinct()
+    if os.path.isdir(log_dir):
+        log = spark.read.parquet(log_dir).distinct()
+    else:  # zero-epoch stream: empty log, same schema
+        log = spark.createDataFrame([], "user_id long")
     return srm_from_users(log)
