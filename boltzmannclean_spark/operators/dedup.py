@@ -2510,11 +2510,19 @@ bands AS (
          STRING_AGG(mh, '' ORDER BY seed) AS band_key
   FROM minh GROUP BY doc_id, is_new, seed // {BAND_ROWS}
 ),
+corp_buckets AS (
+  -- bucket-min pre-aggregation (r12): min-of-bucket-mins equals
+  -- min-over-all-collisions, so candidates are batch x bands, never
+  -- batch x bucket-width (mirrors the Spark-side fix).
+  SELECT band, band_key, MIN(doc_id) AS bmin
+  FROM bands WHERE is_new = 0 GROUP BY 1, 2
+),
 cands AS (
-  SELECT nb.doc_id AS new_id, MIN(cb.doc_id) AS rep
+  SELECT nb.doc_id AS new_id, MIN(cb.bmin) AS rep
   FROM bands nb
-  JOIN bands cb ON cb.band = nb.band AND cb.band_key = nb.band_key
-  WHERE nb.is_new = 1 AND cb.is_new = 0
+  JOIN corp_buckets cb
+    ON cb.band = nb.band AND cb.band_key = nb.band_key
+  WHERE nb.is_new = 1
   GROUP BY nb.doc_id
 )
 SELECT c.new_id AS doc_id, c.rep AS dup_of,

@@ -1777,13 +1777,26 @@ def incremental_minhash_dedup(
     new_b = bands.where(F.col("is_new") == 1).select(
         F.col("doc_id").alias("new_id"), "band", "band_key"
     )
-    corp_b = bands.where(F.col("is_new") == 0).select(
-        F.col("doc_id").alias("corp_id"), "band", "band_key"
+    # Corpus side pre-aggregated to ONE min-id per (band, band_key)
+    # bucket BEFORE the join (r12): the verify step only ever uses the
+    # global MIN colliding corpus id, and min-of-bucket-mins equals
+    # min-over-all-collisions, so the result is bit-identical while
+    # candidate volume drops from Θ(batch × bucket width) to
+    # Θ(batch × bands) — immune to degenerate band keys. Measured on
+    # an organically-grown ×10 corpus whose 31-token fixture
+    # vocabulary collapses unigram signatures into a handful of
+    # buckets: 788M candidate pairs → 200k, 65 s → seconds
+    # (SCALING.md round-12). In production the bucket-min table IS
+    # the precomputed signature store (smaller than per-doc bands).
+    corp_buckets = (
+        bands.where(F.col("is_new") == 0)
+        .groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("bmin"))
     )
     cands = (
-        new_b.join(corp_b, ["band", "band_key"])
+        new_b.join(corp_buckets, ["band", "band_key"])
         .groupBy("new_id")
-        .agg(F.min("corp_id").alias("rep"))
+        .agg(F.min("bmin").alias("rep"))
     )
     va = vocab.alias("va")
     vb = vocab.alias("vb")
