@@ -823,9 +823,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_funnel_ordered",
-    oracle="""
+_FUNNEL_ORACLE = """
 WITH v AS (
   SELECT user_id, MIN(epoch_us(ts)) AS t_view
   FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -849,7 +847,12 @@ SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
          / (SELECT COUNT(*) FROM v) AS view_to_click,
        CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
          / (SELECT COUNT(*) FROM c) AS click_to_purchase
-""",
+"""
+
+
+@register(
+    "events_funnel_ordered",
+    oracle=_FUNNEL_ORACLE,
     tags=("behavioral", "funnel", "ordered"),
 )
 def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +866,14 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )
+    return funnel_ordered_from(ev)
+
+
+def funnel_ordered_from(ev: DataFrame) -> DataFrame:
+    """The ordered-funnel reduction over a (user_id, event_type, t)
+    frame — factored so `stream_funnel_monitor` can run the LITERAL
+    batch expression tree over its accumulated event log (the shared-
+    oracle discipline that makes stream-batch parity hash-exact)."""
     v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("t").alias("t_view")
     )

@@ -1631,3 +1631,227 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rk").cast("int").alias("rk"),
     ).orderBy("query_id", "rk")
+
+
+TUNE_LADDER = (1, 2, 4)  # nprobe ladder the auto-tuner sweeps
+TUNE_TARGET_PCT = 90  # pick the smallest nprobe with recall >= 90%
+
+
+def _nprobe_autotune_oracle() -> str:
+    """DuckDB twin of the nprobe recall sweep: the IVF_NPROBE building
+    blocks (seed centroids, crk-ranked probes), one exact brute-force
+    truth CTE, and one hits CTE per ladder rung."""
+    dot_sql = (
+        "list_reduce(list_transform(range(1, len(q.e) + 1),"
+        " i -> q.e[i] * c.e[i]), (s, x) -> s + x) / (q.nrm * c.nrm)"
+    )
+    rungs = ",\n".join(
+        f"""h{p} AS (
+  SELECT {p} AS nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored WHERE probe_rk <= {p}
+  ) t JOIN truth USING (query_id, neighbor_id)
+  WHERE t.rk <= {TOP_K}
+)"""
+        for p in TUNE_LADDER
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT nprobe, hits FROM h{p}" for p in TUNE_LADDER
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+  FROM v
+),
+cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM n
+  WHERE vec_id % {CENT_MOD} = 0
+),
+ranked AS (
+  SELECT n.vec_id, n.e, n.nrm, cent.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_reduce(list_transform(range(1, len(n.e) + 1),
+                                               i -> n.e[i] * cent.ce[i]),
+                                (s, x) -> s + x) / (n.nrm * cent.cnrm) DESC,
+                    cent.centroid_id) AS crk
+  FROM n CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, e, nrm, centroid_id FROM ranked WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id, e, nrm, centroid_id, crk AS probe_rk FROM ranked
+  WHERE crk <= {max(TUNE_LADDER)} AND vec_id < {N_QUERY}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.probe_rk,
+         {dot_sql} AS cosine
+  FROM probes q JOIN assigned c
+    ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot_sql} DESC, c.vec_id) AS rk
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY}
+  ) t WHERE rk <= {TOP_K}
+),
+poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM truth),
+{rungs},
+curve AS (
+  SELECT nprobe, hits, possible,
+         CAST(hits AS DOUBLE) / possible AS recall
+  FROM ({unions}) u CROSS JOIN poss
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe, hits, possible, recall,
+       CAST(CASE WHEN nprobe = COALESCE(
+              MIN(CASE WHEN hits * 100 >= {TUNE_TARGET_PCT} * possible
+                       THEN nprobe END) OVER (),
+              {max(TUNE_LADDER)})
+            THEN 1 ELSE 0 END AS BIGINT) AS chosen
+FROM curve
+ORDER BY nprobe
+"""
+
+
+@register(
+    "similarity_ann_nprobe_autotune",
+    oracle=_nprobe_autotune_oracle(),
+    tags=("similarity", "ivf", "ann", "nprobe", "autotune", "recall"),
+)
+def similarity_ann_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe auto-tuner (r11 verdict #7): sweep the nprobe ladder
+    (1, 2, 4), measure recall@{TOP_K} of each rung against the EXACT
+    brute-force top-k, and flag the smallest nprobe whose measured
+    recall clears the {TUNE_TARGET_PCT}% target — the knob-picking run
+    an ANN deployment does once per corpus instead of guessing. The
+    decision is integer-exact (hits·100 ≥ target·possible), so the
+    chosen rung is bit-reproducible.
+
+    Plan economics: the candidate table is scored ONCE at the ladder
+    maximum with each candidate tagged by its cell's probe rank
+    (corpus cell assignment is unique, so (query, neighbor) appears
+    exactly once); every rung is then a FILTER + salted top-k over
+    that one table — the sweep costs one IVF search at max(nprobe)
+    plus ladder-many grid-sized reductions, not ladder-many searches.
+    Ground truth is the exact top-k for the {N_QUERY}-query probe set
+    only — brute force priced per QUERY, never corpus².
+
+    The trained-index twin is ``ann.tune_nprobe`` (same sweep against
+    a persisted ``build_ann_index`` artifact, zero training in the
+    plan); this registry entry pins the semantics on the SQL-
+    expressible seed-centroid IVF so the oracle can replicate every
+    rung."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assigned = _assign_cells(n, cent)
+    queries = n.where(F.col("vec_id") < N_QUERY)
+    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), "centroid_id"
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("probe_rk", F.row_number().over(w_probe))
+        .where(F.col("probe_rk") <= max(TUNE_LADDER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("centroid_id").alias("qcent"),
+            "probe_rk",
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("centroid_id") == F.col("qcent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "probe_rk",
+        (
+            dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    truth = topk_per_key(
+        queries.alias("q")
+        .crossJoin(n.alias("c"))
+        .where(F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("q.e"), F.col("c.e"))
+                / (F.col("q.nrm") * F.col("c.nrm"))
+            ).alias("cosine"),
+        ),
+        keys=["query_id"],
+        order=[F.desc("cosine"), F.col("neighbor_id")],
+        k=TOP_K,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id")
+    possible = truth.agg(F.count(F.lit(1)).cast("long").alias("possible"))
+    rungs = None
+    for p in TUNE_LADDER:
+        topp = topk_per_key(
+            scored.where(F.col("probe_rk") <= p),
+            keys=["query_id"],
+            order=[F.desc("cosine"), F.col("neighbor_id")],
+            k=TOP_K,
+            salt_col="neighbor_id",
+        ).select("query_id", "neighbor_id")
+        h = (
+            topp.join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(p).cast("long").alias("nprobe"), "hits")
+        )
+        rungs = h if rungs is None else rungs.unionAll(h)
+    curve = rungs.crossJoin(F.broadcast(possible)).select(
+        "nprobe",
+        "hits",
+        "possible",
+        (F.col("hits").cast("double") / F.col("possible")).alias("recall"),
+    )
+    w_all = Window.partitionBy()
+    chosen_np = F.coalesce(
+        F.min(
+            F.when(
+                F.col("hits") * 100 >= TUNE_TARGET_PCT * F.col("possible"),
+                F.col("nprobe"),
+            )
+        ).over(w_all),
+        F.lit(max(TUNE_LADDER)).cast("long"),
+    )
+    return (
+        curve.select(
+            "nprobe",
+            "hits",
+            "possible",
+            "recall",
+            F.when(F.col("nprobe") == chosen_np, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("chosen"),
+        )
+        .orderBy("nprobe")
+    )

@@ -937,3 +937,80 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # zero-epoch stream: empty log, same schema
         log = spark.createDataFrame([], "user_id long")
     return srm_from_users(log)
+
+
+from boltzmannclean_spark.operators.behavioral import (  # noqa: E402
+    _FUNNEL_ORACLE,
+    funnel_ordered_from,
+)
+
+
+@register(
+    "stream_funnel_monitor",
+    # the SHARED batch oracle (events_funnel_ordered): stream-batch
+    # parity is the check — the final reduction runs the LITERAL batch
+    # expression tree over the accumulated event log.
+    oracle=_FUNNEL_ORACLE,
+    tags=("streaming", "funnel", "behavioral", "monitoring", "foreachBatch"),
+)
+def stream_funnel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered-funnel monitor (r11 verdict #7): the
+    ``events_funnel_ordered`` readout (first view → first click after
+    it → first purchase after that, per user) maintained continuously
+    over the event stream, the way a product-analytics pipeline runs
+    it. Ordered-funnel state is NOT mergeable from per-type minima — a
+    late-arriving earlier view can re-qualify clicks that were
+    ineligible under the old t_view, so any per-user summary smaller
+    than the stage-event log is lossy under out-of-order delivery.
+    The monitor therefore maintains the log itself: each epoch appends
+    the batch's distinct (user_id, event_type, t) rows FILTERED TO THE
+    FUNNEL'S STAGE TYPES to a parquet-backed log, entirely executor-
+    side (the stream_srm_monitor discipline — nothing domain- or
+    volume-sized ever crosses the driver), and the final readout runs
+    the literal batch reduction over the log, so the SHARED oracle
+    hash-matches. Append + final-distinct is idempotent under replay
+    and commutative under any micro-batch split.
+
+    Scale: the log is the funnel-relevant SUBSET of the stream (3 of
+    5 event types here; in production funnels typically keep <1% of
+    raw traffic), laid down as an append-only bronze table; epochs
+    are pure filtered appends with no state lookup, and a production
+    deployment compacts the log periodically with the same reduction
+    it reads with. The fixture re-splits events into 3 files streamed
+    one per trigger so the accumulate loop really runs >1 epoch."""
+    import os
+    import tempfile
+
+    from boltzmannclean_spark.sources.catalog import normalize_events_ts
+
+    stages = ("view", "click", "purchase")
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bcs_funnel_")
+    feed_dir = os.path.join(base, "feed")
+    log_dir = os.path.join(base, "stage_log")
+    ev.repartition(3).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    staged = stream.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    ).where(F.col("event_type").isin(*stages))
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.distinct().write.mode("append").parquet(log_dir)
+
+    q = staged.writeStream.outputMode("append").foreachBatch(absorb).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if os.path.isdir(log_dir):
+        log = spark.read.parquet(log_dir).distinct()
+    else:
+        log = spark.createDataFrame(
+            [], "user_id long, event_type string, t long"
+        )
+    return funnel_ordered_from(log)

@@ -287,3 +287,71 @@ def test_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
     r_raw, r_res = recall(raw_dir), recall(res_dir)
     assert r_res >= r_raw
     assert r_res >= 0.9
+
+
+def test_tune_nprobe_picks_from_measured_curve(spark, sf_dir, tmp_path):
+    """ann.tune_nprobe (r11 verdict #7): the chosen rung is the
+    smallest ladder nprobe whose MEASURED recall@k clears the target,
+    and an impossible target falls back to the ladder max instead of
+    failing. NOTE recall@k under pure ADC ranking is NOT guaranteed
+    monotone in nprobe — a newly probed cell can contribute a false
+    candidate whose approximate distance displaces a true neighbor
+    from the top-k (measured here: 0.25/0.30/0.225 at nprobe 1/2/4 on
+    the sf0.001 fixture) — which is precisely why the knob must be
+    picked from the measured curve, not assumed."""
+    import pytest as _pytest
+
+    from boltzmannclean_spark.ann import build_ann_index, tune_nprobe
+    from boltzmannclean_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "tune_idx")
+    build_ann_index(
+        emb,
+        out,
+        dims=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        pq_m=8,
+        pq_k=16,
+        pq_iters=2,
+        n_cells=5,
+        kmeans_iters=2,
+    )
+    chosen, curve = tune_nprobe(
+        spark, out, emb, k=5, target_recall=0.5,
+        ladder=(1, 2, 4), n_queries=8,
+    )
+    rows = {r.nprobe: r for r in curve.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert all(r.possible == rows[1].possible for r in rows.values())
+    assert all(0.0 <= r.recall <= 1.0 for r in rows.values())
+    assert all(r.hits <= r.possible for r in rows.values())
+    assert rows[chosen].chosen == 1
+    assert sum(r.chosen for r in rows.values()) == 1
+    meeting = [p for p in (1, 2, 4) if rows[p].recall >= 0.5]
+    assert chosen == (min(meeting) if meeting else 4)
+
+    # Impossible target: fall back to the ladder max, never raise.
+    chosen_hi, _ = tune_nprobe(
+        spark, out, emb, k=5, target_recall=1.1, ladder=(1, 2), n_queries=4
+    )
+    assert chosen_hi == 2
+
+    # Rungs beyond the cell count are dropped (probing every cell is
+    # already the full scan).
+    chosen_big, curve_big = tune_nprobe(
+        spark, out, emb, k=5, target_recall=0.99,
+        ladder=(1, 16), n_queries=4,
+    )
+    assert [r.nprobe for r in curve_big.collect()] == [1]
+    assert chosen_big == 1
+
+    # A flat (non-IVF) index cannot be tuned.
+    flat = str(tmp_path / "flat_idx")
+    build_ann_index(
+        emb, flat, dims=64, id_col="vec_id", vec_col="embedding",
+        pq_m=8, pq_k=16, pq_iters=2,
+    )
+    with _pytest.raises(ValueError, match="without n_cells"):
+        tune_nprobe(spark, flat, emb, ladder=(1,))
