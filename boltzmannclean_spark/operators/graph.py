@@ -1732,3 +1732,187 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("long").alias("rk"),
     ).where(F.col("rk") <= TOP_N)
     return hubs.unionAll(auths).orderBy("role", "rk")
+
+
+# HyperBall sketch geometry: m registers per node; each register's
+# value is rho(hash) over the ball, merged per hop by groupBy-MAX.
+HB_M = 16  # registers (HLL m); alpha_16 = 0.673 (Flajolet et al. 2007)
+HB_ALPHA = 0.673
+HB_HOPS = 3
+HB_TOP = 32  # output cap: the HB_TOP highest-degree hubs (estimates
+# are computed for ALL nodes — that is HyperBall's point — only the
+# rendered output is capped)
+HB_BITS = 24  # rho over a 24-bit md5-derived hash
+
+
+def _rho_case_spark(h):
+    """rho(h) = leading zeros of the HB_BITS-bit hash + 1 (h=0 ->
+    HB_BITS+1), as a pure integer CASE chain — no log2/floats, so the
+    register values are bit-identical on any engine."""
+    expr = F.when(h >= F.lit(1 << (HB_BITS - 1)), F.lit(1))
+    for z in range(1, HB_BITS):
+        expr = expr.when(h >= F.lit(1 << (HB_BITS - 1 - z)), F.lit(z + 1))
+    return expr.otherwise(F.lit(HB_BITS + 1)).cast("long")
+
+
+def _rho_case_sql(h: str) -> str:
+    branches = "\n    ".join(
+        f"WHEN {h} >= {1 << (HB_BITS - 1 - z)} THEN {z + 1}"
+        for z in range(HB_BITS)
+    )
+    return f"CAST(CASE {branches} ELSE {HB_BITS + 1} END AS BIGINT)"
+
+
+def _hyperball_oracle() -> str:
+    hsql = (
+        "('0x' || substring(md5(node::VARCHAR || ':' || reg::VARCHAR),"
+        " 1, 6))::BIGINT"
+    )
+    # r0 = own registers; r{t} = max(r{t-1}(v), r{t-1}(w) for v->w).
+    hops = []
+    for t in range(1, HB_HOPS + 1):
+        hops.append(
+            f"""r{t} AS (
+  SELECT node, reg, MAX(val) AS val FROM (
+    SELECT node, reg, val FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, r.reg, r.val
+    FROM edges e JOIN r{t - 1} r ON r.node = e.dst
+  ) u GROUP BY node, reg
+)"""
+        )
+    ests = "\nUNION ALL\n".join(
+        f"""SELECT node, {t} AS hops,
+       CAST({HB_ALPHA} * {HB_M * HB_M} /
+            SUM(POWER(CAST(2 AS DOUBLE), -CAST(val AS DOUBLE))) AS FLOAT)
+         AS reach_est_f
+FROM r{t} GROUP BY node"""
+        for t in range(1, HB_HOPS + 1)
+    )
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM edges
+  GROUP BY 1
+),
+hubs AS (
+  SELECT node, degree FROM (
+    SELECT node, degree,
+           ROW_NUMBER() OVER (ORDER BY degree DESC, node) AS rn
+    FROM deg
+  ) t WHERE rn <= {HB_TOP}
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (
+  SELECT node, reg,
+         {_rho_case_sql(hsql)} AS val
+  FROM nodes CROSS JOIN (SELECT UNNEST(range(0, {HB_M})) AS reg) regs
+),
+{",".join(hops)},
+est AS ({ests})
+SELECT h.node, h.degree, e.hops, e.reach_est_f
+FROM hubs h JOIN est e ON e.node = h.node
+ORDER BY h.degree DESC, h.node, e.hops
+"""
+
+
+@register(
+    "graph_hyperball_reach",
+    oracle=_hyperball_oracle(),
+    tags=("graph", "hyperball", "hll", "sketch", "reachability"),
+)
+def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    |Ball_t(v)| estimated for EVERY node simultaneously via per-node
+    HLL registers — the sketch the harmonic-centrality docstring
+    promises for when truncated-exact BFS stops scaling. Each node
+    carries m=16 registers (register value = leading-zero rank of
+    a 24-bit md5-derived hash, computed by a pure-integer CASE chain —
+    no floats, engine-identical); one hop = groupBy-MAX of each node's
+    registers with its out-neighbors' (register merge is idempotent,
+    commutative, associative — the property that makes the sweep ONE
+    shuffle per hop with map-side partial MAX, versus the exact
+    frontier's DISTINCT state). The raw HLL estimate α·m²/Σ2^(−M_r)
+    is a fixed IEEE tree over exact integer registers (2^−M_r are
+    exact binary fractions), FLOAT-cast on output (chi2_f contract).
+    Small-range linear counting is deliberately omitted: it needs ln()
+    (cross-engine libm hazard) and the registered 3-hop balls on this
+    graph are far past the 2.5m correction regime; production code
+    wanting it should re-rank with the exact BFS
+    (`pipeline.harmonic_centrality`) on the shortlist instead.
+
+    Scale vs the exact frontier (pipeline.harmonic_centrality): state
+    is |V|·m REGISTERS (constant per node) instead of roots·|V|
+    frontier pairs, and work per hop is |E|·m join rows instead of
+    roots·|E| — so ALL-nodes coverage costs what ~m roots cost
+    exactly, the trade HyperBall exists for. Output rendered for the
+    32 highest-degree hubs (house output-cap discipline)."""
+    ed, _, _ = _pagerank_state(spark, sf_dir)
+    edges = ed.select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    hubs = deg.orderBy(F.desc("degree"), "node").limit(HB_TOP)
+    regs = spark.range(HB_M).select(F.col("id").cast("int").alias("reg"))
+    h24 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("node").cast("string"),
+                    F.lit(":"),
+                    F.col("reg").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(regs))
+        .select("node", "reg", _rho_case_spark(h24).alias("val"))
+        .localCheckpoint()
+    )
+    est_frames = []
+    inv = F.pow(F.lit(2.0), -F.col("val").cast("double"))
+    for t in range(1, HB_HOPS + 1):
+        prop = edges.join(r, edges.dst == r.node).select(
+            edges.src.alias("node"), "reg", "val"
+        )
+        r = (
+            r.unionAll(prop)
+            .groupBy("node", "reg")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint()
+        )
+        est_frames.append(
+            r.groupBy("node")
+            .agg(F.sum(inv).alias("s"))
+            .select(
+                "node",
+                F.lit(t).cast("long").alias("hops"),
+                (F.lit(HB_ALPHA) * F.lit(float(HB_M * HB_M)) / F.col("s"))
+                .cast("float")
+                .alias("reach_est_f"),
+            )
+        )
+    est = est_frames[0]
+    for f in est_frames[1:]:
+        est = est.unionAll(f)
+    return (
+        F.broadcast(hubs)
+        .join(est, "node")
+        .select("node", "degree", "hops", "reach_est_f")
+        .orderBy(F.desc("degree"), "node", "hops")
+    )
