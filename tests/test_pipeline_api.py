@@ -1017,3 +1017,38 @@ def test_sharded_prefix_sum_equals_global(spark):
             .collect()
         }
         assert got == ref
+
+
+def test_harmonic_centrality_knobs(spark):
+    """pipeline.harmonic_centrality (r11 verdict #5): roots/max_level
+    are real knobs, harmonic_scaled uses unit=lcm(1..L), and the
+    values match a hand-computed BFS on a tiny known graph."""
+    from boltzmannclean_spark.pipeline import harmonic_centrality
+
+    # path graph 1->2->3->4 plus hub 0 -> {1,2,3}
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r.node: r for r in harmonic_centrality(
+        edges, roots=2, max_level=2
+    ).collect()}
+    # top-2 out-degree roots: node 0 (deg 3), then node 1/2/3 (deg 1,
+    # ties to smallest id -> node 1)
+    assert set(out) == {0, 1}
+    # node 0: L1 = {1,2,3} (3 nodes), L2 adds {4} (via 3) — 2->3
+    # already reached at L1.
+    r0 = out[0]
+    assert (r0.degree, r0.n_l1, r0.n_l2) == (3, 3, 1)
+    # unit = lcm(1,2) = 2: scaled = 2*n_l1 + 1*n_l2
+    assert r0.harmonic_scaled == 2 * 3 + 1 * 1
+    r1 = out[1]
+    assert (r1.n_l1, r1.n_l2, r1.harmonic_scaled) == (1, 1, 3)
+
+    # max_level=3 exposes n_l3 and unit 6 (the registered sixths).
+    out3 = {r.node: r for r in harmonic_centrality(
+        edges, roots=1, max_level=3
+    ).collect()}
+    r0 = out3[0]
+    assert (r0.n_l1, r0.n_l2, r0.n_l3) == (3, 1, 0)
+    assert r0.harmonic_scaled == 6 * 3 + 3 * 1
