@@ -867,9 +867,12 @@ def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") / MICROS_PER_HOUR)
             .cast("long")
             .alias("hr"),
-            ((dec("value") * 100).cast("long") / BIN_CENTS)
-            .cast("long")
-            .alias("bin"),
+            # integer div, not double /: a double quotient is only
+            # floor-safe below ~2^45 cents; div is exact at any width.
+            F.expr(
+                f"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                f" div {BIN_CENTS}"
+            ).alias("bin"),
         )
         .groupBy("hr", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
