@@ -1769,10 +1769,15 @@ def _hyperball_oracle() -> str:
         " 1, 6))::BIGINT"
     )
     # r0 = own registers; r{t} = max(r{t-1}(v), r{t-1}(w) for v->w).
+    # AS MATERIALIZED on every register level (and the edge list) is
+    # LOAD-BEARING: each r{t} is referenced twice (by r{t+1}'s union
+    # and by the estimate), and DuckDB's default CTE inlining then
+    # re-expands the whole chain per reference — exponential in hops
+    # (measured: >45 GiB spill at the x10 replica; 10.7 s materialized).
     hops = []
     for t in range(1, HB_HOPS + 1):
         hops.append(
-            f"""r{t} AS (
+            f"""r{t} AS MATERIALIZED (
   SELECT node, reg, MAX(val) AS val FROM (
     SELECT node, reg, val FROM r{t - 1}
     UNION ALL
@@ -1794,7 +1799,7 @@ WITH eo AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
   UNION ALL
   SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
@@ -1811,7 +1816,7 @@ hubs AS (
   ) t WHERE rn <= {HB_TOP}
 ),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT node, reg,
          {_rho_case_sql(hsql)} AS val
   FROM nodes CROSS JOIN (SELECT UNNEST(range(0, {HB_M})) AS reg) regs

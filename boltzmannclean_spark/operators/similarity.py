@@ -1675,22 +1675,30 @@ cent AS (
   SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM n
   WHERE vec_id % {CENT_MOD} = 0
 ),
-ranked AS (
-  SELECT n.vec_id, n.e, n.nrm, cent.centroid_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY n.vec_id
-           ORDER BY list_reduce(list_transform(range(1, len(n.e) + 1),
-                                               i -> n.e[i] * cent.ce[i]),
-                                (s, x) -> s + x) / (n.nrm * cent.cnrm) DESC,
-                    cent.centroid_id) AS crk
+pairs AS MATERIALIZED (
+  -- 3 narrow columns ONLY: carrying the 64-double arrays through the
+  -- corpus x centroids fan-out is what made the naive form spill past
+  -- 24 GiB at the x30 replica; arrays re-join by id afterwards.
+  SELECT n.vec_id, cent.centroid_id,
+         list_reduce(list_transform(range(1, len(n.e) + 1),
+                                    i -> n.e[i] * cent.ce[i]),
+                     (s, x) -> s + x) / (n.nrm * cent.cnrm) AS ccos
   FROM n CROSS JOIN cent
 ),
+ranked AS MATERIALIZED (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, centroid_id) AS crk
+  FROM pairs
+),
 assigned AS (
-  SELECT vec_id, e, nrm, centroid_id FROM ranked WHERE crk = 1
+  SELECT r.vec_id, n.e, n.nrm, r.centroid_id
+  FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1
 ),
 probes AS (
-  SELECT vec_id, e, nrm, centroid_id, crk AS probe_rk FROM ranked
-  WHERE crk <= {max(TUNE_LADDER)} AND vec_id < {N_QUERY}
+  SELECT r.vec_id, n.e, n.nrm, r.centroid_id, r.crk AS probe_rk
+  FROM ranked r JOIN n ON n.vec_id = r.vec_id
+  WHERE r.crk <= {max(TUNE_LADDER)} AND r.vec_id < {N_QUERY}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.probe_rk,

@@ -15,11 +15,25 @@ Provenance, stated so the artifact is auditable:
 
 - Round-12 re-runs (/tmp/x30r12/rerun.json + solo follow-ups) replace,
   at current HEAD: every operator whose plan changed this round
-  (stats_cramers_v, stream_srm_monitor, dedup_incremental_batch,
-  graph_harmonic_centrality), the one r11 transient failure
-  (dedup_semantic_semdedup — a mid-sweep JVM death, not a mismatch),
-  and the round-12 additions (window_mergeable_quantiles,
-  stream_funnel_monitor, similarity_ann_nprobe_autotune).
+  (stats_cramers_v, stream_srm_monitor, dedup_incremental_batch),
+  the one r11 transient failure (dedup_semantic_semdedup — a
+  mid-sweep JVM death, not a mismatch; 372.8 s clean at HEAD), and
+  the round-12 additions (window_mergeable_quantiles,
+  stream_funnel_monitor, similarity_ann_nprobe_autotune,
+  graph_hyperball_reach).
+
+- graph_harmonic_centrality keeps its r11-session ×30 hash-exact
+  entry: that run predates the oracle memory/spill caps (DuckDB held
+  the 3-level frontier CTEs in RAM); under round-12's safe caps the
+  oracle cannot complete even at 55 GiB spill (measured twice this
+  round), and removing the caps reproduces the kernel-OOM incident
+  class the caps exist to prevent. HEAD validity is proven by
+  TRANSITIVITY instead: the round-12 refactor's Spark output at ×30
+  is sha256-identical to the pre-refactor commit's (both runs this
+  round, canonical_rows over the full 100-row result), and the
+  pre-refactor plan is the one the r11 chunk proved hash-exact
+  against the oracle. HEAD is additionally oracle-checked end-to-end
+  at sf0.01 and the ×10 replica this round (SCALING.md round-12).
 
 - Exclusions are carried explicitly in the artifact's `_exclusions`
   key with per-query reasons. Three replica-artifact entries
