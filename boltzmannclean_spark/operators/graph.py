@@ -45,14 +45,14 @@ def _pagerank_oracle() -> str:
     for i in range(1, N_ITER + 1):
         its.append(
             f"""
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node, CAST(SUM({prev}.r // deg.d) AS BIGINT) AS contrib
   FROM edges e
   JOIN {prev} ON {prev}.node = e.src
   JOIN deg ON deg.src = e.src
   GROUP BY e.dst
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT c{i}.node,
          (15 * ({RSCALE} // n.n_nodes) + 85 * c{i}.contrib) // 100 AS r
   FROM c{i} CROSS JOIN n
@@ -64,14 +64,14 @@ WITH eo AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT 'c:' || c AS src, 's:' || s AS dst FROM eo
   UNION ALL
   SELECT 's:' || s AS src, 'c:' || c AS dst FROM eo
 ),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 n AS (SELECT COUNT(*) AS n_nodes FROM deg),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT src AS node, CAST({RSCALE} // n.n_nodes AS BIGINT) AS r
   FROM deg CROSS JOIN n
 ),{",".join(its)}
@@ -219,7 +219,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -229,7 +229,7 @@ deg AS (
     SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
   ) GROUP BY p
 ),
-oriented AS (
+oriented AS MATERIALIZED (
   SELECT CASE WHEN (d1.d, pairs.p1) < (d2.d, pairs.p2)
               THEN pairs.p1 ELSE pairs.p2 END AS src,
          CASE WHEN (d1.d, pairs.p1) < (d2.d, pairs.p2)
@@ -238,7 +238,7 @@ oriented AS (
   JOIN deg d1 ON d1.p = pairs.p1
   JOIN deg d2 ON d2.p = pairs.p2
 ),
-wedges AS (
+wedges AS MATERIALIZED (
   SELECT e1.src AS apex,
          LEAST(e1.dst, e2.dst) AS v,
          GREATEST(e1.dst, e2.dst) AS w
@@ -495,9 +495,9 @@ def _kcore_oracle() -> str:
     prev = "e0"
     for r in range(1, KCORE_ROUNDS + 1):
         blocks.append(f"""
-sd{r} AS (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {KCORE_K}),
-pd{r} AS (SELECT p FROM {prev} GROUP BY p HAVING COUNT(*) >= {KCORE_K}),
-e{r} AS (
+sd{r} AS MATERIALIZED (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {KCORE_K}),
+pd{r} AS MATERIALIZED (SELECT p FROM {prev} GROUP BY p HAVING COUNT(*) >= {KCORE_K}),
+e{r} AS MATERIALIZED (
   SELECT e.s, e.p FROM {prev} e
   JOIN sd{r} ON e.s = sd{r}.s
   JOIN pd{r} ON e.p = pd{r}.p
@@ -512,7 +512,7 @@ e{r} AS (
         for r in range(0, KCORE_ROUNDS + 1)
     )
     return f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
 ),{rounds_sql}
 SELECT * FROM ({selects}) t
@@ -1294,7 +1294,7 @@ WITH eo AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
   UNION ALL
   SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
@@ -1308,19 +1308,19 @@ roots AS (
     FROM deg
   ) t WHERE rn <= {_HC_ROOTS}
 ),
-l1 AS (
+l1 AS MATERIALIZED (
   SELECT r.node AS root, e.dst AS node
   FROM roots r JOIN edges e ON e.src = r.node GROUP BY 1, 2
 ),
-l2 AS (
+l2 AS MATERIALIZED (
   SELECT l.root, e.dst AS node
   FROM l1 l JOIN edges e ON e.src = l.node GROUP BY 1, 2
 ),
-l3 AS (
+l3 AS MATERIALIZED (
   SELECT l.root, e.dst AS node
   FROM l2 l JOIN edges e ON e.src = l.node GROUP BY 1, 2
 ),
-reach AS (
+reach AS MATERIALIZED (
   SELECT root, node, CAST(MIN(lvl) AS BIGINT) AS lvl FROM (
     SELECT root, node, 1 AS lvl FROM l1
     UNION ALL SELECT root, node, 2 FROM l2
@@ -1408,7 +1408,7 @@ WITH eo AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT 'c:' || c AS src, 's:' || s AS dst FROM eo
   UNION ALL
   SELECT 's:' || s AS src, 'c:' || c AS dst FROM eo
@@ -1501,14 +1501,14 @@ def _ppr_oracle() -> str:
     for i in range(1, N_ITER + 1):
         its.append(
             f"""
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node, CAST(SUM({prev}.r // deg.d) AS BIGINT) AS contrib
   FROM edges e
   JOIN {prev} ON {prev}.node = e.src
   JOIN deg ON deg.src = e.src
   GROUP BY e.dst
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
          (15 * n.seed_share + 85 * COALESCE(c{i}.contrib, 0)) // 100 AS r
   FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
@@ -1520,7 +1520,7 @@ WITH eo AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT 'c:' || c AS src, 's:' || s AS dst FROM eo
   UNION ALL
   SELECT 's:' || s AS src, 'c:' || c AS dst FROM eo

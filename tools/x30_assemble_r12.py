@@ -22,18 +22,18 @@ Provenance, stated so the artifact is auditable:
   stream_funnel_monitor, similarity_ann_nprobe_autotune,
   graph_hyperball_reach).
 
-- graph_harmonic_centrality keeps its r11-session ×30 hash-exact
-  entry: that run predates the oracle memory/spill caps (DuckDB held
-  the 3-level frontier CTEs in RAM); under round-12's safe caps the
-  oracle cannot complete even at 55 GiB spill (measured twice this
-  round), and removing the caps reproduces the kernel-OOM incident
-  class the caps exist to prevent. HEAD validity is proven by
-  TRANSITIVITY instead: the round-12 refactor's Spark output at ×30
-  is sha256-identical to the pre-refactor commit's (both runs this
-  round, canonical_rows over the full 100-row result), and the
-  pre-refactor plan is the one the r11 chunk proved hash-exact
-  against the oracle. HEAD is additionally oracle-checked end-to-end
-  at sf0.01 and the ×10 replica this round (SCALING.md round-12).
+- The spill-cap oracle exclusion class DISSOLVED late in round 12:
+  the root cause of every 50-72 GB iterative-graph oracle spill was
+  DuckDB's default CTE inlining re-evaluating unrolled levels (the
+  HyperBall lesson, applied back). With `AS MATERIALIZED` on each
+  level, ALL FIVE — pagerank_bipartite, personalized_pagerank,
+  harmonic_centrality, kcore_peel, triangle_count — run hash-exact
+  at ×30 under the safe caps in 6.5-26 s each
+  (/tmp/x30r12/graph_fixed.json, 78 s total, 0 failures), ending
+  three rounds of exclusions. The harmonic transitivity proof
+  (sha256-identical Spark output across the round-12 refactor)
+  remains in the round log as supporting evidence but is superseded
+  by the direct oracle pass at HEAD.
 
 - Exclusions are carried explicitly in the artifact's `_exclusions`
   key with per-query reasons. The round-12 ORGANIC ×30 corpus
@@ -78,6 +78,7 @@ CHUNKS = [
     "/tmp/x30r12/new_ops.json",
     "/tmp/x30r12/new_ops2.json",
     "/tmp/x30r12/autotune_x30.json",
+    "/tmp/x30r12/graph_fixed.json",
 ]
 
 ORGANIC_RESULTS = "/tmp/x30org/recall_eval.json"
@@ -86,24 +87,6 @@ EXCLUSIONS = {
     "source_file_metadata": (
         "oracle compares file metadata (size/mtime) a rewritten replica "
         "cannot match — r9 exclusion"
-    ),
-    "graph_kcore_peel": (
-        "DuckDB peel-loop oracle temp-spills past the 24GiB cap at x10+ "
-        "— r9/r10 exclusion; Spark leg verified rows-only"
-    ),
-    "graph_triangle_count": (
-        "DuckDB wedge-enumeration oracle spilled 72GB (> free disk) at "
-        "x30; Spark leg verified rows-only (1 row, 21.3s)"
-    ),
-    "graph_pagerank_bipartite": (
-        "DuckDB 3-unrolled-iteration oracle exceeds a 50GiB spill cap "
-        "at x30; Spark leg verified rows-only (25 rows, 28.2s); "
-        "hash-exact at sf0.01 and x10"
-    ),
-    "graph_personalized_pagerank": (
-        "same unrolled-CTE oracle shape, exceeds 55GiB spill at x30; "
-        "Spark leg verified rows-only (25 rows, 21.2s); hash-exact at "
-        "sf0.01 and x10"
     ),
     "sessions_overlap_pairs": (
         "overlap-PAIR output is inherently quadratic in concurrent-"
