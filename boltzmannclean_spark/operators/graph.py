@@ -1921,3 +1921,160 @@ def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "degree", "hops", "reach_est_f")
         .orderBy(F.desc("degree"), "node", "hops")
     )
+
+
+SAT_HOPS = 4  # saturation curve depth (one past the registered sketch)
+SAT_PERMILLE = 10  # saturated when the hop's mass delta < 1% of mass
+
+
+def _hyperball_saturation_oracle() -> str:
+    hsql = (
+        "('0x' || substring(md5(node::VARCHAR || ':' || reg::VARCHAR),"
+        " 1, 6))::BIGINT"
+    )
+    hops = []
+    for t in range(1, SAT_HOPS + 1):
+        hops.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node, reg, MAX(val) AS val FROM (
+    SELECT node, reg, val FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, r.reg, r.val
+    FROM edges e JOIN r{t - 1} r ON r.node = e.dst
+  ) u GROUP BY node, reg
+)"""
+        )
+    masses = "\nUNION ALL\n".join(
+        f"SELECT {t} AS hops, CAST(SUM(1 << (25 - val)) AS BIGINT) AS mass"
+        f" FROM r{t}"
+        for t in range(0, SAT_HOPS + 1)
+    )
+    return f"""
+WITH eo AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM eo
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS MATERIALIZED (
+  SELECT node, reg,
+         {_rho_case_sql(hsql)} AS val
+  FROM nodes CROSS JOIN (SELECT UNNEST(range(0, {HB_M})) AS reg) regs
+),
+{",".join(hops)},
+curve AS ({masses})
+SELECT c.hops, c.mass,
+       COALESCE(p.mass - c.mass, 0) AS mass_drop,
+       CAST(CASE WHEN c.hops > 0
+                 AND (p.mass - c.mass) * 1000 < {SAT_PERMILLE} * c.mass
+            THEN 1 ELSE 0 END AS BIGINT) AS saturated
+FROM curve c LEFT JOIN curve p ON p.hops = c.hops - 1
+ORDER BY c.hops
+"""
+
+
+@register(
+    "graph_hyperball_saturation",
+    oracle=_hyperball_saturation_oracle(),
+    tags=("graph", "hyperball", "diameter", "sketch", "saturation"),
+)
+def graph_hyperball_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-diameter readout from the HyperBall sketch — the
+    classic application (Boldi & Vigna run HyperBall to get the
+    distance distribution of web-scale graphs): iterate the register
+    merge one hop past the sketch depth and watch the TOTAL REGISTER
+    MASS Σ_v Σ_r 2^(25−M_r) per hop. Register values only grow, so
+    the mass only falls; once a hop's drop is under
+    SAT_PERMILLE/1000 of the mass, the neighborhood function has
+    saturated — the graph's effective diameter is ≈ that hop count.
+    The whole curve is EXACT integers (1 << (25−val) per register;
+    the global sum fits a long at < 2^25·m·|V| = 2^25·16·|V|, i.e.
+    up to |V| ≈ 2^34 nodes), and the saturation decision is the
+    integer comparison drop·1000 < permille·mass — no float anywhere,
+    bit-reproducible at any parallelism (the rowcount-anomaly alarm
+    discipline applied to a sketch).
+
+    Scale: identical to graph_hyperball_reach — one groupBy-MAX
+    shuffle per hop over |E|·m rows, register state |V|·m — plus a
+    5-row curve; the mass aggregation is map-combinable. Output is
+    hop-count-sized."""
+    ed, _, _ = _pagerank_state(spark, sf_dir)
+    edges = ed.select("src", "dst")
+    regs = spark.range(HB_M).select(F.col("id").cast("int").alias("reg"))
+    h24 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("node").cast("string"),
+                    F.lit(":"),
+                    F.col("reg").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(regs))
+        .select("node", "reg", _rho_case_spark(h24).alias("val"))
+        .localCheckpoint()
+    )
+    mass_expr = F.sum(
+        F.expr("shiftleft(CAST(1 AS BIGINT), 25 - CAST(val AS INT))")
+    ).cast("long")
+    curves = [
+        r.agg(mass_expr.alias("mass")).select(
+            F.lit(0).cast("long").alias("hops"), "mass"
+        )
+    ]
+    for t in range(1, SAT_HOPS + 1):
+        prop = edges.join(r, edges.dst == r.node).select(
+            edges.src.alias("node"), "reg", "val"
+        )
+        r = (
+            r.unionAll(prop)
+            .groupBy("node", "reg")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint()
+        )
+        curves.append(
+            r.agg(mass_expr.alias("mass")).select(
+                F.lit(t).cast("long").alias("hops"), "mass"
+            )
+        )
+    curve = curves[0]
+    for c in curves[1:]:
+        curve = curve.unionAll(c)
+    prev = curve.select(
+        (F.col("hops") + 1).alias("hops"), F.col("mass").alias("prev_mass")
+    )
+    return (
+        curve.join(prev, "hops", "left")
+        .select(
+            "hops",
+            "mass",
+            F.coalesce(F.col("prev_mass") - F.col("mass"), F.lit(0))
+            .cast("long")
+            .alias("mass_drop"),
+            F.when(
+                (F.col("hops") > 0)
+                & (
+                    (F.col("prev_mass") - F.col("mass")) * 1000
+                    < SAT_PERMILLE * F.col("mass")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("saturated"),
+        )
+        .orderBy("hops")
+    )

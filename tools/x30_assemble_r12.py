@@ -79,6 +79,7 @@ CHUNKS = [
     "/tmp/x30r12/new_ops2.json",
     "/tmp/x30r12/autotune_x30.json",
     "/tmp/x30r12/graph_fixed.json",
+    "/tmp/x30r12/saturation_x30.json",
 ]
 
 ORGANIC_RESULTS = "/tmp/x30org/recall_eval.json"
