@@ -644,6 +644,18 @@ def tune_nprobe(
         salt_col="neighbor_id",
     ).select("query_id", "neighbor_id").localCheckpoint()
     possible = truth.count()
+    if possible == 0:
+        # Empty ground truth (empty or single-vector corpus): every
+        # rung would vacuously satisfy hits·10⁴ ≥ target·0 and rung[0]
+        # would be reported as "meeting" a target it never measured.
+        # Fall back to the ladder max explicitly — the conservative
+        # knob — with recall 0.0 and no chosen flag set by recall.
+        curve = spark.createDataFrame(
+            [(int(p), 0, 0, 0.0, 1 if p == rungs[-1] else 0) for p in rungs],
+            "nprobe long, hits long, possible long, recall double,"
+            " chosen long",
+        )
+        return rungs[-1], curve
 
     rows = []
     for p in rungs:

@@ -47,3 +47,23 @@ def avg_d(expr: Column | str, prec: int = 12, scale: int = 2) -> Column:
     """avg = exact-decimal-sum-as-double / count — deterministic division."""
     c = dec(expr, prec, scale) if isinstance(expr, str) else expr
     return F.sum(c).cast("double") / F.count(F.lit(1))
+
+
+def sdiv_duck(num: str, den: str) -> str:
+    """Sign-safe integer division for oracle SQL: DuckDB ``//`` floors
+    but Spark ``div`` truncates toward zero, so both twins divide
+    magnitudes (where the engines agree) and reapply the sign —
+    identical bits for any signed operands."""
+    return (
+        f"CASE WHEN {num} < 0 THEN -((-({num})) // {den})"
+        f" ELSE ({num}) // {den} END"
+    )
+
+
+def sdiv_spark(num: str, den: str) -> str:
+    """Spark-SQL twin of :func:`sdiv_duck` (same trunc-of-magnitude
+    semantics, expressed with ``div``)."""
+    return (
+        f"CASE WHEN {num} < 0 THEN -((-({num})) div {den})"
+        f" ELSE ({num}) div {den} END"
+    )

@@ -42,15 +42,11 @@ def _qvec(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * MICRO, 0).cast("long"))
 
 
-def _sdiv_duck(num: str, den: str) -> str:
-    """Sign-safe integer division: DuckDB // floors but Spark div
-    truncates, so divide magnitudes (where both agree) and reapply the
-    sign."""
-    return f"CASE WHEN {num} < 0 THEN -((-({num})) // {den}) ELSE ({num}) // {den} END"
-
-
-def _sdiv_spark(num: str, den: str) -> str:
-    return f"CASE WHEN {num} < 0 THEN -((-({num})) div {den}) ELSE ({num}) div {den} END"
+# Sign-safe integer division (shared definition: functions/exact.py).
+from boltzmannclean_spark.functions.exact import (  # noqa: E402
+    sdiv_duck as _sdiv_duck,
+    sdiv_spark as _sdiv_spark,
+)
 
 
 SIM_TOPK_ORACLE = f"""

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.functions.exact import dec, sdiv_duck, sdiv_spark
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
 
@@ -794,9 +794,11 @@ TRAIL_HOURS = 5  # trailing window = current hour + 5 preceding
     "window_mergeable_quantiles",
     oracle=f"""
 WITH binned AS (
-  SELECT epoch_us(ts) // 3600000000 AS hr,
-         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
-           // {BIN_CENTS} AS bin,
+  SELECT {sdiv_duck("epoch_us(ts)", str(MICROS_PER_HOUR))} AS hr,
+         {sdiv_duck(
+             "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)",
+             str(BIN_CENTS),
+         )} AS bin,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1, 2
 ),
@@ -845,6 +847,10 @@ def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per bin over the hour axis), and quantiles read off the
     merged histogram's cumulative counts. Estimates are bin UPPER
     edges — bounded error = bin width, deterministic to the bit.
+    Binning uses the sign-safe trunc division both twins share
+    (functions/exact.py): negative values land in sign-symmetric
+    bins (bin 0 spans (-width, width)), and both engines agree
+    bit-for-bit for any signed value or pre-1970 timestamp.
 
     Design note vs t-digest: t-digest gives adaptive accuracy but its
     centroids depend on merge order — a hash-gated engine wants the
@@ -864,14 +870,18 @@ def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     binned = (
         ev.select(
-            (F.unix_micros("ts") / MICROS_PER_HOUR)
-            .cast("long")
-            .alias("hr"),
-            # integer div, not double /: a double quotient is only
-            # floor-safe below ~2^45 cents; div is exact at any width.
+            # sign-safe integer division on BOTH axes: Spark div
+            # truncates, DuckDB // floors — sdiv makes them agree for
+            # any signed epoch or value (and integer, not double /: a
+            # double quotient is only floor-safe below ~2^45).
             F.expr(
-                f"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
-                f" div {BIN_CENTS}"
+                sdiv_spark("unix_micros(ts)", str(MICROS_PER_HOUR))
+            ).alias("hr"),
+            F.expr(
+                sdiv_spark(
+                    "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)",
+                    str(BIN_CENTS),
+                )
             ).alias("bin"),
         )
         .groupBy("hr", "bin")

@@ -347,6 +347,24 @@ def test_tune_nprobe_picks_from_measured_curve(spark, sf_dir, tmp_path):
     assert [r.nprobe for r in curve_big.collect()] == [1]
     assert chosen_big == 1
 
+    # EMPTY ground truth (single-vector corpus: no (q, neighbor) pair
+    # with neighbor != q exists): every rung would vacuously satisfy
+    # hits >= target*0 and rung[0] would be reported as "meeting" a
+    # target it never measured (r12 advisor). The guard falls back to
+    # the ladder max explicitly, recall 0.0, chosen flag on the max.
+    chosen_empty, curve_empty = tune_nprobe(
+        spark, out, emb.limit(1), k=5, target_recall=0.5,
+        ladder=(1, 2, 4), n_queries=4,
+    )
+    assert chosen_empty == 4
+    empty_rows = {r.nprobe: r for r in curve_empty.collect()}
+    assert set(empty_rows) == {1, 2, 4}
+    assert all(
+        r.possible == 0 and r.hits == 0 and r.recall == 0.0
+        for r in empty_rows.values()
+    )
+    assert [p for p, r in empty_rows.items() if r.chosen] == [4]
+
     # A flat (non-IVF) index cannot be tuned.
     flat = str(tmp_path / "flat_idx")
     build_ann_index(
