@@ -36,6 +36,17 @@ END of the session and reports best_end/best_begin — sustained >1
 drift means the session itself degrades (heap/GC creep), which
 per-query spread cannot see. Both are in the gate line so a noisy
 round self-identifies in the committed artifact.
+
+Weather normalization (round-13, r12 verdict #3): the gate line also
+carries "cpu_ref_sec"/"cpu_ref_spread" (a fixed CPU-bound JVM
+sentinel — identical work every round) and "core9_weather_norm" =
+core9_total / cpu_ref_sec. Cross-round comparisons should read the
+NORMALIZED number: raw seconds moved ±38-89% with hypervisor
+co-tenant weather on this host (r12 SCALING.md) while plans were
+unchanged. BENCH_DETAIL carries the per-query normalized table.
+The normalized series starts at r12 (core9_weather_norm 19.73);
+earlier rounds carried no sentinel and cannot be normalized
+retroactively — which is itself the protocol lesson.
 """
 
 from __future__ import annotations
@@ -252,6 +263,16 @@ def build_reports(
         # should normalize by this before crying regression.
         "cpu_ref_sec": cpu_ref[0] if cpu_ref else None,
         "cpu_ref_spread": cpu_ref[1] if cpu_ref else None,
+        # Weather-normalized core9 (r12 verdict #3): core9_total in units
+        # of the sentinel's identical-work seconds. Compare THIS across
+        # rounds — raw seconds relitigate hypervisor co-tenant weather
+        # (measured ±38-89% sentinel swings, r12 SCALING.md). Series
+        # starts at r12 (19.73); earlier rounds carried no sentinel.
+        "core9_weather_norm": (
+            round(core9_total / cpu_ref[0], 4)
+            if core9_complete and cpu_ref and cpu_ref[0] > 0
+            else None
+        ),
         "n_queries": len(query_names),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
@@ -280,6 +301,18 @@ def build_reports(
         "canary_drift": canary_drift,
         "cpu_ref_sec": cpu_ref[0] if cpu_ref else None,
         "cpu_ref_spread": cpu_ref[1] if cpu_ref else None,
+        "core9_weather_norm": gate["core9_weather_norm"],
+        # Per-query timings in sentinel units — the cross-round
+        # comparable form of the per-query table (r12 verdict #3).
+        "weather_norm_per_query": (
+            {
+                n: round(timings[n] / cpu_ref[0], 4)
+                for n in CORE9
+                if n in timings
+            }
+            if cpu_ref and cpu_ref[0] > 0
+            else None
+        ),
         "failed": failed,
         "sf": sf,
     }

@@ -1437,10 +1437,7 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OVERLAP_BIN_US = 3_600_000_000  # 1-hour bins for the interval-overlap join
 
-
-@register(
-    "sessions_overlap_pairs",
-    oracle=f"""
+_OVERLAP_PAIRS_SQL = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
 ),
@@ -1457,13 +1454,23 @@ runs AS (
 s AS (
   SELECT user_id, session_idx, MIN(t_us) AS st, MAX(t_us) AS en
   FROM runs GROUP BY user_id, session_idx
-)
-SELECT a.user_id AS user_a, b.user_id AS user_b,
-       COUNT(*) AS n_overlaps,
-       MIN(GREATEST(a.st, b.st)) AS first_overlap_us
-FROM s a JOIN s b
-  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
-GROUP BY a.user_id, b.user_id
+),
+overlap_pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         COUNT(*) AS n_overlaps,
+         MIN(GREATEST(a.st, b.st)) AS first_overlap_us
+  FROM s a JOIN s b
+    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+  GROUP BY a.user_id, b.user_id
+)"""
+
+
+@register(
+    "sessions_overlap_pairs",
+    oracle=_OVERLAP_PAIRS_SQL
+    + """
+SELECT user_a, user_b, n_overlaps, first_overlap_us
+FROM overlap_pairs
 ORDER BY user_a, user_b
 """,
     tags=("behavioral", "interval-join", "overlap"),
@@ -1552,6 +1559,52 @@ def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.greatest("st_a", "st_b")).alias("first_overlap_us"),
         )
         .orderBy("user_a", "user_b")
+    )
+
+
+OVERLAP_HIST_CAP = 10  # histogram buckets: n_overlaps 1..9, 10 = "10+"
+
+
+@register(
+    "sessions_overlap_profile",
+    oracle=_OVERLAP_PAIRS_SQL
+    + f"""
+SELECT LEAST(n_overlaps, {OVERLAP_HIST_CAP}) AS overlap_bucket,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(n_overlaps) AS BIGINT) AS n_overlaps_total,
+       MIN(first_overlap_us) AS min_first_overlap_us
+FROM overlap_pairs
+GROUP BY LEAST(n_overlaps, {OVERLAP_HIST_CAP})
+ORDER BY overlap_bucket
+""",
+    tags=("behavioral", "interval-join", "overlap", "profile"),
+)
+def sessions_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-sized readout of the interval-overlap join (r12 verdict
+    #6): the pair-level sessions_overlap_pairs output is INHERENTLY
+    quadratic in concurrent-session density (×10 users in a fixed time
+    range really do overlap ×100 — 128.3M rows at ×30, uncollectable
+    for hash comparison), so this companion reduces the identical pair
+    computation to a ≤{OVERLAP_HIST_CAP}-row histogram: pairs bucketed
+    by overlap count (capped at {OVERLAP_HIST_CAP} = '10+'), with pair
+    counts, total overlap mass, and the earliest co-presence instant
+    per bucket. Same binned-range-join plan, same exact verify
+    predicate — only the final aggregation differs — which makes the
+    pair operator's correctness checkable at scales where its raw
+    output is not. All-integer output, bit-reproducible."""
+    pairs = sessions_overlap_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy(
+            F.least(F.col("n_overlaps"), F.lit(OVERLAP_HIST_CAP)).alias(
+                "overlap_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_overlaps").cast("long").alias("n_overlaps_total"),
+            F.min("first_overlap_us").alias("min_first_overlap_us"),
+        )
+        .orderBy("overlap_bucket")
     )
 
 

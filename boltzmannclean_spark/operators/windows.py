@@ -940,3 +940,305 @@ def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+_LOG_BIN = (
+    "CASE WHEN {cents} <= 0 THEN 0 ELSE length(bin({cents})) END"
+)  # integer floor(log2)+1 via binary-string length — no libm, engine-identical
+
+
+@register(
+    "window_mergeable_quantiles_log",
+    oracle=f"""
+WITH binned AS (
+  SELECT {sdiv_duck("epoch_us(ts)", str(MICROS_PER_HOUR))} AS hr,
+         {_LOG_BIN.format(
+             cents="CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+         )} AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.hr, b.bkt, COALESCE(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT hr FROM binned) h
+  CROSS JOIN (SELECT DISTINCT bkt FROM binned) b
+  LEFT JOIN binned c ON c.hr = h.hr AND c.bkt = b.bkt
+),
+win AS (
+  SELECT hr, bkt,
+         CAST(SUM(cnt) OVER (PARTITION BY bkt ORDER BY hr
+              RANGE BETWEEN {TRAIL_HOURS} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS w_cnt
+  FROM grid
+),
+cum AS (
+  SELECT hr, bkt, w_cnt,
+         CAST(SUM(w_cnt) OVER (PARTITION BY hr ORDER BY bkt
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w_cnt) OVER (PARTITION BY hr) AS BIGINT) AS total
+  FROM win
+)
+SELECT hr,
+       MAX(total) AS n_window,
+       CAST((CAST(1 AS BIGINT) << MIN(CASE WHEN cum * 100 >= 50 * total
+            THEN bkt END)) - 1 AS BIGINT) AS p50_cents_ub,
+       CAST((CAST(1 AS BIGINT) << MIN(CASE WHEN cum * 100 >= 90 * total
+            THEN bkt END)) - 1 AS BIGINT) AS p90_cents_ub,
+       CAST((CAST(1 AS BIGINT) << MIN(CASE WHEN cum * 100 >= 99 * total
+            THEN bkt END)) - 1 AS BIGINT) AS p99_cents_ub
+FROM cum
+GROUP BY hr
+ORDER BY hr
+""",
+    tags=("window", "quantile", "sketch", "mergeable", "sliding", "log-bin"),
+)
+def window_mergeable_quantiles_log(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOG-WIDTH-BIN variant of window_mergeable_quantiles — the
+    heavy-tail companion its docstring promised (r12 verdict #7):
+    identical mergeable machinery (per-hour fixed-bin sketches merged
+    by integer addition under a range frame, quantiles off cumulative
+    counts), but bins are powers of two over cents — bucket =
+    floor(log2(cents))+1, computed as the LENGTH OF THE BINARY STRING
+    (bin(x) in both engines) so there is no libm log anywhere —
+    giving RELATIVE-error quantile bounds (estimate = bucket upper
+    edge 2^b − 1, true value > 2^(b−1) − 1, i.e. within 2×) with
+    O(log(max_value)) buckets per hour regardless of the value range.
+    Fixed-width bins bound ABSOLUTE error and explode on heavy tails;
+    log bins are what a latency/revenue monitor actually wants at
+    100 TB: ~40 buckets cover the full int64 range. Values ≤ 0 land
+    in bucket 0 (edge 0) — the sign-degenerate bucket both twins
+    share. Same plan shape: one map-combined binning groupBy
+    (rows → hours × ≤40 buckets), domain-sized dense grid, two
+    domain-sized window passes; sketch state is hours × buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    binned = (
+        ev.select(
+            F.expr(
+                sdiv_spark("unix_micros(ts)", str(MICROS_PER_HOUR))
+            ).alias("hr"),
+            F.expr(_LOG_BIN.format(cents=cents)).alias("bkt"),
+        )
+        .groupBy("hr", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    hours = binned.select("hr").distinct()
+    bkts = binned.select("bkt").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(bkts))
+        .join(binned, ["hr", "bkt"], "left")
+        .select(
+            "hr", "bkt", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+    )
+    w_merge = (
+        Window.partitionBy("bkt")
+        .orderBy("hr")
+        .rangeBetween(-TRAIL_HOURS, 0)
+    )
+    win = grid.select(
+        "hr", "bkt", F.sum("cnt").over(w_merge).cast("long").alias("w_cnt")
+    )
+    w_cum = (
+        Window.partitionBy("hr")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = win.select(
+        "hr",
+        "bkt",
+        "w_cnt",
+        F.sum("w_cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("w_cnt").over(Window.partitionBy("hr")).cast("long").alias(
+            "total"
+        ),
+    )
+
+    def pick_bkt(q: int, name: str):
+        return F.min(
+            F.when(F.col("cum") * 100 >= q * F.col("total"), F.col("bkt"))
+        ).alias(name)
+
+    def edge(name: str, out: str) -> str:
+        # bucket -> upper edge 2^b - 1 (pure integer shift, no pow()).
+        return (
+            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({name} AS INT)) - 1"
+            f" AS BIGINT) AS {out}"
+        )
+
+    return (
+        cum.groupBy("hr")
+        .agg(
+            F.max("total").cast("long").alias("n_window"),
+            pick_bkt(50, "b50"),
+            pick_bkt(90, "b90"),
+            pick_bkt(99, "b99"),
+        )
+        .selectExpr(
+            "hr",
+            "n_window",
+            edge("b50", "p50_cents_ub"),
+            edge("b90", "p90_cents_ub"),
+            edge("b99", "p99_cents_ub"),
+        )
+        .orderBy("hr")
+    )
+
+
+HH_SKETCH_K = 20  # per-hour sketch keeps the top-20 users by count
+HH_TOP = 5        # heavy hitters reported per window
+HH_TRAIL = 5      # trailing window = current hour + 5 preceding
+
+
+@register(
+    "window_heavy_hitters",
+    oracle=f"""
+WITH counts AS (
+  SELECT {sdiv_duck("epoch_us(ts)", str(MICROS_PER_HOUR))} AS hr,
+         user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hr, user_id, cnt,
+         ROW_NUMBER() OVER (PARTITION BY hr
+                            ORDER BY cnt DESC, user_id) AS rk
+  FROM counts
+),
+sketch AS (SELECT hr, user_id, cnt FROM ranked WHERE rk <= {HH_SKETCH_K}),
+thr AS (
+  SELECT hr,
+         CAST(COALESCE(MAX(CASE WHEN rk = {HH_SKETCH_K} THEN cnt END), 0)
+              AS BIGINT) AS thr
+  FROM ranked GROUP BY hr
+),
+hours AS (SELECT DISTINCT hr FROM counts),
+tot_thr AS (
+  SELECT h.hr, CAST(SUM(t.thr) AS BIGINT) AS tot_thr
+  FROM hours h JOIN thr t
+    ON t.hr BETWEEN h.hr - {HH_TRAIL} AND h.hr
+  GROUP BY h.hr
+),
+contrib AS (
+  SELECT h.hr, s.user_id,
+         CAST(SUM(s.cnt) AS BIGINT) AS est_min,
+         CAST(COUNT(*) AS BIGINT) AS n_hours_present,
+         CAST(SUM(t.thr) AS BIGINT) AS present_thr
+  FROM hours h
+  JOIN sketch s ON s.hr BETWEEN h.hr - {HH_TRAIL} AND h.hr
+  JOIN thr t ON t.hr = s.hr
+  GROUP BY h.hr, s.user_id
+),
+est AS (
+  SELECT c.hr, c.user_id, c.est_min, c.n_hours_present,
+         c.est_min + g.tot_thr - c.present_thr AS est_max,
+         ROW_NUMBER() OVER (PARTITION BY c.hr
+                            ORDER BY c.est_min DESC, c.user_id) AS rk
+  FROM contrib c JOIN tot_thr g ON g.hr = c.hr
+)
+SELECT hr, CAST(rk AS BIGINT) AS rk, user_id, est_min,
+       CAST(est_max AS BIGINT) AS est_max, n_hours_present
+FROM est WHERE rk <= {HH_TOP}
+ORDER BY hr, rk
+""",
+    tags=("window", "heavy-hitters", "sketch", "mergeable", "sliding"),
+)
+def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window HEAVY HITTERS from mergeable per-hour truncated
+    top-K sketches — the SpaceSaving/Misra-Gries slot next to
+    window_mergeable_quantiles (r12 verdict #7): which users dominate
+    the trailing 6-hour window, with DETERMINISTIC error bounds.
+
+    Sketch per hour: the exact per-user counts truncated to the top
+    HH_SKETCH_K by (count DESC, user_id) plus the truncation threshold
+    (the K-th count; 0 when fewer users) — a user absent from an
+    hour's sketch has true count ≤ that hour's threshold, the
+    SpaceSaving guarantee. Classic MG/SpaceSaving state is
+    insert-order-dependent (useless for a hash-gated engine); the
+    k-truncated exact sketch is its deterministic mergeable twin with
+    the same state bound (K entries + 1 threshold per hour) and the
+    same error semantics. Merge over the trailing window is pure
+    integer addition: est_min = Σ sketch counts where present,
+    est_max = est_min + Σ thresholds of the window hours the user is
+    MISSING from — true count is provably in [est_min, est_max].
+    Report: top HH_TOP per hour by (est_min DESC, user_id).
+
+    Scale: the only row-sized pass is the map-combined (hr, user)
+    groupBy; everything after operates on hours × K sketch rows
+    (domain-sized — a year of hours × 20 entries < 200k rows at ANY
+    corpus size). The window expansion is an explode of each sketch
+    row to the ≤ {HH_TRAIL}+1 hours it serves (equi-join on the target
+    hour, no range join, no per-row window); final ranking partitions
+    by hour. The user domain is unbounded at 100 TB — exactly why the
+    state must be the truncated sketch, not the full count table."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.expr(
+                sdiv_spark("unix_micros(ts)", str(MICROS_PER_HOUR))
+            ).alias("hr"),
+            "user_id",
+        )
+        .groupBy("hr", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_rk = Window.partitionBy("hr").orderBy(F.desc("cnt"), "user_id")
+    ranked = counts.select(
+        "hr", "user_id", "cnt", F.row_number().over(w_rk).alias("rk")
+    ).localCheckpoint(eager=False)
+    sketch = ranked.where(F.col("rk") <= HH_SKETCH_K)
+    thr = ranked.groupBy("hr").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == HH_SKETCH_K, F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("thr")
+    )
+    hours = counts.select("hr").distinct()
+    # Each sketch/threshold row serves target hours [hr, hr+TRAIL]:
+    # explode once, equi-join on the target hour (h must exist).
+    thr_x = thr.select(
+        F.col("thr"),
+        F.explode(
+            F.sequence(F.col("hr"), F.col("hr") + HH_TRAIL)
+        ).alias("h"),
+    ).join(hours.withColumnRenamed("hr", "h"), "h")
+    tot_thr = thr_x.groupBy("h").agg(
+        F.sum("thr").cast("long").alias("tot_thr")
+    )
+    contrib = (
+        sketch.join(thr, "hr")
+        .select(
+            "user_id",
+            "cnt",
+            "thr",
+            F.explode(
+                F.sequence(F.col("hr"), F.col("hr") + HH_TRAIL)
+            ).alias("h"),
+        )
+        .join(hours.withColumnRenamed("hr", "h"), "h")
+        .groupBy("h", "user_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("est_min"),
+            F.count(F.lit(1)).cast("long").alias("n_hours_present"),
+            F.sum("thr").cast("long").alias("present_thr"),
+        )
+    )
+    w_hh = Window.partitionBy("h").orderBy(F.desc("est_min"), "user_id")
+    return (
+        contrib.join(tot_thr, "h")
+        .select(
+            F.col("h").alias("hr"),
+            F.row_number().over(w_hh).cast("long").alias("rk"),
+            "user_id",
+            "est_min",
+            (F.col("est_min") + F.col("tot_thr") - F.col("present_thr"))
+            .cast("long")
+            .alias("est_max"),
+            "n_hours_present",
+        )
+        .where(F.col("rk") <= HH_TOP)
+        .orderBy("hr", "rk")
+    )
