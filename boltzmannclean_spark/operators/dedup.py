@@ -1350,13 +1350,19 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key
    AND a.doc_id <> b.doc_id
 ),
+sizesq AS (SELECT doc_id, len(toks) AS n FROM sets),
+ptoks AS (SELECT doc_id AS pid, UNNEST(toks) AS tok FROM probes),
+pinter AS (
+  SELECT pid, t.doc_id AS cid, COUNT(*) AS n_int
+  FROM ptoks p JOIN toks t ON p.tok = t.sh AND p.pid <> t.doc_id
+  GROUP BY pid, t.doc_id
+),
 truth AS (
-  SELECT DISTINCT LEAST(p.doc_id, c.doc_id) AS d1,
-                  GREATEST(p.doc_id, c.doc_id) AS d2
-  FROM probes p JOIN sets c ON p.doc_id <> c.doc_id
-  WHERE 10 * len(list_intersect(p.toks, c.toks))
-        >= 9 * (len(p.toks) + len(c.toks)
-                - len(list_intersect(p.toks, c.toks)))
+  SELECT DISTINCT LEAST(pid, cid) AS d1, GREATEST(pid, cid) AS d2
+  FROM pinter
+  JOIN sizesq sp ON sp.doc_id = pid
+  JOIN sizesq sc ON sc.doc_id = cid
+  WHERE 10 * n_int >= 9 * (sp.n + sc.n - n_int)
 ),
 tp AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
 SELECT (SELECT COUNT(*) FROM probes) AS n_probe_docs,
@@ -1378,8 +1384,10 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the WHOLE corpus. Ground truth = exact Jaccard ≥ 0.9 of
     each probe against every corpus doc — Θ(K·N) work, priced per
     probe exactly like the ANN recall evals price brute force per
-    query — via one broadcast of the K probe token-sets (map-side, no
-    shuffle of the corpus). Candidates = the probes' LSH bands joined
+    query — computed through a TOKEN equi-join against the exploded
+    corpus (broadcast probe tokens; exact for the threshold because a
+    qualifying pair must share a token). Candidates = the probes' LSH
+    bands joined
     against the full corpus band table (broadcast probe side, map-side
     again); signatures/bands are the exact dedup_minhash_lsh
     derivation. The r12 design sampled a fixed 25% FRACTION and ran
@@ -1436,15 +1444,38 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    p = probes.select(
-        F.col("doc_id").alias("p_id"), F.col("toks").alias("p_toks")
+    # Ground truth via TOKEN equi-join, not per-pair array_intersect:
+    # a pair can reach Jaccard ≥ 0.9 only by sharing a token (empty
+    # token sets cannot occur — split('') yields ['']), so counting
+    # shared tokens through the exploded corpus table is EXACT for the
+    # threshold test and replaces 38M list-intersect calls with one
+    # hash join + count (the formulation that let the ×30 oracle
+    # finish; the broadcast-intersect form ground >40 CPU-min in
+    # DuckDB at 150k docs).
+    sizes = sets.select("doc_id", F.size("toks").alias("n"))
+    ptoks = probes.select(
+        F.col("doc_id").alias("p_id"), F.explode("toks").alias("tok")
     )
-    inter = F.size(F.array_intersect(F.col("p_toks"), F.col("toks")))
-    union = F.size(F.col("p_toks")) + F.size(F.col("toks")) - inter
+    pinter = (
+        toks.join(
+            F.broadcast(ptoks),
+            (F.col("tok") == F.col("sh"))
+            & (F.col("p_id") != F.col("doc_id")),
+        )
+        .groupBy("p_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sp = sizes.select(
+        F.col("doc_id").alias("p_id"), F.col("n").alias("n_p")
+    )
+    sc = sizes.select(F.col("doc_id").alias("c_id"), F.col("n").alias("n_c"))
     truth = (
-        sets.crossJoin(F.broadcast(p))
-        .where(F.col("doc_id") != F.col("p_id"))
-        .where(10 * inter >= 9 * union)
+        pinter.join(F.broadcast(sp), "p_id")
+        .join(sc, F.col("doc_id") == F.col("c_id"))
+        .where(
+            10 * F.col("n_int")
+            >= 9 * (F.col("n_p") + F.col("n_c") - F.col("n_int"))
+        )
         .select(
             F.least("doc_id", "p_id").alias("d1"),
             F.greatest("doc_id", "p_id").alias("d2"),
