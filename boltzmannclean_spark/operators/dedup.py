@@ -1587,7 +1587,13 @@ grams0 AS (
   QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
 ),
 df AS (SELECT sh, COUNT(*) AS df FROM grams0 GROUP BY sh),
-grams AS (
+-- MATERIALIZED boundaries (the HyperBall/graph-oracle lesson, applied
+-- after this oracle spilled 24 GiB at the organic x30 corpus): without
+-- them DuckDB inlines the CTEs and reorders the verify join into a
+-- shingle-first grams x grams join whose intermediate is Sigma df^2
+-- over the WHOLE universe; pinning grams/prefix/cand keeps the
+-- candidate set as the join spine, which is the algorithm.
+grams AS MATERIALIZED (
   SELECT g.doc_id, g.sh, df.df
   FROM grams0 g JOIN df ON g.sh = df.sh
   WHERE df.df <= {PF_DF_CAP}
@@ -1600,11 +1606,11 @@ ranked AS (
          s.n
   FROM grams g JOIN sizes s ON s.doc_id = g.doc_id
 ),
-prefix AS (
+prefix AS MATERIALIZED (
   SELECT doc_id, sh, n FROM ranked
   WHERE pos <= n - (({PF_THRESHOLD_NUM} * n + {PF_THRESHOLD_NUM}) // {PF_THRESHOLD_DEN}) + 1
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b
     ON a.sh = b.sh AND a.doc_id < b.doc_id
