@@ -1311,9 +1311,18 @@ RECALL_PROBE_K = 256  # fixed probe-set size — corpus-size-independent
 @register(
     "dedup_minhash_recall_eval",
     oracle=f"""
-WITH sets AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+WITH sets0 AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
   FROM documents
+),
+-- exact-duplicate QUOTIENT: identical token sets have identical
+-- signatures and band keys, so duplicates add zero information about
+-- banding recall while multiplying the truth join by |cluster|²
+-- (the verbatim ×30 replica = 30 copies of every set). One
+-- representative (min doc_id) per distinct set.
+sets AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id, toks
+  FROM sets0 GROUP BY md5(array_to_string(toks, ' ')), toks
 ),
 probes AS (
   SELECT doc_id, toks FROM sets
@@ -1378,10 +1387,16 @@ SELECT (SELECT COUNT(*) FROM probes) AS n_probe_docs,
 )
 def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED recall/precision of the MinHash-LSH banding against
-    exact-Jaccard ground truth, PROBE-vs-CORPUS (redesigned r13, r12
-    verdict #1): a fixed RECALL_PROBE_K-doc probe set (the K smallest
+    exact-Jaccard ground truth, PROBE-vs-CORPUS over the
+    EXACT-DUPLICATE QUOTIENT (redesigned r13, r12 verdict #1): the
+    corpus is first reduced to one min-doc_id representative per
+    distinct token set — identical sets produce identical signatures
+    and band keys, so duplicates contribute ZERO information about
+    banding parameters while multiplying the truth join by |cluster|²
+    (the verbatim ×30 replica is 30 copies of every set) — then a
+    fixed RECALL_PROBE_K-representative probe set (the K smallest
     md5(doc_id) — deterministic, corpus-size-INDEPENDENT) is scored
-    against the WHOLE corpus. Ground truth = exact Jaccard ≥ 0.9 of
+    against the whole quotient corpus. Ground truth = exact Jaccard ≥ 0.9 of
     each probe against every corpus doc — Θ(K·N) work, priced per
     probe exactly like the ANN recall evals price brute force per
     query — computed through a TOKEN equi-join against the exploded
@@ -1399,8 +1414,24 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — recall = tp/(tp+fn) left to the reader so the row stays
     pure integers."""
     docs = load_table(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    sets0 = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+    )
+    # Exact-duplicate quotient (see oracle comment): one min-doc_id
+    # representative per distinct token set. Grouping key is the md5 of
+    # the canonical (sorted) set; the array itself never enters the
+    # aggregation hash key.
+    sets = (
+        sets0.groupBy(
+            F.md5(F.concat_ws(" ", "toks")).alias("sig")
+        )
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("toks", "doc_id").alias("toks"),
+        )
+        .drop("sig")
+        .localCheckpoint(eager=False)
     )
     probes = (
         sets.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
