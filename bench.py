@@ -156,6 +156,12 @@ HEADLINE = CORE9 + [
     # moments representative of the new robust-stats tier.
     "graph_clustering_coefficient",
     "stats_brown_forsythe",
+    # round-13: the truncated-sketch heavy-hitter merge (the new
+    # sliding-window shape) and the probe-vs-corpus recall eval (whole-
+    # corpus minhash + token-join ground truth — the heaviest hardened
+    # dedup leg).
+    "window_heavy_hitters",
+    "dedup_minhash_recall_eval",
 ]
 
 # Offline build/lifecycle jobs (r6 verdict item 3): timed and reported,

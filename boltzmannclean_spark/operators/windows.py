@@ -1196,7 +1196,9 @@ def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("thr")
     )
-    hours = counts.select("hr").distinct()
+    # Hour domain off the checkpointed rank table, not a fresh events
+    # scan (every hour has a rank-1 row, so the domains are equal).
+    hours = ranked.where(F.col("rk") == 1).select("hr")
     # Each sketch/threshold row serves target hours [hr, hr+TRAIL]:
     # explode once, equi-join on the target hour (h must exist).
     thr_x = thr.select(
