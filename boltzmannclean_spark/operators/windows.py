@@ -1092,9 +1092,7 @@ HH_TOP = 5        # heavy hitters reported per window
 HH_TRAIL = 5      # trailing window = current hour + 5 preceding
 
 
-@register(
-    "window_heavy_hitters",
-    oracle=f"""
+HH_ORACLE = f"""
 WITH counts AS (
   SELECT {sdiv_duck("epoch_us(ts)", str(MICROS_PER_HOUR))} AS hr,
          user_id, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1141,7 +1139,12 @@ SELECT hr, CAST(rk AS BIGINT) AS rk, user_id, est_min,
        CAST(est_max AS BIGINT) AS est_max, n_hours_present
 FROM est WHERE rk <= {HH_TOP}
 ORDER BY hr, rk
-""",
+"""
+
+
+@register(
+    "window_heavy_hitters",
+    oracle=HH_ORACLE,
     tags=("window", "heavy-hitters", "sketch", "mergeable", "sliding"),
 )
 def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,6 +1186,14 @@ def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hr", "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return heavy_hitters_readout(counts)
+
+
+def heavy_hitters_readout(counts: DataFrame) -> DataFrame:
+    """Truncate/merge/rank readout over an exact (hr, user_id, cnt)
+    table — shared by window_heavy_hitters and the streaming monitor
+    twin (stream_heavy_hitters_monitor), whose stream-batch parity
+    against the SAME oracle is the correctness check."""
     w_rk = Window.partitionBy("hr").orderBy(F.desc("cnt"), "user_id")
     ranked = counts.select(
         "hr", "user_id", "cnt", F.row_number().over(w_rk).alias("rk")

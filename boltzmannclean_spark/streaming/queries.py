@@ -1014,3 +1014,61 @@ def stream_funnel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "user_id long, event_type string, t long"
         )
     return funnel_ordered_from(log)
+
+
+@register(
+    "stream_heavy_hitters_monitor",
+    # the SHARED batch oracle (window_heavy_hitters): stream-batch
+    # parity is the check — the readout is the literal batch
+    # truncate/merge/rank over the streamed per-hour counts.
+    oracle=None,  # bound below to windows.HH_ORACLE (import-order safe)
+    tags=("streaming", "heavy-hitters", "sketch", "monitoring"),
+)
+def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_heavy_hitters: the per-hour (window,
+    user) counts are maintained by a REAL streaming aggregation —
+    heavy-hitter sketch state, unlike the ordered funnel's, IS
+    mergeable (counts add across micro-batches; truncation is applied
+    at read time per finalized hour) — and the drained counts feed
+    the identical truncate/merge/rank readout
+    (windows.heavy_hitters_readout), so the SHARED window_heavy_hitters
+    oracle hash-matches: stream-batch parity is the correctness check.
+
+    Scale: streaming state is (active windows × users seen in them),
+    bounded by the watermark horizon, not all-time users — the
+    watermark evicts finalized hours; the readout then reduces each
+    hour to its K-entry sketch. Complete mode here because the finite
+    fixture replay must emit every window; production runs append mode
+    with the watermark finalizing hours as event time advances."""
+    from boltzmannclean_spark.operators.windows import (
+        MICROS_PER_HOUR,
+        heavy_hitters_readout,
+    )
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.expr(f"unix_micros(window.start) div {MICROS_PER_HOUR}")
+            .alias("hr"),
+            "user_id",
+            "cnt",
+        )
+    )
+    counts = run_to_memory(agg, output_mode="complete")
+    return heavy_hitters_readout(counts)
+
+
+def _bind_hh_oracle() -> None:
+    # window_heavy_hitters' oracle string lives in operators/windows;
+    # importing it at module top would be circular-import-prone, so the
+    # registry entry is patched right after both modules exist.
+    from boltzmannclean_spark.operators import windows as _w
+    from boltzmannclean_spark.plans.registry import all_queries
+
+    all_queries()["stream_heavy_hitters_monitor"].oracle = _w.HH_ORACLE
+
+
+_bind_hh_oracle()
