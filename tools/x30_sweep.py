@@ -127,6 +127,8 @@ def main() -> int:
     chunk_n = int(opt("--chunk", "8"))
     timeout = int(opt("--timeout", "2400"))
     only = opt("--only")
+    shard = opt("--shard")  # "i/n": md5-partition the todo list so N
+    # workers sharing one state dir sweep disjoint subsets in parallel
     emit = opt("--emit")
     keep_failed = "--keep-failed" in argv
     status_only = "--status" in argv
@@ -154,6 +156,15 @@ def main() -> int:
     if only:
         want = set(only.split(","))
         todo = [q for q in todo if q in want]
+    if shard:
+        import hashlib
+
+        i, n = (int(x) for x in shard.split("/"))
+        todo = [
+            q
+            for q in todo
+            if int(hashlib.md5(q.encode()).hexdigest(), 16) % n == i
+        ]
 
     print(
         f"state: {s['entries']} recorded ({s['hash_exact']} hash-exact, "
