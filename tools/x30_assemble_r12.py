@@ -1,5 +1,12 @@
 """Assemble LOCAL_CORRECTNESS_X30_r12.json (r11 verdict #1).
 
+SUPERSEDED (round 13): use tools/x30_sweep.py for new sweeps — it
+fixes this file's merge-precedence defect (r12 ADVICE medium: the
+`if k not in merged or ok` rule could keep an earlier chunk's stale
+PASS over a later rerun's FAIL; the new tool merges chunks in mtime
+order with later entries winning unconditionally). This script is
+retained unchanged as provenance for the committed r12 artifact only.
+
 Provenance, stated so the artifact is auditable:
 
 - The bulk of the full-registry ×30 (18M-row replica) sweep ran during
