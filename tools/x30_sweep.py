@@ -174,7 +174,11 @@ def main() -> int:
     )
 
     env = dict(os.environ, SPARK_GRAFT_REPLICA_SF=sf_dir)
-    stamp = int(time.time())
+    # stamp + pid: parallel sharded workers launched in the same second
+    # must never share a chunk filename (measured: two workers' chunk-0
+    # files collided and the later writer erased the earlier's records —
+    # self-healing via re-run, but wasteful).
+    stamp = f"{int(time.time())}_{os.getpid()}"
     for ci in range(0, len(todo), chunk_n):
         names = todo[ci : ci + chunk_n]
         out = os.path.join(state_dir, f"chunk_{stamp}_{ci:04d}.json")
