@@ -1808,14 +1808,18 @@ WITH toks AS (
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
 ),
-grams0 AS (
+grams0 AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS sh
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
 ),
-df AS (SELECT sh, COUNT(*) AS df FROM grams0 GROUP BY sh),
-grams AS (
+df AS MATERIALIZED (SELECT sh, COUNT(*) AS df FROM grams0 GROUP BY sh),
+-- MATERIALIZED throughout: this oracle's readout is EIGHT subqueries
+-- over the same chain; DuckDB's default inlining re-evaluates the
+-- join+window pipeline per reference (measured: 24 GiB spill at the
+-- verbatim x30 replica under a concurrent sweep).
+grams AS MATERIALIZED (
   SELECT g.doc_id, g.sh, df.df
   FROM grams0 g JOIN df ON g.sh = df.sh
   WHERE df.df <= {PF_DF_CAP}
@@ -1828,11 +1832,11 @@ ranked AS (
          s.n
   FROM grams g JOIN sizes s ON s.doc_id = g.doc_id
 ),
-prefix AS (
+prefix AS MATERIALIZED (
   SELECT doc_id, sh FROM ranked
   WHERE pos <= n - (({PF_THRESHOLD_NUM} * n + {PF_THRESHOLD_NUM}) // {PF_THRESHOLD_DEN}) + 1
 ),
-pwidth AS (SELECT sh, COUNT(*) AS w FROM prefix GROUP BY sh)
+pwidth AS MATERIALIZED (SELECT sh, COUNT(*) AS w FROM prefix GROUP BY sh)
 SELECT
   (SELECT COUNT(DISTINCT doc_id) FROM grams0) AS n_docs,
   (SELECT COUNT(*) FROM df) AS n_shingles_total,
