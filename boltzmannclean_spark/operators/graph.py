@@ -653,7 +653,7 @@ def _labelprop_oracle() -> str:
     for i in range(1, LP_ITERS + 1):
         its.append(
             f"""
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT node, lbl FROM (
     SELECT e.dst AS node, l.lbl, COUNT(*) AS c,
            ROW_NUMBER() OVER (PARTITION BY e.dst
@@ -674,7 +674,7 @@ base AS (
   SELECT s * 2 + 1 AS src, c * 2 AS dst FROM eo
 ),
 nodes AS (SELECT DISTINCT src AS node FROM base),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM base
   UNION ALL
   SELECT node, node FROM nodes
@@ -759,7 +759,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_linkpred_common_neighbors",
     oracle="""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey < b.l_partkey
@@ -771,20 +771,20 @@ deg AS (
     SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs
   ) GROUP BY p
 ),
-adj AS (
+adj AS MATERIALIZED (
   SELECT p1 AS m, p2 AS nbr FROM pairs
   UNION ALL
   SELECT p2 AS m, p1 AS nbr FROM pairs
 ),
-adj_capped AS (
+adj_capped AS MATERIALIZED (
   SELECT a.m, a.nbr FROM adj a JOIN deg ON deg.p = a.m WHERE deg.d <= 40
 ),
-wedges AS (
+wedges AS MATERIALIZED (
   SELECT x.nbr AS u, y.nbr AS v
   FROM adj_capped x JOIN adj_capped y ON x.m = y.m
   WHERE x.nbr < y.nbr
 ),
-cn AS (
+cn AS MATERIALIZED (
   SELECT u, v, COUNT(*) AS common_nbrs FROM wedges GROUP BY u, v
 ),
 nonedges AS (
@@ -909,26 +909,26 @@ def _aa_case_sql(col: str) -> str:
 @register(
     "graph_linkpred_adamic_adar",
     oracle=f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
   ) t GROUP BY p
 ),
-adj AS (
+adj AS MATERIALIZED (
   SELECT p1 AS m, p2 AS nbr FROM pairs
   UNION ALL SELECT p2, p1 FROM pairs
 ),
-capped AS (
+capped AS MATERIALIZED (
   SELECT adj.m, adj.nbr, deg.d
   FROM adj JOIN deg ON deg.p = adj.m AND deg.d <= {_AA_CAP}
 ),
-wedges AS (
+wedges AS MATERIALIZED (
   SELECT x.nbr AS u, y.nbr AS v,
          CAST({_aa_case_sql("x.d")} AS BIGINT) AS w
   FROM capped x JOIN capped y ON x.m = y.m AND x.nbr < y.nbr
@@ -1024,22 +1024,22 @@ def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_clustering_coefficient",
     oracle=f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
   ) t GROUP BY p
 ),
-adj AS (
+adj AS MATERIALIZED (
   SELECT p1 AS m, p2 AS nbr FROM pairs
   UNION ALL SELECT p2, p1 FROM pairs
 ),
-capped AS (
+capped AS MATERIALIZED (
   SELECT adj.m, adj.nbr
   FROM adj JOIN deg ON deg.p = adj.m
   WHERE deg.d BETWEEN 2 AND {_AA_CAP}
@@ -1154,22 +1154,22 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_linkpred_jaccard",
     oracle=f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs
   ) t GROUP BY p
 ),
-adj AS (
+adj AS MATERIALIZED (
   SELECT p1 AS m, p2 AS nbr FROM pairs
   UNION ALL SELECT p2, p1 FROM pairs
 ),
-capped AS (
+capped AS MATERIALIZED (
   SELECT adj.m, adj.nbr
   FROM adj JOIN deg ON deg.p = adj.m AND deg.d <= {_AA_CAP}
 ),
@@ -1629,12 +1629,12 @@ def _hits_oracle() -> str:
     for i in range(1, HITS_ITER + 1):
         its.append(
             f"""
-h{i} AS (
+h{i} AS MATERIALIZED (
   SELECT e.c AS node, CAST(SUM({prev_a}.v) AS HUGEINT) AS v
   FROM eo e JOIN {prev_a} ON {prev_a}.node = e.s
   GROUP BY e.c
 ),
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT e.s AS node, CAST(SUM(h{i}.v) AS HUGEINT) AS v
   FROM eo e JOIN h{i} ON h{i}.node = e.c
   GROUP BY e.s
@@ -1642,7 +1642,7 @@ a{i} AS (
         )
         prev_a, prev_h = f"a{i}", f"h{i}"
     return f"""
-WITH eo AS (
+WITH eo AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
