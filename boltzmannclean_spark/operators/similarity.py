@@ -538,8 +538,13 @@ cent AS (
   SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM n
   WHERE vec_id % {CENT_MOD} = 0
 ),
-ranked AS (
-  SELECT n.vec_id, n.label, n.e, n.nrm, cent.centroid_id,
+-- NARROW rank (the r12 autotuner lesson, applied here after the x30
+-- sweep spilled 24 GiB): the vec x centroid window carries only ids +
+-- the score, never the embedding arrays; arrays re-join by id AFTER
+-- the crk filter. MATERIALIZED so the double reference (assigned +
+-- probes) does not re-evaluate the cross join.
+ranked AS MATERIALIZED (
+  SELECT n.vec_id, cent.centroid_id,
          ROW_NUMBER() OVER (
            PARTITION BY n.vec_id
            ORDER BY list_reduce(list_transform(range(1, len(n.e) + 1),
@@ -548,12 +553,14 @@ ranked AS (
                     cent.centroid_id) AS crk
   FROM n CROSS JOIN cent
 ),
-assigned AS (
-  SELECT vec_id, label, e, nrm, centroid_id FROM ranked WHERE crk = 1
+assigned AS MATERIALIZED (
+  SELECT n.vec_id, n.label, n.e, n.nrm, r.centroid_id
+  FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1
 ),
 probes AS (
-  SELECT vec_id, e, nrm, centroid_id FROM ranked
-  WHERE crk <= {NPROBE} AND vec_id < {N_QUERY}
+  SELECT n.vec_id, n.e, n.nrm, r.centroid_id
+  FROM ranked r JOIN n ON n.vec_id = r.vec_id
+  WHERE r.crk <= {NPROBE} AND r.vec_id < {N_QUERY}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
