@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.operators.windows import (
+    HH_ORACLE,
+    MICROS_PER_HOUR,
+    heavy_hitters_readout,
+)
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
 from boltzmannclean_spark.streaming.core import events_stream, run_to_memory
@@ -1021,7 +1026,7 @@ def stream_funnel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SHARED batch oracle (window_heavy_hitters): stream-batch
     # parity is the check — the readout is the literal batch
     # truncate/merge/rank over the streamed per-hour counts.
-    oracle=None,  # bound below to windows.HH_ORACLE (import-order safe)
+    oracle=HH_ORACLE,
     tags=("streaming", "heavy-hitters", "sketch", "monitoring"),
 )
 def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,11 +1045,6 @@ def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour to its K-entry sketch. Complete mode here because the finite
     fixture replay must emit every window; production runs append mode
     with the watermark finalizing hours as event time advances."""
-    from boltzmannclean_spark.operators.windows import (
-        MICROS_PER_HOUR,
-        heavy_hitters_readout,
-    )
-
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -1060,15 +1060,3 @@ def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = run_to_memory(agg, output_mode="complete")
     return heavy_hitters_readout(counts)
 
-
-def _bind_hh_oracle() -> None:
-    # window_heavy_hitters' oracle string lives in operators/windows;
-    # importing it at module top would be circular-import-prone, so the
-    # registry entry is patched right after both modules exist.
-    from boltzmannclean_spark.operators import windows as _w
-    from boltzmannclean_spark.plans.registry import all_queries
-
-    all_queries()["stream_heavy_hitters_monitor"].oracle = _w.HH_ORACLE
-
-
-_bind_hh_oracle()
