@@ -1419,18 +1419,22 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
     )
     # Exact-duplicate quotient (see oracle comment): one min-doc_id
-    # representative per distinct token set. Grouping key is the md5 of
-    # the canonical (sorted) set; the array itself never enters the
-    # aggregation hash key.
+    # representative per distinct token set. Grouping key is (md5,
+    # joined-string) — the md5 keeps the shuffle key hash-distributed,
+    # and the canonical joined string makes the key INJECTIVE exactly
+    # like the oracle's GROUP BY (md5, toks): an md5 collision between
+    # distinct token sets can never merge them on either side (r13
+    # ADVICE — the hash-only key encoded a different grouping than the
+    # oracle's). Tokens come from split(text, ' ') so they contain no
+    # spaces, making joined-string ↔ sorted-distinct-set a bijection.
     sets = (
-        sets0.groupBy(
-            F.md5(F.concat_ws(" ", "toks")).alias("sig")
-        )
+        sets0.withColumn("joined", F.concat_ws(" ", "toks"))
+        .groupBy(F.md5("joined").alias("sig"), "joined")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.min_by("toks", "doc_id").alias("toks"),
         )
-        .drop("sig")
+        .drop("sig", "joined")
         .localCheckpoint(eager=False)
     )
     probes = (

@@ -845,12 +845,17 @@ def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value bin, cents-exact via the decimal recipe), the trailing
     window MERGES sketches by integer addition (one range-frame
     window per bin over the hour axis), and quantiles read off the
-    merged histogram's cumulative counts. Estimates are bin UPPER
-    edges — bounded error = bin width, deterministic to the bit.
-    Binning uses the sign-safe trunc division both twins share
-    (functions/exact.py): negative values land in sign-symmetric
-    bins (bin 0 spans (-width, width)), and both engines agree
-    bit-for-bit for any signed value or pre-1970 timestamp.
+    merged histogram's cumulative counts. Estimates are bin upper
+    edges via the positive-bin formula bin*w + w - 1, deterministic
+    to the bit; error ≤ one bin width for NON-NEGATIVE values. For
+    negative values the trunc binning is sign-symmetric — bin 0
+    spans (-w, w), double width, and a negative bin's true upper
+    edge is bin*w while the formula reports bin*w + w - 1 — so the
+    estimate can be off by up to ~2× bin width there (r13 ADVICE:
+    the earlier "error = bin width" claim was the unsigned bound).
+    Both engines agree bit-for-bit for any signed value or pre-1970
+    timestamp; use a floor-consistent edge formula if exact
+    one-bin-width bounds matter for signed data.
 
     Design note vs t-digest: t-digest gives adaptive accuracy but its
     centroids depend on merge order — a hash-gated engine wants the

@@ -1044,7 +1044,11 @@ def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark evicts finalized hours; the readout then reduces each
     hour to its K-entry sketch. Complete mode here because the finite
     fixture replay must emit every window; production runs append mode
-    with the watermark finalizing hours as event time advances."""
+    with the watermark finalizing hours as event time advances.
+
+    Precondition (asserted post-drain): non-negative event timestamps
+    — streaming hour windows floor-align while the shared oracle
+    trunc-divides, so pre-1970 data must use the batch twin."""
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -1058,5 +1062,21 @@ def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = run_to_memory(agg, output_mode="complete")
+    # Signed-epoch precondition (r13 ADVICE): window('ts','1 hour')
+    # FLOOR-aligns hour buckets while the shared oracle and the batch
+    # twin bucket by sign-safe TRUNC division (sdiv) — identical for
+    # ts >= epoch, one hour apart for negative epochs. Every pre-1970
+    # event necessarily lands in a negative-hr window here (ts in
+    # (-1h, 0) → window.start = -1h → hr = -1), so assert and refuse
+    # rather than silently diverge from the oracle; negative-epoch
+    # replays belong on the batch twin (window_heavy_hitters), whose
+    # sdiv bucketing is signed-exact.
+    if not counts.where(F.col("hr") < 0).isEmpty():
+        raise ValueError(
+            "stream_heavy_hitters_monitor requires non-negative event "
+            "timestamps (streaming hour windows floor-align; the "
+            "shared oracle trunc-divides) — use the batch twin "
+            "window_heavy_hitters for pre-1970 data"
+        )
     return heavy_hitters_readout(counts)
 

@@ -302,3 +302,192 @@ def test_out_of_order_replay_within_watermark_matches_batch(
         f"missing={sorted(set(want) - set(got))[:4]} "
         f"extra={sorted(set(got) - set(want))[:4]}"
     )
+
+
+def test_stream_heavy_hitters_rejects_negative_epoch(spark, tmp_path):
+    """r13 ADVICE regression: window('ts','1 hour') FLOOR-aligns hour
+    buckets while the shared oracle trunc-divides, so the streaming
+    heavy-hitters twin must REFUSE pre-1970 data instead of silently
+    bucketing it one hour off the oracle (the batch twin's sdiv path
+    is signed-exact and stays available)."""
+    import pandas as pd
+
+    base = tmp_path / "neg_events"
+    base.mkdir()
+    # one pre-1970 event (1969-12-31 23:30 → hr = -1 after floor
+    # window alignment) among on-time 2024 events — int64 ns layout
+    # exercises the legacy long-ns branch of normalize_events_ts.
+    stamps = [
+        pd.Timestamp("1969-12-31 23:30:00"),
+        pd.Timestamp("2024-01-01 00:10:00"),
+        pd.Timestamp("2024-01-01 00:20:00"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(stamps)),
+            "ts": [int(t.value) for t in stamps],
+            "user_id": [1] * len(stamps),
+            "event_type": ["click"] * len(stamps),
+            "value": [1.0] * len(stamps),
+            "props": ["{}"] * len(stamps),
+        }
+    )
+    pdf.to_parquet(base / "events.parquet", index=False)
+    fn = all_queries()["stream_heavy_hitters_monitor"].spark_fn
+    with pytest.raises(ValueError, match="non-negative event timestamps"):
+        fn(spark, str(base))
+
+
+def test_stream_heavy_hitters_append_mode_evicts_state(spark, tmp_path):
+    """r13 verdict #3: the monitor's 'state bounded by the watermark
+    horizon' claim, MEASURED in append mode. Ten hourly files replay
+    as ten micro-batches through the monitor's exact aggregation
+    (watermark 1h, groupBy(window, user) count) in APPEND mode with
+    N_USERS=30 distinct users per hour. Pins both properties:
+
+    1. finalized-hour sketches match batch — the append-emitted
+       (hr, user, cnt) rows equal the batch groupBy for every
+       finalized hour, and feeding them through the shared
+       heavy_hitters_readout equals the readout over batch counts
+       restricted to the same hours;
+    2. state is bounded by the watermark horizon, not corpus hours —
+       the state store row count (streaming progress metrics) never
+       approaches N_HOURS x N_USERS and rows are actually REMOVED as
+       hours finalize."""
+    import pandas as pd
+
+    from boltzmannclean_spark.operators.windows import (
+        heavy_hitters_readout,
+    )
+
+    base = tmp_path / "hh_events"
+    base.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    N_HOURS, N_USERS = 10, 30
+    events = []  # (event_id, ts, user_id)
+    eid = 0
+    for h in range(N_HOURS):
+        for u in range(1, N_USERS + 1):
+            # varying per-(hour,user) counts so ranks differ per hour
+            # and the K=20 sketch truncation has real work
+            for j in range(1 + (u * (h + 1)) % 5):
+                minute = (13 * eid + 7 * j) % 56  # max :55
+                events.append((eid, t0 + pd.Timedelta(hours=h, minutes=minute), u))
+                eid += 1
+    by_hour: dict[int, list] = {}
+    for e in events:
+        by_hour.setdefault(int((e[1] - t0).total_seconds() // 3600), []).append(e)
+    for h in range(N_HOURS):
+        batch = by_hour[h]
+        pdf = pd.DataFrame(
+            {
+                "event_id": [e[0] for e in batch],
+                "ts": [int(e[1].value) for e in batch],
+                "user_id": [e[2] for e in batch],
+                "event_type": ["click"] * len(batch),
+                "value": [1.0] * len(batch),
+                "props": ["{}"] * len(batch),
+            }
+        )
+        f = base / f"b{h:02d}.parquet"
+        pdf.to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + h * 60, 1_700_000_000 + h * 60))
+    # 11th file: one hour-9 tail event (09:59). Its batch runs with the
+    # watermark already at 08:55, so hour 7 (window end 08:00) is
+    # finalized during a DATA batch — the assertion doesn't depend on
+    # Spark's no-data-batch timing vs processAllAvailable. Hour 9 is
+    # never finalized (final watermark 08:59 < 09:00), so this event
+    # never reaches the emitted rows.
+    tail = pd.DataFrame(
+        {
+            "event_id": [eid],
+            "ts": [int((t0 + pd.Timedelta(hours=9, minutes=59)).value)],
+            "user_id": [1],
+            "event_type": ["click"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    f = base / "b10.parquet"
+    tail.to_parquet(f, index=False)
+    os.utime(f, (1_700_000_000 + 10 * 60, 1_700_000_000 + 10 * 60))
+
+    micros_per_hour = 3_600_000_000
+    agg = (
+        _stream_events(spark, str(base))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.expr(f"unix_micros(window.start) div {micros_per_hour}")
+            .alias("hr"),
+            "user_id",
+            "cnt",
+        )
+    )
+    sink = "hh_append_evict_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        progresses = list(query.recentProgress)
+    finally:
+        query.stop()
+    got = {
+        (r.hr, r.user_id): r.cnt for r in spark.table(sink).collect()
+    }
+
+    # -- property 1: finalized hours exactly match batch. Final max
+    # event ts = 09:55, watermark = 08:55 ⇒ windows ending ≤ 08:55,
+    # i.e. hours 0..7, are finalized; hour 8 (end 09:00) is not.
+    want = {}
+    for e in events:
+        h = int((e[1] - t0).total_seconds() // 3600)
+        if h <= 7:
+            k = (h + int(t0.value // 1000) // micros_per_hour, e[2])
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    finalized_hours = sorted({hr for hr, _ in got})
+    assert len(finalized_hours) == 8
+
+    # readout parity over the finalized counts (the shared sketch
+    # reduction both twins use)
+    stream_counts = spark.createDataFrame(
+        [(hr, u, c) for (hr, u), c in got.items()],
+        "hr long, user_id long, cnt long",
+    )
+    batch_counts = spark.createDataFrame(
+        [(hr, u, c) for (hr, u), c in want.items()],
+        "hr long, user_id long, cnt long",
+    )
+    s_rows = sorted(tuple(r) for r in heavy_hitters_readout(stream_counts).collect())
+    b_rows = sorted(tuple(r) for r in heavy_hitters_readout(batch_counts).collect())
+    assert s_rows == b_rows and len(s_rows) > 0
+
+    # -- property 2: state bounded by the watermark horizon. Without
+    # eviction the agg state would accumulate to N_HOURS×N_USERS=300
+    # rows; the watermark keeps only ~2-3 active hours' windows live.
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) or 0
+        for p in progresses
+        if p.get("stateOperators")
+    )
+    assert state_rows, "no stateOperators metrics captured"
+    assert max(state_rows) <= 4 * N_USERS, (
+        f"state not bounded: max {max(state_rows)} rows vs horizon "
+        f"bound {4 * N_USERS} (no-eviction would be {N_HOURS * N_USERS})"
+    )
+    assert max(state_rows) < N_HOURS * N_USERS
+    assert removed >= 7 * N_USERS, (
+        f"expected ≥{7 * N_USERS} evicted sketch rows (7 finalized "
+        f"hours × {N_USERS} users), saw {removed}"
+    )

@@ -64,14 +64,24 @@ def main() -> None:
     print(f"ok: registry imports ({len(queries)} queries, "
           f"{len(queries & oracles)} oracled)")
 
-    # -- 1. newest artifact covers the registry exactly, all green --
+    # -- 1. newest artifact covers the registry exactly, all green.
+    # Coverage source of truth (r13 verdict #2): the in-round running
+    # file LOCAL_CORRECTNESS_WIP.json when present, else the newest
+    # frozen per-round artifact — frozen r{N} files must never be
+    # edited to track a mid-round registry (gate 1b below enforces it).
+    wip = os.path.join(REPO, "LOCAL_CORRECTNESS_WIP.json")
     arts = glob.glob(os.path.join(REPO, "LOCAL_CORRECTNESS_r*.json"))
     if not arts:
         fail("no LOCAL_CORRECTNESS_r*.json artifact committed")
-    latest = max(
-        arts,
-        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
-    )
+    if os.path.exists(wip):
+        latest = wip
+    else:
+        latest = max(
+            arts,
+            key=lambda p: int(
+                re.search(r"_r(\d+)", os.path.basename(p)).group(1)
+            ),
+        )
     with open(latest) as fh:
         art = json.load(fh)
     missing = sorted(queries - set(art))
@@ -92,6 +102,51 @@ def main() -> None:
         fail(f"{os.path.basename(latest)} has failing entries: {bad[:10]}")
     print(f"ok: {os.path.basename(latest)} covers {len(art)}/{len(queries)}"
           ", 0 failures")
+
+    # -- 1b. frozen-round artifacts are byte-identical to their
+    # round-close commit (r13 verdict #2 / "What's wrong #1": r12's
+    # artifact was extended in place during round 13; an artifact named
+    # _r{N} must freeze once the driver's "round N:" close commit
+    # exists — running coverage belongs in LOCAL_CORRECTNESS_WIP.json).
+    import subprocess
+
+    log = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if log.returncode == 0:
+        close_commits: dict[int, str] = {}
+        for line in log.stdout.splitlines():
+            mm = re.match(r"^([0-9a-f]{40}) round (\d+):", line)
+            if mm:
+                # latest commit wins (git log is newest-first; keep the
+                # first seen = the round's final close commit)
+                close_commits.setdefault(int(mm.group(2)), mm.group(1))
+        for n, sha in sorted(close_commits.items()):
+            name = f"LOCAL_CORRECTNESS_r{n}.json"
+            frozen = subprocess.run(
+                ["git", "rev-parse", f"{sha}:{name}"],
+                cwd=REPO, capture_output=True, text=True,
+            )
+            if frozen.returncode != 0:
+                continue  # that round shipped no full-registry artifact
+            path = os.path.join(REPO, name)
+            if not os.path.exists(path):
+                fail(f"{name} existed at round-{n} close ({sha[:8]}) "
+                     "but is missing from the working tree")
+            cur = subprocess.run(
+                ["git", "hash-object", path],
+                cwd=REPO, capture_output=True, text=True,
+            )
+            if cur.stdout.strip() != frozen.stdout.strip():
+                fail(
+                    f"{name} was modified after round-{n} close "
+                    f"({sha[:8]}) — frozen artifacts must not mutate; "
+                    "put in-round coverage in LOCAL_CORRECTNESS_WIP.json "
+                    f"and restore via: git checkout {sha[:8]} -- {name}"
+                )
+        print(f"ok: {len(close_commits)} frozen round artifacts "
+              "byte-identical to their close commits")
 
     # -- 2. SURVEY.md counts --
     claim_re = re.compile(

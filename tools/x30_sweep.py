@@ -208,6 +208,75 @@ def main() -> int:
             )
             print(f"  {n}: {state}", flush=True)
 
+    # -- automated heavy-oracle spill retry (r13 verdict #6): a DuckDB
+    # oracle that died on its spill/memory cap is re-run SOLO with the
+    # documented override (SCALING.md r13 — the 31-token ×30 recall
+    # eval needs ~55 GiB of temp), and the retry is annotated in the
+    # record so the artifact shows which entries needed it. Patterns
+    # are DuckDB's own ("Out of Memory Error", max_temp_directory_size,
+    # OutOfMemoryException) — a JVM OutOfMemoryError is a Spark-side
+    # problem a bigger oracle cap cannot fix, so it is not retried.
+    import re as _re
+
+    spill_re = _re.compile(
+        r"Out of Memory Error|max_temp_directory_size|OutOfMemoryException"
+    )
+    retry_spill = os.environ.get("SPARK_GRAFT_SWEEP_RETRY_SPILL", "60GiB")
+    retry_mem = os.environ.get("SPARK_GRAFT_SWEEP_RETRY_MEM", "60GiB")
+    merged = _load_state(state_dir)
+    retries = sorted(
+        k
+        for k, v in merged.items()
+        if k in registry
+        and k not in EXCLUSIONS
+        and not _passed(v)
+        and spill_re.search(v.get("err") or "")
+    )
+    for ri, name in enumerate(retries):
+        out = os.path.join(state_dir, f"chunk_{stamp}_retry{ri:02d}.json")
+        print(
+            f"spill retry {name}: oracle cap -> {retry_spill} "
+            f"(mem {retry_mem})",
+            flush=True,
+        )
+        env2 = dict(
+            env,
+            SPARK_GRAFT_ORACLE_SPILL=retry_spill,
+            SPARK_GRAFT_ORACLE_MEM=retry_mem,
+        )
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tests", "driver_replica.py"),
+            "--only", name, "--emit", out,
+        ]
+        try:
+            subprocess.run(
+                cmd, cwd=REPO, env=env2, timeout=timeout,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"  retry timed out after {timeout}s", flush=True)
+        if os.path.exists(out):
+            try:
+                with open(out) as fh:
+                    data = json.load(fh)
+            except json.JSONDecodeError:
+                data = {}
+            if name in data:
+                data[name]["spill_retry"] = {
+                    "spill": retry_spill, "mem": retry_mem,
+                }
+                with open(out + ".part", "w") as fh:
+                    json.dump(data, fh, indent=2)
+                os.replace(out + ".part", out)
+                rec = data[name]
+                print(
+                    f"  {name}: "
+                    f"{'PASS' if _passed(rec) else (rec.get('err') or 'mismatch')[:80]}"
+                    " (spill_retry annotated)",
+                    flush=True,
+                )
+
     merged = _load_state(state_dir)
     s = _summary(merged, registry)
     print(json.dumps({k: v for k, v in s.items() if k != "fails"}))
