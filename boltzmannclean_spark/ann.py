@@ -50,6 +50,13 @@ from boltzmannclean_spark.functions.vectors import as_double, dot, norm
 
 DEFAULT_MICRO = 1_000_000
 
+#: Residual ADC LUTs are |queries|·probed_cells·pq_m·pq_k rows; above
+#: this bound (~1.5 GiB of 5-long rows, safely under Spark's 8 GiB
+#: broadcast hard cap) the serve path drops the broadcast hint and
+#: lets the LUT shuffle — measured necessary at 50 probes × 200 cells
+#: × 32 × 256 on the clustered ×10 corpus (9.2 GiB broadcast refused).
+RESIDUAL_LUT_BROADCAST_MAX_ROWS = 20_000_000
+
 META_FILE = "meta.json"
 
 
@@ -431,9 +438,13 @@ def ann_search(
     A ``residual=True`` index is served transparently (the flag rides
     meta.json): the ADC LUT becomes per-(query, cell) — block
     distances between the query's RESIDUAL against each probed cell's
-    centroid and the codebook — still a broadcast (queries × probed
-    cells × pq_m × pq_k rows; with no ``nprobe`` every cell is
-    "probed", so pass ``nprobe`` on residual indexes at scale)."""
+    centroid and the codebook. The LUT is queries × probed cells ×
+    pq_m × pq_k rows: broadcast while that count fits
+    ``RESIDUAL_LUT_BROADCAST_MAX_ROWS``, shuffled through the
+    (b, cid, cell) equi-join beyond it (the no-``nprobe`` full-probe
+    case crossed Spark's 8 GiB broadcast cap at 50×200×32×256 —
+    measured r14; still pass ``nprobe`` on residual indexes at scale,
+    the pruning is the point)."""
     conf = read_index_conf(index_dir)
     pq_dsub, pq_m, micro = conf["pq_dsub"], conf["pq_m"], conf["micro"]
     residual = conf.get("residual", False)
@@ -478,6 +489,27 @@ def ann_search(
         # (qsub - csub) and each code. All frames feeding it are tiny
         # (queries, centroids, codebook) — the corpus only appears in
         # the final code-table equi-join.
+        #
+        # r14 MEASURED fix: the LUT is |queries| × probed_cells × pq_m
+        # × pq_k rows — with no nprobe every cell is probed, and at 50
+        # probes × 200 cells × 32 × 256 the forced broadcast hit
+        # Spark's 8 GiB hard cap (9.2 GiB observed on the clustered
+        # ×10 corpus). Decide the hint from the computed row count:
+        # within budget → broadcast (map-side, zero shuffle); beyond →
+        # drop the hint and let the (b, cid, cell) equi-join shuffle-
+        # hash-partition both sides — the code scan is corpus-sized
+        # and shuffling anyway, so the extra cost is the LUT's own
+        # exchange, not a new corpus pass. Counting q/ivf_cent here is
+        # two jobs over probe-/domain-sized frames, serve-path cheap.
+        n_q = q.count()
+        n_cells_probed = (
+            nprobe if nprobe is not None else ivf_cent.count()
+        )
+        lut_rows = n_q * n_cells_probed * pq_m * conf["pq_k"]
+        lut_hint = (
+            F.broadcast if lut_rows <= RESIDUAL_LUT_BROADCAST_MAX_ROWS
+            else (lambda df: df)
+        )
         probed = (
             qcells
             if qcells is not None
@@ -523,7 +555,7 @@ def ann_search(
         scan = codes.join(cells.withColumnRenamed("cell", "vcell"), "id")
         scored = (
             scan.join(
-                F.broadcast(lut),
+                lut_hint(lut),
                 (F.col("b") == F.col("lb"))
                 & (F.col("cid") == F.col("lcid"))
                 & (F.col("vcell") == F.col("qcell")),

@@ -946,6 +946,103 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_exact_split",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS key FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS BIGINT) AS grank
+  FROM keyed
+)
+SELECT CASE WHEN grank * 100 <= 80 * n.n THEN 'train'
+            WHEN grank * 100 <= 90 * n.n THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM r, n
+GROUP BY 1
+ORDER BY split
+""",
+    tags=("sample", "split", "curation", "exact"),
+)
+def sample_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 80/10/10 split — exactly floor(0.8·N) / floor(0.9·N)−
+    floor(0.8·N) / rest rows, not the ±binomial-noise proportions of
+    the hash-bucket split (sample_train_test_split) — computed
+    reservoir-free and WITHOUT a global sort (r13 verdict #7's
+    "exact distributed shuffle split" slot). The exact split is what
+    a train/eval pipeline needs when the eval set is billed per row
+    or a paper pins |eval| precisely; a full orderBy over the corpus
+    is the naive way and is exactly what doesn't scale.
+
+    Plan: (1) shuffle key = md5(doc_id) — a deterministic, content-
+    free permutation of the corpus; (2) bucket = first byte of the
+    key (256 buckets, md5-uniform); per-bucket counts → 256-row
+    cumulative-offset table (the ONLY single-partition window, over
+    256 domain-sized rows); (3) exact global rank = bucket offset +
+    row_number within bucket (window partitioned BY BUCKET — 256-way
+    parallel, ~N/256 rows each, no global order); (4) split by pure
+    integer compare rank·100 ≤ 80·N (≡ rank ≤ floor(0.8·N), no
+    floats anywhere). Membership — not just sizes — is pinned by the
+    oracle: per-split sum/min/max of doc_id must match DuckDB's
+    ROW_NUMBER() over the same (key, doc_id) total order. At 100 TB
+    the bucket byte widens to 2-3 bytes (65k+ buckets) and the
+    offset table stays driver-free and broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("key")
+    ).withColumn(
+        "bucket", F.conv(F.substring("key", 1, 2), 16, 10).cast("long")
+    )
+    bcnt = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcnt.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("cum_prev"),
+    )
+    total = keyed.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_in = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    ranked = (
+        keyed.withColumn("r", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.col("cum_prev") + F.col("r")).alias("grank"),
+            "n",
+        )
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.when(F.col("grank") * 100 <= 80 * F.col("n"), "train")
+            .when(F.col("grank") * 100 <= 90 * F.col("n"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
 N_NEGATIVES = 4  # negatives drawn per anchor document
 
 

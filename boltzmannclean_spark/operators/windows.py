@@ -790,9 +790,12 @@ BIN_CENTS = 500  # 5.00-wide value bins for the mergeable sketch
 TRAIL_HOURS = 5  # trailing window = current hour + 5 preceding
 
 
-@register(
-    "window_mergeable_quantiles",
-    oracle=f"""
+# Shared by window_mergeable_quantiles and its streaming twin
+# (stream_quantiles_monitor): the streamed per-(hr, bin) counts feed
+# the identical readout, so stream-batch parity against this ONE
+# oracle is the streaming twin's correctness check — the same pattern
+# as HH_ORACLE / stream_heavy_hitters_monitor.
+MQ_ORACLE = f"""
 WITH binned AS (
   SELECT {sdiv_duck("epoch_us(ts)", str(MICROS_PER_HOUR))} AS hr,
          {sdiv_duck(
@@ -833,7 +836,12 @@ SELECT hr,
 FROM cum
 GROUP BY hr
 ORDER BY hr
-""",
+"""
+
+
+@register(
+    "window_mergeable_quantiles",
+    oracle=MQ_ORACLE,
     tags=("window", "quantile", "sketch", "mergeable", "sliding"),
 )
 def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,6 +900,16 @@ def window_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hr", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return mergeable_quantiles_readout(binned)
+
+
+def mergeable_quantiles_readout(binned: DataFrame) -> DataFrame:
+    """Dense-grid / trailing-merge / cumulative-pick readout over an
+    exact (hr, bin, cnt) sketch table — shared by
+    window_mergeable_quantiles and the streaming monitor twin
+    (stream_quantiles_monitor), whose stream-batch parity against the
+    SAME oracle (MQ_ORACLE) is the correctness check. Everything here
+    is domain-sized (hours × bins)."""
     hours = binned.select("hr").distinct()
     bins = binned.select("bin").distinct()
     grid = (
@@ -1087,6 +1105,243 @@ def window_mergeable_quantiles_log(
             edge("b50", "p50_cents_ub"),
             edge("b90", "p90_cents_ub"),
             edge("b99", "p99_cents_ub"),
+        )
+        .orderBy("hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Float-domain mergeable quantile sketch (r13 verdict #7): the cents
+# sketch covers DECIMAL money and the log-bin variant covers int64,
+# but real telemetry carries raw DOUBLES with no a-priori range. Bin a
+# double by (sign, exponent, top-FQ_SUBBITS mantissa bits) — i.e. by
+# its position in the IEEE-754 grid — and the sketch covers ~38 orders
+# of magnitude with ≤1/64 relative error and ~16k possible bins,
+# mergeable by integer addition like its siblings. The exponent comes
+# from a libm log2 GUESS corrected EXACTLY by power-of-two compares
+# (2^e via integer shifts cast to double — exact, no libm), so both
+# engines bin every value identically even where their log2 rounds
+# differently: floor(log2) is off by at most 1 ulp-step, and the
+# compare against the exact neighbor powers repairs it.
+FQ_SUBBITS = 6          # 64 sub-bins per octave -> rel. error <= 1/64
+FQ_EMIN, FQ_EMAX = -62, 62  # exponent clamp (shift-expressible range)
+_FQ_NBINS = (FQ_EMAX - FQ_EMIN + 1) * 64  # ord 1.._FQ_NBINS, +-(NBINS+1) = overflow
+
+
+def _fq_pow2(e: str, *, duck: bool) -> str:
+    """2^{e} for integer expr e in [-62, 62], EXACT in both engines:
+    integer shift cast to double (and 1/2^k is itself a power of two,
+    so the negative branch is exact too). No libm."""
+    shl = (
+        f"(CAST(1 AS BIGINT) << ({e}))"
+        if duck
+        else f"shiftleft(CAST(1 AS BIGINT), CAST(({e}) AS INT))"
+    )
+    shr = (
+        f"(CAST(1 AS BIGINT) << (-({e})))"
+        if duck
+        else f"shiftleft(CAST(1 AS BIGINT), CAST(-({e}) AS INT))"
+    )
+    return (
+        f"(CASE WHEN ({e}) >= 0 THEN CAST({shl} AS DOUBLE) "
+        f"ELSE 1.0 / CAST({shr} AS DOUBLE) END)"
+    )
+
+
+def _fq_ord(v: str, *, duck: bool) -> str:
+    """Signed sortable bin ordinal of double expr {v}: 0 for the
+    (-2^-62, 2^-62) zero bucket, ±(NBINS+1) for |v| ≥ 2^63 overflow,
+    else sign(v) · ((e+62)·64 + (m−64) + 1) with m = floor(|v|/2^e·64)
+    ∈ [64,128). Monotone in v, engine-identical by construction."""
+    p2 = lambda e: _fq_pow2(e, duck=duck)  # noqa: E731
+    a = f"ABS({v})"
+    # exact exponent: clamped libm guess + exact ±1 repair
+    e0 = (
+        f"LEAST(CAST({FQ_EMAX - 1} AS BIGINT), "
+        f"GREATEST(CAST({FQ_EMIN} AS BIGINT), "
+        f"CAST(FLOOR(LOG2({a})) AS BIGINT)))"
+    )
+    e = (
+        f"({e0} + (CASE WHEN {a} >= {p2(f'{e0} + 1')} THEN 1 "
+        f"WHEN {a} < {p2(e0)} THEN -1 ELSE 0 END))"
+    )
+    mag = (
+        f"(({e} + {-FQ_EMIN}) * 64 "
+        f"+ (CAST(FLOOR({a} / {p2(e)} * 64.0) AS BIGINT) - 64) + 1)"
+    )
+    sgn = f"(CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END)"
+    return (
+        f"(CASE WHEN {a} < {p2(str(FQ_EMIN))} THEN CAST(0 AS BIGINT) "
+        f"WHEN {a} >= {p2(str(FQ_EMAX))} * 2.0 THEN "
+        f"CAST({sgn} * {_FQ_NBINS + 1} AS BIGINT) "
+        f"ELSE CAST({sgn} * {mag} AS BIGINT) END)"
+    )
+
+
+def _fq_est(o: str, *, duck: bool) -> str:
+    """Upper bin edge (in VALUE order) of ordinal expr {o}, decoded
+    with the same exact power-of-two arithmetic: for v>0 the edge is
+    (m+1)·2^(e-6), for v<0 it is −m·2^(e-6) (the less-negative edge);
+    the zero bucket reports 0.0 and the overflow buckets their clamp
+    edge (±2^63). NULL passes through (an hour can lack a quantile
+    only if empty — the dense grid prevents that, but stay total)."""
+    p2 = lambda e: _fq_pow2(e, duck=duck)  # noqa: E731
+    dv = "//" if duck else "div"
+    pos_e = f"((({o}) - 1) {dv} 64 + {FQ_EMIN})"
+    pos_m = f"CAST((({o}) - 1) % 64 AS DOUBLE)"
+    neg_e = f"(((-({o})) - 1) {dv} 64 + {FQ_EMIN})"
+    neg_m = f"CAST(((-({o})) - 1) % 64 AS DOUBLE)"
+    return (
+        f"(CASE WHEN ({o}) IS NULL THEN NULL "
+        f"WHEN ({o}) = 0 THEN 0.0 "
+        f"WHEN ({o}) >= {_FQ_NBINS + 1} THEN {p2(str(FQ_EMAX))} * 2.0 "
+        f"WHEN ({o}) <= {-(_FQ_NBINS + 1)} THEN -({p2(str(FQ_EMAX))} * 2.0) "
+        f"WHEN ({o}) > 0 THEN ({pos_m} + 65.0) * {p2(pos_e)} / 64.0 "
+        f"ELSE -(({neg_m} + 64.0) * {p2(neg_e)} / 64.0) END)"
+    )
+
+
+FQ_ORACLE = f"""
+WITH binned AS (
+  SELECT {sdiv_duck("epoch_us(ts)", str(MICROS_PER_HOUR))} AS hr,
+         {_fq_ord("value", duck=True)} AS ord,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.hr, b.ord, COALESCE(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT hr FROM binned) h
+  CROSS JOIN (SELECT DISTINCT ord FROM binned) b
+  LEFT JOIN binned c ON c.hr = h.hr AND c.ord = b.ord
+),
+win AS (
+  SELECT hr, ord,
+         CAST(SUM(cnt) OVER (PARTITION BY ord ORDER BY hr
+              RANGE BETWEEN {TRAIL_HOURS} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS w_cnt
+  FROM grid
+),
+cum AS (
+  SELECT hr, ord, w_cnt,
+         CAST(SUM(w_cnt) OVER (PARTITION BY hr ORDER BY ord
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w_cnt) OVER (PARTITION BY hr) AS BIGINT) AS total
+  FROM win
+),
+picked AS (
+  SELECT hr,
+         MAX(total) AS n_window,
+         MIN(CASE WHEN cum * 100 >= 50 * total THEN ord END) AS o50,
+         MIN(CASE WHEN cum * 100 >= 90 * total THEN ord END) AS o90,
+         MIN(CASE WHEN cum * 100 >= 99 * total THEN ord END) AS o99
+  FROM cum GROUP BY hr
+)
+SELECT hr, n_window,
+       {_fq_est("o50", duck=True)} AS p50_est,
+       {_fq_est("o90", duck=True)} AS p90_est,
+       {_fq_est("o99", duck=True)} AS p99_est
+FROM picked
+ORDER BY hr
+"""
+
+
+@register(
+    "window_mergeable_quantiles_float",
+    oracle=FQ_ORACLE,
+    tags=("window", "quantile", "sketch", "mergeable", "sliding", "float"),
+)
+def window_mergeable_quantiles_float(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-window p50/p90/p99 of `events.value` from a MERGEABLE
+    sketch over the UNBOUNDED double domain — the t-digest slot, made
+    deterministic (r13 verdict #7): t-digest adapts its centroids but
+    their positions depend on merge order, useless for a hash-gated
+    engine; binning by the value's position in the IEEE-754 grid
+    (sign, exact exponent, top-6 mantissa bits — module docstring
+    above FQ_SUBBITS) gives the same adaptive-resolution property
+    (constant RELATIVE error ≤ 1/64 at every magnitude, ~38 orders
+    covered by ≤16k bins) with bit-deterministic, order-independent
+    state. Estimates are bin upper edges in value order: exact
+    ≤-one-sub-bin-relative-error for positives, and (mirroring the
+    signed caveat on the cents sketch) the sign-symmetric zero bucket
+    (-2^-62, 2^-62) reports 0.0.
+
+    Exactness across engines: the only libm call (log2) produces a
+    GUESS whose floor is off by at most one; comparing against the
+    exact neighbor powers of two (integer shifts cast to double — no
+    libm) repairs it, so Spark and DuckDB provably assign every
+    double the same bin. Division and multiplication by powers of two
+    are exact, so the decoded edges hash bit-identically.
+
+    Scale: identical posture to window_mergeable_quantiles — one
+    map-side-combinable rows→grid groupBy is the only row-sized pass;
+    the grid (hours × occupied bins, ≤16k/hour worst case, tens in
+    practice) drives the trailing merge (integer addition — the merge
+    law tests/test_sketch_invariants.py proves on this op) and the
+    cumulative pick, all domain-sized, windows partitioned by bin/hr."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = (
+        ev.select(
+            F.expr(
+                sdiv_spark("unix_micros(ts)", str(MICROS_PER_HOUR))
+            ).alias("hr"),
+            F.expr(_fq_ord("value", duck=False)).alias("ord"),
+        )
+        .groupBy("hr", "ord")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    hours = binned.select("hr").distinct()
+    ords = binned.select("ord").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(ords))
+        .join(binned, ["hr", "ord"], "left")
+        .select(
+            "hr", "ord", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+    )
+    w_merge = (
+        Window.partitionBy("ord")
+        .orderBy("hr")
+        .rangeBetween(-TRAIL_HOURS, 0)
+    )
+    win = grid.select(
+        "hr", "ord", F.sum("cnt").over(w_merge).cast("long").alias("w_cnt")
+    )
+    w_cum = (
+        Window.partitionBy("hr")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = win.select(
+        "hr",
+        "ord",
+        "w_cnt",
+        F.sum("w_cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("w_cnt").over(Window.partitionBy("hr")).cast("long").alias(
+            "total"
+        ),
+    )
+
+    def pick(q: int, name: str):
+        return F.min(
+            F.when(F.col("cum") * 100 >= q * F.col("total"), F.col("ord"))
+        ).alias(name)
+
+    return (
+        cum.groupBy("hr")
+        .agg(
+            F.max("total").cast("long").alias("n_window"),
+            pick(50, "o50"),
+            pick(90, "o90"),
+            pick(99, "o99"),
+        )
+        .selectExpr(
+            "hr",
+            "n_window",
+            f"{_fq_est('o50', duck=False)} AS p50_est",
+            f"{_fq_est('o90', duck=False)} AS p90_est",
+            f"{_fq_est('o99', duck=False)} AS p99_est",
         )
         .orderBy("hr")
     )

@@ -18,11 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from boltzmannclean_spark.functions.exact import dec
+from boltzmannclean_spark.functions.exact import dec, sdiv_spark
 from boltzmannclean_spark.operators.windows import (
+    BIN_CENTS,
     HH_ORACLE,
     MICROS_PER_HOUR,
+    MQ_ORACLE,
     heavy_hitters_readout,
+    mergeable_quantiles_readout,
 )
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
@@ -1079,4 +1082,70 @@ def stream_heavy_hitters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_heavy_hitters for pre-1970 data"
         )
     return heavy_hitters_readout(counts)
+
+
+@register(
+    "stream_quantiles_monitor",
+    # the SHARED batch oracle (window_mergeable_quantiles): the
+    # streamed per-(hr, bin) counts feed the identical dense-grid /
+    # trailing-merge / cumulative-pick readout, so stream-batch parity
+    # is the hash check — same pattern as stream_heavy_hitters_monitor.
+    oracle=MQ_ORACLE,
+    tags=("streaming", "quantile", "sketch", "mergeable", "monitoring"),
+)
+def stream_quantiles_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_mergeable_quantiles (r13 verdict #7):
+    the per-hour fixed-bin histogram sketch is maintained by a REAL
+    watermarked streaming aggregation over (1h window, value bin) —
+    histogram state is MERGEABLE (bin counts add across micro-batches,
+    exactly the property that makes the batch sketch a sketch) — and
+    the drained counts feed the identical trailing-merge readout
+    (windows.mergeable_quantiles_readout), so the SHARED
+    window_mergeable_quantiles oracle hash-matches.
+
+    Scale: streaming state is (active windows × occupied bins),
+    bounded by the watermark horizon × the value-domain bin count —
+    never row-sized; the readout then runs entirely on the hours×bins
+    grid. Complete mode here because the finite fixture replay must
+    emit every window; production runs append mode with hours
+    finalizing as event time advances (the append-mode eviction
+    property is measured for this aggregation shape in
+    tests/test_streaming.py).
+
+    Precondition (asserted post-drain, like the heavy-hitters twin):
+    non-negative event timestamps — streaming hour windows floor-align
+    while the shared oracle trunc-divides."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.expr(
+                sdiv_spark(
+                    "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)",
+                    str(BIN_CENTS),
+                )
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.expr(f"unix_micros(window.start) div {MICROS_PER_HOUR}")
+            .alias("hr"),
+            "bin",
+            "cnt",
+        )
+    )
+    # Pin the drained grid (domain-sized: hours × occupied bins) —
+    # the readout self-joins it three ways, and self-joins on a
+    # memory-sink VIEW hit Spark's conflicting-reference resolution
+    # (the batch twin's fresh aggregation dedups fine).
+    binned = run_to_memory(agg, output_mode="complete").localCheckpoint()
+    if not binned.where(F.col("hr") < 0).isEmpty():
+        raise ValueError(
+            "stream_quantiles_monitor requires non-negative event "
+            "timestamps (streaming hour windows floor-align; the "
+            "shared oracle trunc-divides) — use the batch twin "
+            "window_mergeable_quantiles for pre-1970 data"
+        )
+    return mergeable_quantiles_readout(binned)
 
