@@ -276,7 +276,7 @@ def build_ann_index(
     micro: int = DEFAULT_MICRO,
     pq_seed_pred: Column | None = None,
     cell_seed_pred: Column | None = None,
-    residual: bool = False,
+    residual: bool | None = None,
 ) -> str:
     """Train and persist a PQ (optionally IVF×PQ) ANN index for
     ``df[(id_col, vec_col)]`` under ``out_dir``. Returns ``out_dir``.
@@ -300,13 +300,16 @@ def build_ann_index(
       ``x − centroid(cell(x))`` instead of the raw coordinates.
       Requires an IVF build (``n_cells``). Residuals are differences
       of exact integers, so the whole exact-arithmetic discipline
-      composes unchanged. Worth it when the corpus is CLUSTERED (the
-      coarse centroids absorb most of the variance and the codebooks
-      spend their capacity on the remainder); measured on this repo's
-      near-isotropic synthetic fixture it is recall-neutral (sf0.1
-      grid, m=16 k=256: 0.600 residual vs 0.612 raw — SCALING.md
-      round-11), which is itself the documented FAISS expectation for
-      unclustered data.
+      composes unchanged. **Default (None): resolves to the IVF flag
+      — IVF builds are residual, pure-PQ builds raw** — chosen from
+      the r14 measurement (SCALING.md r14, fixture 32×256 config):
+      on a realistic Zipf-sized-cluster corpus residual wins every
+      nprobe rung (+0.076 recall@10 at nprobe 32, ceiling 0.828 vs
+      0.744) while on the near-isotropic fixture it is neutral
+      (0.812 vs 0.814) — the documented FAISS expectation, now
+      measured here at the served config. Pass ``residual=False``
+      explicitly to pin raw codebooks (the fixture lifecycle does:
+      its DuckDB oracles re-derive raw).
 
     Everything is exact integer micro-unit arithmetic (``micro``), so
     rebuilds are bit-identical and parquet round-trips losslessly —
@@ -318,6 +321,8 @@ def build_ann_index(
     if dims % pq_m:
         raise ValueError(f"dims={dims} not divisible by pq_m={pq_m}")
     has_ivf = n_cells is not None or cell_seed_pred is not None
+    if residual is None:
+        residual = has_ivf  # measured default — docstring above
     if residual and not has_ivf:
         raise ValueError(
             "residual=True requires an IVF build (pass n_cells or "

@@ -193,6 +193,12 @@ def ensure_ann_index(
         micro=MICRO,
         pq_seed_pred=F.col("vec_id") < PQ_K,
         cell_seed_pred=F.col("vec_id") % CENT_MOD == 0,
+        # Explicitly raw: IVF builds now DEFAULT to residual (measured
+        # +8 recall points on the clustered ×10 corpus, SCALING.md
+        # r14), but this fixture's DuckDB oracles re-derive the
+        # raw-coordinate codebooks, and the fixture corpus is the
+        # near-isotropic shape where residual is measured neutral.
+        residual=False,
     )
     # Re-stamp meta with the lifecycle fields: the full conf (including
     # the layout version) is the validation fingerprint, and src_fp

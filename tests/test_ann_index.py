@@ -373,3 +373,31 @@ def test_tune_nprobe_picks_from_measured_curve(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="without n_cells"):
         tune_nprobe(spark, flat, emb, ladder=(1,))
+
+
+def test_build_residual_default_resolves_to_ivf(spark, sf_dir, tmp_path):
+    """r13 verdict #4: the raw-vs-residual default is CHOSEN FROM the
+    measured recall curves (SCALING.md r14 — residual wins every
+    nprobe rung on the clustered corpus, neutral on the isotropic
+    fixture): residual=None resolves to the IVF flag. Explicit
+    residual=False still pins raw codebooks (the fixture lifecycle
+    relies on it — its oracles re-derive raw)."""
+    from boltzmannclean_spark.ann import build_ann_index, read_index_conf
+    from boltzmannclean_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    common = dict(
+        dims=64, id_col="vec_id", vec_col="embedding",
+        pq_m=8, pq_k=16, pq_iters=1, kmeans_iters=1,
+    )
+    ivf = str(tmp_path / "ivf_default")
+    build_ann_index(emb, ivf, n_cells=3, **common)
+    assert read_index_conf(ivf)["residual"] is True
+
+    flat = str(tmp_path / "flat_default")
+    build_ann_index(emb, flat, **common)
+    assert read_index_conf(flat)["residual"] is False
+
+    pinned = str(tmp_path / "ivf_raw")
+    build_ann_index(emb, pinned, n_cells=3, residual=False, **common)
+    assert read_index_conf(pinned)["residual"] is False

@@ -347,6 +347,9 @@ def ann_fixture(spark, tmp_path_factory):
         pq_iters=2,
         n_cells=3,
         kmeans_iters=2,
+        # _brute_adc replicates RAW-coordinate ADC in numpy; pin raw
+        # (IVF builds default to residual since the r14 measurement).
+        residual=False,
     )
     return path, rows
 
