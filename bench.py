@@ -162,6 +162,12 @@ HEADLINE = CORE9 + [
     # dedup leg).
     "window_heavy_hitters",
     "dedup_minhash_recall_eval",
+    # round-14: the IEEE-grid float quantile sketch (the unbounded-
+    # domain sibling of the mergeable-quantiles tier) and the exact
+    # reservoir-free split (bucket-offset global rank — the shape whose
+    # naive form is a global sort).
+    "window_mergeable_quantiles_float",
+    "sample_exact_split",
 ]
 
 # Offline build/lifecycle jobs (r6 verdict item 3): timed and reported,
