@@ -1291,6 +1291,16 @@ def window_mergeable_quantiles_float(
         .groupBy("hr", "ord")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return float_quantiles_readout(binned)
+
+
+def float_quantiles_readout(binned: DataFrame) -> DataFrame:
+    """Dense-grid / trailing-merge / cumulative-pick / edge-decode
+    readout over an exact (hr, ord, cnt) IEEE-grid sketch table —
+    shared by window_mergeable_quantiles_float and its streaming twin
+    (stream_float_quantiles_monitor), whose stream-batch parity
+    against the SAME oracle (FQ_ORACLE) is the correctness check.
+    Domain-sized throughout (hours × occupied bins)."""
     hours = binned.select("hr").distinct()
     ords = binned.select("ord").distinct()
     grid = (

@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 from boltzmannclean_spark.functions.exact import dec, sdiv_spark
 from boltzmannclean_spark.operators.windows import (
     BIN_CENTS,
+    FQ_ORACLE,
     HH_ORACLE,
     MICROS_PER_HOUR,
     MQ_ORACLE,
+    _fq_ord,
+    float_quantiles_readout,
     heavy_hitters_readout,
     mergeable_quantiles_readout,
 )
@@ -1148,4 +1151,53 @@ def stream_quantiles_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_mergeable_quantiles for pre-1970 data"
         )
     return mergeable_quantiles_readout(binned)
+
+
+@register(
+    "stream_float_quantiles_monitor",
+    # the SHARED batch oracle (window_mergeable_quantiles_float):
+    # streamed per-(hr, IEEE-grid ord) counts feed the identical
+    # readout — stream-batch parity is the hash check.
+    oracle=FQ_ORACLE,
+    tags=("streaming", "quantile", "sketch", "mergeable", "float",
+          "monitoring"),
+)
+def stream_float_quantiles_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of window_mergeable_quantiles_float: the
+    UNBOUNDED-double-domain sketch maintained by a real watermarked
+    streaming aggregation over (1h window, IEEE-grid bin ordinal).
+    The grid binning (sign, exact exponent, top-6 mantissa bits — the
+    libm-guess + exact power-of-two repair construction) runs
+    row-local inside the stream, so state is (active windows ×
+    occupied ordinals), bounded by the watermark horizon × ≤16k bins
+    — never row-sized; the drained counts feed the shared
+    float_quantiles_readout and the SHARED FQ_ORACLE hash-matches.
+    Same complete-mode fixture note and non-negative-epoch
+    precondition as the other two monitor twins."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.expr(_fq_ord("value", duck=False)).alias("ord"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.expr(f"unix_micros(window.start) div {MICROS_PER_HOUR}")
+            .alias("hr"),
+            "ord",
+            "cnt",
+        )
+    )
+    binned = run_to_memory(agg, output_mode="complete").localCheckpoint()
+    if not binned.where(F.col("hr") < 0).isEmpty():
+        raise ValueError(
+            "stream_float_quantiles_monitor requires non-negative "
+            "event timestamps (streaming hour windows floor-align; "
+            "the shared oracle trunc-divides) — use the batch twin "
+            "window_mergeable_quantiles_float for pre-1970 data"
+        )
+    return float_quantiles_readout(binned)
 

@@ -222,6 +222,12 @@ INVARIANT_QUERIES = (
     "events_markov_eval",
     # batch 10: per-pair IEEE cosine trees under the salted top-k.
     "pairs_hard_negatives",
+    # batch 11 (r14): exact bucket-offset global rank (the split must
+    # not depend on physical layout — the whole point of deriving rank
+    # from md5 order, not row position) and the IEEE-grid float sketch
+    # (exact binning + integer merge at any partitioning).
+    "sample_exact_split",
+    "window_mergeable_quantiles_float",
 )
 
 
