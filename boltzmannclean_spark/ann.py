@@ -45,6 +45,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from boltzmannclean_spark.functions.lloyd import assign_blocks, train_blocks
 from boltzmannclean_spark.functions.topk import topk_per_key
 from boltzmannclean_spark.functions.vectors import as_double, dot, norm
 
@@ -130,81 +131,47 @@ def _smallest_ids(q: DataFrame, n: int) -> DataFrame:
 
 
 def _pq_train(
-    sub: DataFrame,
+    vecs: DataFrame,
     *,
-    pq_k: int,
+    pq_m: int,
     pq_iters: int,
     pq_dsub: int,
     seeds: DataFrame,
 ) -> DataFrame:
     """Per-block codebooks via ``pq_iters`` Lloyd rounds in exact
-    integer units. Returns (b, cid, cvec array<long>). Seeded by the
-    ``seeds`` id frame so training is deterministic."""
-    cent = sub.join(F.broadcast(seeds), "id").select(
-        F.col("id").alias("cid"), "b", F.col("qsub").alias("cvec")
+    integer units over ``vecs = (id, qvec)``, via the shared vectorized
+    trainer (functions/lloyd.py — r15: one NumPy mapInArrow pass +
+    codebook-sized partial sums per round replaces the min_by fan-out
+    aggregation at identical exact-integer semantics). Returns
+    (b, cid, cvec array<long>), codebook-sized, materialized on the
+    driver (the MLlib-KMeans pattern). Seeded by the ``seeds`` id
+    frame so training is deterministic."""
+    return train_blocks(
+        vecs,
+        seeds,
+        id_col="id",
+        vec_col="qvec",
+        dims=pq_m * pq_dsub,
+        n_blocks=pq_m,
+        iters=pq_iters,
     )
-    for _ in range(pq_iters):
-        # (id, b) already identifies qsub, so the array never enters
-        # the aggregation hash key; min_by carries it out instead.
-        assigned = (
-            sub.join(F.broadcast(cent), "b")
-            .select(
-                "id",
-                "b",
-                "qsub",
-                "cid",
-                _int_dist_unrolled(
-                    F.col("qsub"), F.col("cvec"), pq_dsub
-                ).alias("dist"),
-            )
-            .groupBy("id", "b")
-            .agg(
-                F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
-                F.min_by("qsub", F.struct("dist", "cid")).alias("qsub"),
-            )
-        )
-        # Update in ONE shuffle: per-dim sums as pq_dsub fixed
-        # element_at aggregates (map-side partial agg), then a
-        # row-local array rebuild.
-        sums = assigned.groupBy("b", "cid").agg(
-            F.count(F.lit(1)).alias("m"),
-            *[
-                F.sum(F.element_at("qsub", d)).alias(f"s{d}")
-                for d in range(1, pq_dsub + 1)
-            ],
-        )
-        # Materialize each round: the centroid frame is codebook-sized
-        # (pq_m*pq_k rows), but left lazy iteration k's plan re-runs
-        # rounds 1..k-1's corpus-wide assignments — quadratic corpus
-        # passes once pq_iters grows past the original 2 (round-10
-        # measured the 6-iteration build paying 21 passes instead of 6).
-        cent = sums.selectExpr(
-            "b",
-            "cid",
-            "array("
-            + ", ".join(_sdiv(f"s{d}", "m") for d in range(1, pq_dsub + 1))
-            + ") AS cvec",
-        ).localCheckpoint(eager=True)
-    return cent
 
 
-def _pq_assign(sub: DataFrame, cent: DataFrame, pq_dsub: int) -> DataFrame:
-    """Encode every vector against a (frozen) codebook: one broadcast
-    join + grouped argmin. Returns (id, b, cid). This is also the
-    incremental-update path — newly arrived vectors are absorbed by
-    assignment alone, no retraining."""
-    return (
-        sub.join(F.broadcast(cent), "b")
-        .select(
-            "id",
-            "b",
-            "cid",
-            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), pq_dsub).alias(
-                "dist"
-            ),
-        )
-        .groupBy("id", "b")
-        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+def _pq_assign(
+    vecs: DataFrame, cent: DataFrame, *, pq_m: int, pq_dsub: int
+) -> DataFrame:
+    """Encode every vector against a (frozen) codebook: one vectorized
+    assignment pass (exact int64 squared-L2, ties to the smallest cid).
+    Returns (id, b, cid). This is also the incremental-update path —
+    newly arrived vectors are absorbed by assignment alone, no
+    retraining."""
+    return assign_blocks(
+        vecs,
+        cent,
+        id_col="id",
+        vec_col="qvec",
+        dims=pq_m * pq_dsub,
+        n_blocks=pq_m,
     )
 
 
@@ -212,52 +179,23 @@ def _ivf_train(
     q: DataFrame, *, dims: int, kmeans_iters: int, seeds: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: ``kmeans_iters`` Lloyd rounds over the
-    full vectors. Returns (centroids (cell, cvec), assignments
-    (id, cell)). Assignment is a grouped min_by over the broadcast
-    centroid table — map-side partial aggregation, never a k× shuffle
-    of the fanned corpus; the update is ONE (cell) shuffle of ``dims``
-    fixed per-dim element_at sums. Empty cells drop out of the update
-    deterministically."""
-    cent = q.join(F.broadcast(seeds), "id").select(
-        F.col("id").alias("cell"), F.col("qvec").alias("cvec")
+    full vectors (the shared vectorized trainer with n_blocks=1).
+    Returns (centroids (cell, cvec), assignments (id, cell)). Empty
+    cells drop out of the update deterministically; ties break to the
+    smallest cell id — bit-identical to the former min_by dataflow."""
+    cent_b = train_blocks(
+        q,
+        seeds,
+        id_col="id",
+        vec_col="qvec",
+        dims=dims,
+        n_blocks=1,
+        iters=kmeans_iters,
     )
-    for _ in range(kmeans_iters):
-        assigned = (
-            q.crossJoin(F.broadcast(cent))
-            .select(
-                "id",
-                "qvec",
-                "cell",
-                _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
-            )
-            .groupBy("id", "qvec")
-            .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
-        )
-        sums = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("m"),
-            *[
-                F.sum(F.element_at("qvec", d)).alias(f"s{d}")
-                for d in range(1, dims + 1)
-            ],
-        )
-        # Same per-round materialization as _pq_train: cell count is
-        # tiny, the avoided recompute is corpus-sized.
-        cent = sums.selectExpr(
-            "cell",
-            "array("
-            + ", ".join(_sdiv(f"s{d}", "m") for d in range(1, dims + 1))
-            + ") AS cvec",
-        ).localCheckpoint(eager=True)
-    assigned = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "id",
-            "cell",
-            _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
-        )
-        .groupBy("id")
-        .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
-    )
+    cent = cent_b.select(F.col("cid").alias("cell"), "cvec")
+    assigned = assign_blocks(
+        q, cent_b, id_col="id", vec_col="qvec", dims=dims, n_blocks=1
+    ).select("id", F.col("cid").alias("cell"))
     return cent, assigned
 
 
@@ -329,9 +267,12 @@ def build_ann_index(
             "cell_seed_pred): residual PQ encodes x - centroid(cell(x))"
         )
     pq_dsub = dims // pq_m
+    # Checkpoint the quantized corpus once: it feeds every training and
+    # encode pass (IVF rounds + PQ rounds + assignment) — 32× narrower
+    # than the old per-block explode this replaces (r15).
     q = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), micro).alias("qvec")
-    )
+    ).localCheckpoint()
     ivf_cent = cells = None
     if has_ivf:
         cell_seeds = (
@@ -354,6 +295,8 @@ def build_ann_index(
         # IVF-centered PQ: the encoded signal is x - centroid(cell(x)).
         # One broadcast join against the tiny centroid table + a
         # row-local zip_with difference — exact integers throughout.
+        # Checkpointed: the residual frame feeds pq_iters training
+        # passes plus the encode pass.
         pq_src = (
             q.join(cells, "id")
             .join(F.broadcast(ivf_cent), "cell")
@@ -361,10 +304,9 @@ def build_ann_index(
                 "id",
                 F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
             )
-        )
+        ).localCheckpoint()
     else:
         pq_src = q
-    sub = _subvectors(pq_src, pq_m, pq_dsub).localCheckpoint()
     # Seed predicates evaluate against the CALLER'S frame (their own
     # column names); the default is the pq_k / n_cells smallest ids.
     pq_seeds = (
@@ -372,14 +314,13 @@ def build_ann_index(
         if pq_seed_pred is not None
         else _smallest_ids(q, pq_k)
     )
+    # Codebook comes back driver-materialized (codebook-sized) from the
+    # vectorized trainer, so the persist and encode consumers share it
+    # with no checkpoint and no re-run.
     cent = _pq_train(
-        sub, pq_k=pq_k, pq_iters=pq_iters, pq_dsub=pq_dsub, seeds=pq_seeds
+        pq_src, pq_m=pq_m, pq_iters=pq_iters, pq_dsub=pq_dsub, seeds=pq_seeds
     )
-    # The codebook feeds both the persist and the encode pass; pin the
-    # tiny frame so Lloyd never re-runs (checkpoint, not cache — reaped
-    # by the ContextCleaner once references drop).
-    cent = cent.localCheckpoint()
-    codes = _pq_assign(sub, cent, pq_dsub)
+    codes = _pq_assign(pq_src, cent, pq_m=pq_m, pq_dsub=pq_dsub)
     cent.repartition(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "codebook")
     )
@@ -506,6 +447,10 @@ def ann_search(
         # and shuffling anyway, so the extra cost is the LUT's own
         # exchange, not a new corpus pass. Counting q/ivf_cent here is
         # two jobs over probe-/domain-sized frames, serve-path cheap.
+        # cache() first (r14 ADVICE): if ``queries`` is an expensive
+        # derived frame, its upstream work would otherwise run once for
+        # this count and again inside the serve job.
+        q = q.cache()
         n_q = q.count()
         n_cells_probed = (
             nprobe if nprobe is not None else ivf_cent.count()

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.ann import ann_search, build_ann_index, _int_dist
+from boltzmannclean_spark.functions.lloyd import assign_blocks
 from boltzmannclean_spark.functions.topk import topk_per_key
 from boltzmannclean_spark.operators.similarity import (
     CENT_MOD,
@@ -490,23 +491,16 @@ def similarity_ann_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment covers the appended vectors. The oracle re-derives the
     subset-trained codebook and the full assignment."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sub_all = _pq_subvectors(
-        emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    n_all = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qvec")
     ).localCheckpoint()
-    sub_init = sub_all.where(F.col("vec_id") % _DELTA_MOD != 0)
-    cent = _pq_train(sub_init).cache()
-    codes = (
-        sub_all.join(F.broadcast(cent), "b")
-        .select(
-            "vec_id",
-            "b",
-            "cid",
-            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
-                "dist"
-            ),
-        )
-        .groupBy("vec_id", "b")
-        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    # Codebook trained on the INITIAL corpus only; the frozen-codebook
+    # delta encode is the same vectorized assignment pass as the build
+    # (functions/lloyd.py — r15, replacing the min_by fan-out agg).
+    cent = _pq_train(n_all.where(F.col("vec_id") % _DELTA_MOD != 0))
+    codes = assign_blocks(
+        n_all, cent, id_col="vec_id", vec_col="qvec",
+        dims=PQ_M * PQ_DSUB, n_blocks=PQ_M,
     )
     return (
         codes.groupBy(

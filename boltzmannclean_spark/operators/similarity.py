@@ -48,6 +48,14 @@ from boltzmannclean_spark.functions.exact import (  # noqa: E402
     sdiv_spark as _sdiv_spark,
 )
 
+# Vectorized Lloyd trainer/encoder (r15 optimization; see
+# functions/lloyd.py for the exactness contract that keeps the DuckDB
+# oracles hash-identical).
+from boltzmannclean_spark.functions.lloyd import (  # noqa: E402
+    assign_blocks,
+    train_blocks,
+)
+
 
 SIM_TOPK_ORACLE = f"""
 WITH v AS (
@@ -421,47 +429,26 @@ def _kmeans_cells(n: DataFrame) -> DataFrame:
     """Train the IVF coarse quantizer and return final cell assignments.
 
     KMEANS_ITERS rounds of Lloyd's algorithm entirely in exact integer
-    micro-units: assignment is a grouped min_by over a broadcast of the
-    (small) centroid table — map-side partial aggregation, never a k×
-    shuffle of the fanned corpus — and the update is ONE (cid) shuffle
-    of 64 fixed per-dim element_at sums (map-side combined; the former
-    posexplode form paid a 64× fan-out plus a second reassembly
-    shuffle). Empty cells simply drop out of the update,
-    deterministically in both engines."""
+    micro-units, via the shared vectorized trainer (functions/lloyd.py,
+    r15: one NumPy mapInArrow pass + codebook-sized partial sums per
+    round — the round-11 min_by fan-out aggregation was the measured
+    per-round cost center). Assignment ties break to the smallest cid
+    and the update is truncate-toward-zero integer division, so the
+    final centroids stay bit-identical to the round-11 dataflow and the
+    DuckDB oracle. Empty cells drop out of the update deterministically
+    in both engines. The final full-corpus assignment stays a JVM
+    broadcast fan-out + grouped min_by — ONE map-side pass, no
+    corpus-sized join."""
     dims = 64
-    cent = n.where(F.col("vec_id") % CENT_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
-    )
-    for _ in range(KMEANS_ITERS):
-        assigned = (
-            n.select("vec_id", "qvec")
-            .crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "qvec",
-                "cid",
-                _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
-            )
-            .groupBy("vec_id", "qvec")
-            .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
-        )
-        sums = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("m"),
-            *[
-                F.sum(F.element_at("qvec", d)).alias(f"s{d}")
-                for d in range(1, dims + 1)
-            ],
-        )
-        # Per-round materialization (round-10): the centroid frame is
-        # cell-count sized, but left lazy round k re-runs rounds
-        # 1..k-1's corpus-wide assignments — quadratic corpus passes
-        # once KMEANS_ITERS grew past 2.
-        cent = sums.selectExpr(
-            "cid",
-            "array("
-            + ", ".join(_sdiv_spark(f"s{d}", "m") for d in range(1, dims + 1))
-            + ") AS cvec",
-        ).localCheckpoint(eager=True)
+    cent = train_blocks(
+        n.select("vec_id", "qvec"),
+        n.where(F.col("vec_id") % CENT_MOD == 0).select("vec_id"),
+        id_col="vec_id",
+        vec_col="qvec",
+        dims=dims,
+        n_blocks=1,
+        iters=KMEANS_ITERS,
+    ).select("cid", "cvec")
     return (
         n.crossJoin(F.broadcast(cent))
         .select(
@@ -1223,60 +1210,25 @@ def _pq_subvectors(n: DataFrame) -> DataFrame:
     )
 
 
-def _pq_train(sub: DataFrame) -> DataFrame:
+def _pq_train(nvec: DataFrame) -> DataFrame:
     """Per-block codebooks via PQ_ITERS Lloyd rounds in exact integer
-    micro-units. Assignment is a grouped min_by over the broadcast
-    codebook (map-side partial agg; the fan-out never shuffles); the
-    update shuffles only (block, code, dim) partial sums — constant in
-    corpus size. Seeds are the first PQ_K vectors' sub-vectors, so both
-    engines start identically and every round is bit-identical."""
-    cent = sub.where(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), "b", F.col("qsub").alias("cvec")
+    micro-units over ``nvec = (vec_id, qvec)``, via the shared
+    vectorized trainer (functions/lloyd.py, r15: the round-11 min_by
+    fan-out aggregation measured 4-7 s PER round at sf0.1 on the
+    ObjectHashAggregate path; the NumPy pass replaces it at identical
+    exact-integer semantics). Seeds are the first PQ_K vectors, ties
+    break to the smallest cid, the update is truncate-toward-zero
+    division — bit-identical to the DuckDB oracle's derivation.
+    Returns (b, cid, cvec array<long>), codebook-sized."""
+    return train_blocks(
+        nvec,
+        nvec.where(F.col("vec_id") < PQ_K).select("vec_id"),
+        id_col="vec_id",
+        vec_col="qvec",
+        dims=PQ_M * PQ_DSUB,
+        n_blocks=PQ_M,
+        iters=PQ_ITERS,
     )
-    for _ in range(PQ_ITERS):
-        # Unrolled 8-term distance (pure codegen arithmetic — the HOF
-        # form was the measured hot spot at corpus×PQ_K evals/round) and
-        # a (vec_id, b) group key: it already identifies qsub, so the
-        # array never enters the aggregation hash; min_by carries the
-        # sub-vector out instead (same value on every row of a group).
-        assigned = (
-            sub.join(F.broadcast(cent), "b")
-            .select(
-                "vec_id",
-                "b",
-                "qsub",
-                "cid",
-                _int_dist_unrolled(
-                    F.col("qsub"), F.col("cvec"), PQ_DSUB
-                ).alias("dist"),
-            )
-            .groupBy("vec_id", "b")
-            .agg(
-                F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
-                F.min_by("qsub", F.struct("dist", "cid")).alias("qsub"),
-            )
-        )
-        # Centroid update in ONE shuffle: per-dim sums as PQ_DSUB fixed
-        # element_at aggregates (map-side partial agg on 8 longs), then a
-        # row-local array rebuild — the posexplode formulation paid an
-        # 8x fan-out plus a SECOND (b, cid) shuffle for the collect_list
-        # reassembly every round. Same exact-integer math.
-        sums = assigned.groupBy("b", "cid").agg(
-            F.count(F.lit(1)).alias("m"),
-            *[
-                F.sum(F.element_at("qsub", d)).alias(f"s{d}")
-                for d in range(1, PQ_DSUB + 1)
-            ],
-        )
-        # Same per-round materialization as the IVF loop above.
-        cent = sums.selectExpr(
-            "b",
-            "cid",
-            "array("
-            + ", ".join(_sdiv_spark(f"s{d}", "m") for d in range(1, PQ_DSUB + 1))
-            + ") AS cvec",
-        ).localCheckpoint(eager=True)
-    return cent
 
 
 @register(
@@ -1299,31 +1251,35 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is an exact integer sum, so codebooks, codes, LUT, and
     ADC totals are all bit-identical to the DuckDB oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
-    sub = _pq_subvectors(n).localCheckpoint()
-    # Cache the trained codebook: it is PQ_M×PQ_K rows, but its LINEAGE
-    # is PQ_ITERS shuffle rounds over the corpus — the codes and LUT
-    # branches below would each re-run the whole training otherwise
-    # (Spark does not share common subplans across join branches). A
-    # lazy cache() dedupes the branches without the extra serial job a
-    # localCheckpoint would force per call.
-    cent = _pq_train(sub).cache()
-    dists = (
-        sub.join(F.broadcast(cent), "b")
+    # localCheckpoint once: the quantized corpus feeds PQ_ITERS training
+    # passes plus the encode pass — checkpointing the (vec_id, qvec)
+    # frame (32× narrower than the old per-block explode) stops each
+    # pass re-scanning + re-quantizing the source.
+    n = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qvec")
+    ).localCheckpoint()
+    # Training materializes the codebook driver-side (codebook-sized;
+    # functions/lloyd.py), so the codes and LUT branches below share it
+    # with no cache() and no re-run.
+    cent = _pq_train(n)
+    codes = assign_blocks(
+        n, cent, id_col="vec_id", vec_col="qvec",
+        dims=PQ_M * PQ_DSUB, n_blocks=PQ_M,
+    )
+    # LUT: filter to the N_QUERY query vectors BEFORE the codebook
+    # fan-out (r15 — the old shape fanned the whole corpus out and then
+    # filtered, a full extra corpus×PQ_K pass for 5 queries' rows).
+    lut = (
+        _pq_subvectors(n.where(F.col("vec_id") < N_QUERY))
+        .join(F.broadcast(cent), "b")
         .select(
-            "vec_id",
+            F.col("vec_id").alias("query_id"),
             "b",
             "cid",
             _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
-                "dist"
+                "pdist"
             ),
         )
-    )
-    codes = dists.groupBy("vec_id", "b").agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
-    )
-    lut = dists.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), "b", "cid", F.col("dist").alias("pdist")
     )
     scored = (
         codes.join(F.broadcast(lut), ["b", "cid"])
@@ -1411,37 +1367,48 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     end, so the composed pipeline stays bit-identical to the oracle's
     doubly-unrolled derivation."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n_full = emb.select(
-        "vec_id",
-        "label",
-        as_double("embedding").alias("e"),
-        _qvec(F.col("embedding")).alias("qvec"),
-    ).withColumn("nrm", norm(F.col("e")))
-    # Cache the cell assignment and the trained codebook: each is
-    # consumed by TWO join branches below, and their lineages are full
-    # k-means / Lloyd trainings that Spark would otherwise re-run per
-    # branch (lazy cache() over localCheckpoint: no extra serial job).
-    cells = _kmeans_cells(n_full).select(
-        "vec_id", F.col("cid").alias("cell")
-    ).cache()
-    sub = _pq_subvectors(
-        emb.select("vec_id", _qvec(F.col("embedding")).alias("qvec"))
+    # Checkpoint the quantized corpus once; the IVF and PQ trainings +
+    # both encode passes stream it instead of re-scanning (see
+    # similarity_ann_pq_adc).
+    n = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qvec")
     ).localCheckpoint()
-    cent = _pq_train(sub).cache()
-    dists = sub.join(F.broadcast(cent), "b").select(
-        "vec_id",
-        "b",
-        "cid",
-        _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias("dist"),
+    # IVF cells straight from the vectorized trainer/encoder (r15):
+    # this query only needs (vec_id, cell) — the former _kmeans_cells
+    # call dragged label/e/nrm arrays through the assignment
+    # aggregation just to drop them. Cache: the cell table feeds TWO
+    # join branches below (corpus cells + query cells).
+    ivf_cent = train_blocks(
+        n,
+        n.where(F.col("vec_id") % CENT_MOD == 0).select("vec_id"),
+        id_col="vec_id",
+        vec_col="qvec",
+        dims=PQ_M * PQ_DSUB,
+        n_blocks=1,
+        iters=KMEANS_ITERS,
     )
-    codes = dists.groupBy("vec_id", "b").agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+    cells = assign_blocks(
+        n, ivf_cent, id_col="vec_id", vec_col="qvec",
+        dims=PQ_M * PQ_DSUB, n_blocks=1,
+    ).select("vec_id", F.col("cid").alias("cell")).cache()
+    cent = _pq_train(n)
+    codes = assign_blocks(
+        n, cent, id_col="vec_id", vec_col="qvec",
+        dims=PQ_M * PQ_DSUB, n_blocks=PQ_M,
     )
-    lut = dists.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        "b",
-        "cid",
-        F.col("dist").alias("pdist"),
+    # Query-filtered LUT (r15): fan out only the N_QUERY query vectors
+    # against the codebook, never the whole corpus.
+    lut = (
+        _pq_subvectors(n.where(F.col("vec_id") < N_QUERY))
+        .join(F.broadcast(cent), "b")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "b",
+            "cid",
+            _int_dist_unrolled(F.col("qsub"), F.col("cvec"), PQ_DSUB).alias(
+                "pdist"
+            ),
+        )
     )
     qcells = cells.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qc_query"), F.col("cell").alias("qcell")
