@@ -121,7 +121,7 @@ def _seed_codebook(
         .collect()
     )
     if not rows:
-        raise ValueError("lloyd: empty seed set")
+        return None  # empty corpus/seed set -> empty codebook
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.int64)
     cb = _Codebook(n_blocks, dsub)
@@ -208,6 +208,10 @@ def train_blocks(
         vecs, seeds, id_col=id_col, vec_col=vec_col, dims=dims,
         n_blocks=n_blocks,
     )
+    if cb is None:
+        # Empty corpus/seed set: an empty codebook, matching the former
+        # dataflow (whose lazy frames simply carried zero rows through).
+        return spark.createDataFrame([], "b int, cid long, cvec array<long>")
     for _ in range(iters):
         bc = sc.broadcast(cb)
         rows = (
@@ -276,6 +280,13 @@ def assign_blocks(
     for r in rows:
         by_b[r["b"]][0].append(r["cid"])
         by_b[r["b"]][1].append(r["cvec"])
+    if not rows:
+        # Empty codebook (empty-corpus build): empty assignment, the
+        # former dataflow's behavior.
+        id_type = vecs.select(id_col).schema[0].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, b int, cid long"
+        )
     for b in range(n_blocks):
         ids, mats = by_b[b]
         if not ids:

@@ -26,10 +26,13 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.ann import ann_search, build_ann_index
+from boltzmannclean_spark.functions.combos import packed_combo_counts
 from boltzmannclean_spark.functions.exact import dec
 from boltzmannclean_spark.functions.topk import topk_per_key
 from boltzmannclean_spark.functions.vectors import as_double, dot, norm
@@ -1176,20 +1179,20 @@ def apriori_triples(
         .groupBy("_b")
         .agg(F.sort_array(F.collect_set("_id")).alias("items"))
     )
-    pair_combos = F.expr(
-        "flatten(transform(items, (x, i) ->"
-        " transform(slice(items, i + 2, size(items)),"
-        f" y -> x * {m_pack}L + y)))"
-    )
+    # r15: pair/triple enumeration moved from nested HOF expressions
+    # (interpreted lambda per emitted element — measured 4.7 s of the
+    # 7 s sf0.1 query on the dense worst case) to the vectorized NumPy
+    # combination counter (functions/combos.py): same packed keys over
+    # the same sorted arrays, same map-side partial-count shape.
     l2 = (
-        items.select(F.explode(pair_combos).alias("pk"))
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("sup"))
+        packed_combo_counts(items, r=2, pack=m_pack)
+        .groupBy("tk")
+        .agg(F.sum("cnt").alias("sup"))
         .crossJoin(F.broadcast(ms))
         .where(F.col("sup") >= F.col("minsup"))
         .select(
-            F.expr(f"pk div {m_pack}").alias("t1"),
-            (F.col("pk") % m_pack).alias("t2"),
+            F.expr(f"tk div {m_pack}").alias("t1"),
+            (F.col("tk") % m_pack).alias("t2"),
         )
     )
     # L2 feeds FIVE consumers (the x/y/z self-join legs, and through
@@ -1211,31 +1214,34 @@ def apriori_triples(
             F.col("y2").alias("c3"),
         )
     )
-    c3k = c3.select(
-        (
-            (F.col("c1") * m_pack + F.col("c2")) * m_pack + F.col("c3")
-        ).alias("tk")
-    )
-    triple_combos = F.expr(
-        "flatten(flatten(transform(items, (x, i) ->"
-        " transform(slice(items, i + 2, size(items)), (y, j) ->"
-        " transform(slice(items, i + j + 3, size(items)),"
-        f" z -> (x * {m_pack}L + y) * {m_pack}L + z)))))"
+    # The candidate set is Zipf-tiny by the A-priori argument (it
+    # survived two support cuts) — materialize it driver-side once
+    # (candidate-sized, same class as the broadcast it replaces): it
+    # feeds the map-side np.isin candidate filter AND the token prune
+    # below, with no extra Spark jobs.
+    c3_keys = np.array(
+        sorted(
+            (r["c1"] * m_pack + r["c2"]) * m_pack + r["c3"]
+            for r in c3.collect()
+        ),
+        dtype=np.int64,
     )
     # C3-token prune: before enumerating per-basket triples, intersect
     # the sorted id array with the DISTINCT id set of the C3 candidates
     # (broadcast, Zipf-tiny). Necessary-not-sufficient — an id absent
     # from every candidate triple can never appear in a surviving
     # enumeration, so dropping it first shrinks C(k,3) cubically; the
-    # packed-key join below still does the exact sufficiency check.
+    # np.isin candidate filter still does the exact sufficiency check.
     # array_intersect preserves the first argument's (sorted) order,
     # so the t1<t2<t3 enumeration contract holds. This is what keeps
     # the miner usable at LOW support thresholds, where the unpruned
     # per-basket k grows.
-    c3_ids = (
-        c3.select(F.explode(F.array("c1", "c2", "c3")).alias("_t"))
-        .distinct()
-        .agg(F.sort_array(F.collect_set("_t")).alias("_c3_ids"))
+    c3_id_list = sorted(
+        {int(x) for k in c3_keys for x in
+         (k // (m_pack * m_pack), (k // m_pack) % m_pack, k % m_pack)}
+    )
+    c3_ids = items.sparkSession.createDataFrame(
+        [(c3_id_list,)], "_c3_ids array<long>"
     )
     pruned = (
         items.crossJoin(F.broadcast(c3_ids))
@@ -1243,10 +1249,11 @@ def apriori_triples(
         .where(F.size("items") >= 3)
     )
     sup = (
-        pruned.select(F.explode(triple_combos).alias("tk"))
-        .join(F.broadcast(c3k), "tk")
+        packed_combo_counts(
+            pruned, r=3, pack=m_pack, candidates=c3_keys
+        )
         .groupBy("tk")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .agg(F.sum("cnt").cast("long").alias("support"))
         .crossJoin(F.broadcast(ms))
         .where(F.col("support") >= F.col("minsup"))
         .select("tk", "support")
