@@ -31,8 +31,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from boltzmannclean_spark.functions.combos import packed_combo_counts
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
+
+#: Packing base for co-purchase pair keys (p1·2^31 + p2): any realistic
+#: partkey domain fits and the product stays far under 2^63.
+_PAIR_PACK = 1 << 31
+
+
+def _copurchase_pairs(li: DataFrame, *, min_support: int = 1) -> DataFrame:
+    """(p1, p2) co-purchase pairs with p1 < p2 and instance support ≥
+    ``min_support`` over the part co-purchase graph (parts adjacent
+    when they share an order; support = number of a<b row pairs).
+
+    r15: built from per-order SORTED partkey baskets through the
+    vectorized pair counter (functions/combos.py) — ONE shuffle (the
+    basket groupBy) plus native-code enumeration — instead of the
+    lineitem self-join on l_orderkey, which paid two scans, two
+    exchanges and a corpus-pair aggregation (measured 2.8 s alone at
+    sf0.1). The Σ basket² enumeration work is unchanged and bounded by
+    order size; equal-part index pairs surface as p1 == p2 keys and
+    are filtered, exactly matching the self-join's strict p1 < p2.
+    Counts are exact int64, so the support cut is bit-identical to the
+    oracles' HAVING COUNT(*)."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.col("l_partkey").cast("long"))
+        ).alias("items")
+    )
+    return (
+        packed_combo_counts(baskets, r=2, pack=_PAIR_PACK)
+        .groupBy("tk")
+        .agg(F.sum("cnt").alias("support"))
+        .select(
+            F.expr(f"tk div {_PAIR_PACK}").alias("p1"),
+            (F.col("tk") % _PAIR_PACK).alias("p2"),
+            "support",
+        )
+        .where((F.col("p1") != F.col("p2")) & (F.col("support") >= min_support))
+        .select("p1", "p2")
+    )
+
 
 RSCALE = 1_000_000_000  # total rank budget in micro-units
 N_ITER = 3
@@ -276,15 +316,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in join_basket_affinity). All joins are equi-joins; the only
     driver-free scalars ride the 1-row CROSS JOIN idiom."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-        .localCheckpoint()
-    )
+    pairs = _copurchase_pairs(li).localCheckpoint()
     deg = (
         pairs.select(F.col("p1").alias("p"))
         .unionAll(pairs.select(F.col("p2").alias("p")))
@@ -832,17 +864,7 @@ def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFra
     building is Σ min(deg,40)² — both linear in edges at fixed caps;
     every join is an equi-join on vertex keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()
-    )
+    pairs = _copurchase_pairs(li, min_support=2).localCheckpoint()
     deg = (
         pairs.select(F.col("p1").alias("p"))
         .unionAll(pairs.select(F.col("p2").alias("p")))
@@ -966,17 +988,7 @@ def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     in edges at a fixed cap; the weight lookup is a 39-literal CASE
     evaluated map-side; every join is an equi-join on vertex keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()
-    )
+    pairs = _copurchase_pairs(li, min_support=2).localCheckpoint()
     deg = (
         pairs.select(F.col("p1").alias("p"))
         .unionAll(pairs.select(F.col("p2").alias("p")))
@@ -1081,21 +1093,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     group by center, and the top-100 is TakeOrderedAndProject, never
     a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
+    # localCheckpoint: pairs feeds deg/adj/tri and the final join; the
+    # former self-join form leaned on ReusedExchange for dedup, which
+    # the mapInArrow pair counter does not get.
+    pairs = _copurchase_pairs(li, min_support=2).localCheckpoint()
     deg = (
         pairs.select(F.col("p1").alias("p"))
         .unionAll(pairs.select(F.col("p2").alias("p")))
@@ -1216,17 +1217,7 @@ def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex keys against the edge-set-sized degree table;
     TakeOrderedAndProject keeps the top 50 without a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()
-    )
+    pairs = _copurchase_pairs(li, min_support=2).localCheckpoint()
     deg = (
         pairs.select(F.col("p1").alias("p"))
         .unionAll(pairs.select(F.col("p2").alias("p")))
