@@ -234,13 +234,17 @@ def substring_dedup(
     b = kept.select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "s"
     )
+    # No .distinct() (r15): shingle rows are unique per (doc, pos), so
+    # every join output row is a distinct (a-row, b-row) pair and
+    # (doc_a, doc_b, pa, diag) determines (pa, pb) — the former
+    # distinct was a semantic no-op costing a full exchange + hash
+    # aggregation of the match table.
     m = (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
         )
-        .distinct()
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = (
