@@ -1124,6 +1124,10 @@ def window_mergeable_quantiles_log(
 # differently: floor(log2) is off by at most 1 ulp-step, and the
 # compare against the exact neighbor powers repairs it.
 FQ_SUBBITS = 6          # 64 sub-bins per octave -> rel. error <= 1/64
+# The 64/65/% 64 literals in _fq_ord/_fq_est and the bin-count clamp
+# are all 2**FQ_SUBBITS in disguise (r14 ADVICE): changing FQ_SUBBITS
+# without updating them would silently desynchronize encode/decode.
+assert 2 ** FQ_SUBBITS == 64
 FQ_EMIN, FQ_EMAX = -62, 62  # exponent clamp (shift-expressible range)
 _FQ_NBINS = (FQ_EMAX - FQ_EMIN + 1) * 64  # ord 1.._FQ_NBINS, +-(NBINS+1) = overflow
 

@@ -249,19 +249,34 @@ def main() -> int:
             os.path.join(REPO, "tests", "driver_replica.py"),
             "--only", name, "--emit", out,
         ]
+        rc = None
+        tail = ""
         try:
-            subprocess.run(
+            proc = subprocess.run(
                 cmd, cwd=REPO, env=env2, timeout=timeout,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
             )
+            rc = proc.returncode
+            tail = (proc.stderr or b"").decode(errors="replace")[-2000:]
         except subprocess.TimeoutExpired:
             print(f"  retry timed out after {timeout}s", flush=True)
+        data = {}
         if os.path.exists(out):
             try:
                 with open(out) as fh:
                     data = json.load(fh)
             except json.JSONDecodeError:
                 data = {}
+        if name not in data:
+            # A retry that died before emitting used to leave the stale
+            # failure in state with no diagnostic (r14 ADVICE): surface
+            # the return code and the stderr tail.
+            print(
+                f"  retry for {name} produced no record (rc={rc});"
+                f" stderr tail:\n{tail[-800:]}",
+                flush=True,
+            )
+        if os.path.exists(out):
             if name in data:
                 data[name]["spill_retry"] = {
                     "spill": retry_spill, "mem": retry_mem,
