@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.lloyd import assign_blocks, train_blocks
 from boltzmannclean_spark.functions.topk import topk_per_key
-from boltzmannclean_spark.functions.vectors import as_double, dot, norm
+from boltzmannclean_spark.functions.vectors import (
+    as_double,
+    dot,
+    dot_unrolled,
+    norm,
+)
 
 DEFAULT_MICRO = 1_000_000
 
@@ -613,7 +618,10 @@ def tune_nprobe(
     cn = corpus.select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("ce")
     ).withColumn("cnrm", norm(F.col("ce")))
-    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm"))
+    dims = conf["dims"]
+    cos = dot_unrolled(F.col("qe"), F.col("ce"), dims) / (
+        F.col("qnrm") * F.col("cnrm")
+    )
     truth = topk_per_key(
         qn.crossJoin(cn)
         .where(F.col("cid") != F.col("qid"))

@@ -32,3 +32,31 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- fixed-dimension unrolled forms (r15) -----------------------------------
+#
+# The higher-order folds above are evaluated as INTERPRETED lambda
+# expressions (one closure call per element per row) — measured as the
+# dominant cost of every pair-fan-out cosine path (SemDeDup's in-cell
+# self-join spent ~25 s of a 31 s query in fold evaluation at sf0.1).
+# When the dimensionality is statically known, the same sum unrolls into
+# plain whole-stage-codegen arithmetic. Bit-exactness: the unrolled sum
+# is seeded with the SAME explicit 0.0 left-fold init ((0.0 + t1) + t2
+# + ...), i.e. the identical IEEE operation sequence as fold_sum —
+# Catalyst constant-folds only fully-constant subtrees, so the seed is
+# preserved and results are bit-identical, -0.0 edge included.
+
+
+def dot_unrolled(a: Column, b: Column, dims: int) -> Column:
+    out = F.lit(0.0)
+    for d in range(1, dims + 1):
+        out = out + F.element_at(a, d) * F.element_at(b, d)
+    return out
+
+
+def norm_unrolled(a: Column, dims: int) -> Column:
+    out = F.lit(0.0)
+    for d in range(1, dims + 1):
+        out = out + F.element_at(a, d) * F.element_at(a, d)
+    return F.sqrt(out)

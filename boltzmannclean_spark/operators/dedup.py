@@ -430,7 +430,7 @@ def _cosine_dup_plan(
 
     Verification dot/norm are sequential left folds (functions/vectors),
     bit-identical to DuckDB's list_reduce."""
-    from boltzmannclean_spark.functions.vectors import as_double, dot, norm
+    from boltzmannclean_spark.functions.vectors import as_double, dot, norm, dot_unrolled
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", as_double("embedding").alias("e")).withColumn(
@@ -465,7 +465,8 @@ def _cosine_dup_plan(
         .select(
             "vec_a",
             "vec_b",
-            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+            (dot_unrolled(F.col("ea"), F.col("eb"), 64)
+             / (F.col("na") * F.col("nb"))).alias(
                 "cosine"
             ),
         )
@@ -2375,7 +2376,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boltzmannclean_spark.pipeline import semantic_dedup
 
     return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), theta=SEMDEDUP_THETA
+        load_table(spark, sf_dir, "embeddings"), theta=SEMDEDUP_THETA, dims=64
     ).withColumnRenamed("vec_id", "doc_id")
 
 

@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boltzmannclean_spark.functions.topk import topk_per_key
-from boltzmannclean_spark.functions.vectors import as_double, cosine, dot, norm
+from boltzmannclean_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    dot_unrolled,
+    norm,
+)
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
 
@@ -101,7 +107,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(
-        emb, emb.where(F.col("vec_id") < N_QUERY), k=TOP_K
+        emb, emb.where(F.col("vec_id") < N_QUERY), k=TOP_K, dims=_EMB_DIMS
     )
 
 
@@ -187,7 +193,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e",
             "nrm",
             "p",
-            F.when(dot(F.col("e"), F.col("w")) >= 0, "1").otherwise("0").alias("bit"),
+            F.when(dot_unrolled(F.col("e"), F.col("w"), _EMB_DIMS) >= 0, "1").otherwise("0").alias("bit"),
         )
         .groupBy("vec_id", "label", "e", "nrm")
         .agg(
@@ -214,7 +220,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            (dot_unrolled(F.col("qe"), F.col("e"), _EMB_DIMS)
+             / (F.col("qnrm") * F.col("nrm"))).alias(
                 "cosine"
             ),
         )
@@ -384,7 +391,9 @@ def _assign_cells(n: DataFrame, cent: DataFrame) -> DataFrame:
     regardless of k. Ties break to the smallest centroid_id via the
     (ccos, -centroid_id) ordering struct, matching the oracle's
     ``ORDER BY ccos DESC, centroid_id``."""
-    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    ccos = dot_unrolled(F.col("e"), F.col("ce"), _EMB_DIMS) / (
+        F.col("nrm") * F.col("cnrm")
+    )
     return (
         n.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "e", "nrm", "centroid_id", ccos.alias("ccos"))
@@ -457,7 +466,9 @@ def _kmeans_cells(n: DataFrame) -> DataFrame:
             "e",
             "nrm",
             "cid",
-            _int_dist(F.col("qvec"), F.col("cvec")).alias("dist"),
+            _int_dist_unrolled(F.col("qvec"), F.col("cvec"), 64).alias(
+                "dist"
+            ),
         )
         .groupBy("vec_id", "label", "e", "nrm")
         .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
@@ -496,7 +507,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+        (dot_unrolled(F.col("qe"), F.col("e"), _EMB_DIMS)
+             / (F.col("qnrm") * F.col("nrm"))).alias(
             "cosine"
         ),
     )
@@ -593,7 +605,9 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cnrm"),
     )
     assigned = _assign_cells(n, cent)
-    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    ccos = dot_unrolled(F.col("e"), F.col("ce"), _EMB_DIMS) / (
+        F.col("nrm") * F.col("cnrm")
+    )
     w_probe = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
     probes = (
         n.where(F.col("vec_id") < N_QUERY)
@@ -615,7 +629,8 @@ def similarity_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+        (dot_unrolled(F.col("qe"), F.col("e"), _EMB_DIMS)
+             / (F.col("qnrm") * F.col("nrm"))).alias(
             "cosine"
         ),
     )
@@ -936,15 +951,20 @@ def impute_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = q.where(F.col("vec_id") % MASK_MOD != 0).select(
         F.col("vec_id").alias("c_id"), F.col("qvec").alias("c_vec")
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.slice("m_vec", 2, 63),
-            F.slice("c_vec", 2, 63),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # Unrolled 63-term distance over dims 2..64 (r15): the HOF
+    # zip_with+aggregate form evaluated two interpreted lambdas per
+    # element over masked×cands pairs — measured 57 s at sf0.1 for a
+    # 360k-pair fan-out; the fixed-term form is plain whole-stage-
+    # codegen arithmetic (the module's standard hot-loop fix), same
+    # exact integer result (adds commute).
+    terms = [
+        (F.element_at("m_vec", d) - F.element_at("c_vec", d))
+        * (F.element_at("m_vec", d) - F.element_at("c_vec", d))
+        for d in range(2, 65)
+    ]
+    dist = terms[0]
+    for _t in terms[1:]:
+        dist = dist + _t
     pairs = cands.crossJoin(F.broadcast(masked)).select(
         "m_id",
         "c_id",
@@ -1582,7 +1602,7 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
             (
-                dot(F.col("qe"), F.col("e"))
+                dot_unrolled(F.col("qe"), F.col("e"), _EMB_DIMS)
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -1742,7 +1762,9 @@ def similarity_ann_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFram
     )
     assigned = _assign_cells(n, cent)
     queries = n.where(F.col("vec_id") < N_QUERY)
-    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    ccos = dot_unrolled(F.col("e"), F.col("ce"), _EMB_DIMS) / (
+        F.col("nrm") * F.col("cnrm")
+    )
     w_probe = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), "centroid_id"
     )
@@ -1768,7 +1790,8 @@ def similarity_ann_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id").alias("neighbor_id"),
         "probe_rk",
         (
-            dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+            dot_unrolled(F.col("qe"), F.col("e"), _EMB_DIMS)
+            / (F.col("qnrm") * F.col("nrm"))
         ).alias("cosine"),
     )
     truth = topk_per_key(
@@ -1779,7 +1802,7 @@ def similarity_ann_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
             (
-                dot(F.col("q.e"), F.col("c.e"))
+                dot_unrolled(F.col("q.e"), F.col("c.e"), _EMB_DIMS)
                 / (F.col("q.nrm") * F.col("c.nrm"))
             ).alias("cosine"),
         ),

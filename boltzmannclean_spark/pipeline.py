@@ -35,7 +35,12 @@ from boltzmannclean_spark.ann import ann_search, build_ann_index
 from boltzmannclean_spark.functions.combos import packed_combo_counts
 from boltzmannclean_spark.functions.exact import dec
 from boltzmannclean_spark.functions.topk import topk_per_key
-from boltzmannclean_spark.functions.vectors import as_double, dot, norm
+from boltzmannclean_spark.functions.vectors import (
+    as_double,
+    dot,
+    dot_unrolled,
+    norm,
+)
 
 __all__ = [
     "exact_dedup",
@@ -269,6 +274,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     theta: float = 0.40,
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-dups found by
     k-means-clustering the embedding space (this engine's exact-integer
@@ -313,17 +319,28 @@ def semantic_dedup(
         F.col("nrm").alias("nb"),
         "cid",
     )
+    # Unrolled dot when the caller states the dimensionality (r15):
+    # the in-cell pair fan-out is the query's cost center and the HOF
+    # fold evaluated interpreted lambdas per element (~25 s of a 31 s
+    # query at sf0.1); the unrolled form is bit-identical (same seeded
+    # left-fold order) in whole-stage codegen.
+    dotp = (
+        dot_unrolled(F.col("ea"), F.col("eb"), dims)
+        if dims is not None
+        else dot(F.col("ea"), F.col("eb"))
+    )
     pairs = (
         a.join(b, "cid")
         .where(F.col("va") < F.col("vb"))
         .select(
             "va",
             "vb",
-            (
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
+            (dotp / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .where(F.col("cosine") >= theta)
+        # Pair-set sized (theta-filtered); feeds BOTH union legs of the
+        # partners frame — un-pinned, the cell self-join ran twice.
+        .localCheckpoint(eager=False)
     )
     partners = pairs.select(
         F.col("va").alias("doc_id"), F.col("vb").alias("partner"), "cosine"
@@ -359,6 +376,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     label_col: str | None = "label",
     k: int = 10,
+    dims: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k similarity search: broadcast the query
     vectors against the corpus, score every (query, candidate) pair,
@@ -384,9 +402,14 @@ def cosine_topk(
     out_cols = [
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
-            "cosine"
-        ),
+        (
+            (
+                dot_unrolled(F.col("qe"), F.col("e"), dims)
+                if dims is not None
+                else dot(F.col("qe"), F.col("e"))
+            )
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
     ]
     if label_col:
         out_cols.insert(2, F.col("label").alias("neighbor_label"))
@@ -1879,6 +1902,14 @@ def harmonic_centrality(
             frontier.join(edges, frontier.node == edges.src)
             .select("root", F.col("dst").alias("node"))
             .distinct()
+            # r15: each frontier feeds the NEXT level's expansion AND
+            # its own union leg — un-pinned, level k's plan re-ran
+            # levels 1..k-1's joins per leg (level 1 evaluated
+            # max_level times; measured 44 s for the registered
+            # 100-root/3-hop config at sf0.1). Frontier state is the
+            # documented roots·|V| bound, the thing this formulation
+            # already holds in memory.
+            .localCheckpoint(eager=False)
         )
         levels.append(frontier.withColumn("lvl", F.lit(lvl).cast("long")))
     unioned = levels[0]
