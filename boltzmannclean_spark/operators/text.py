@@ -750,17 +750,19 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed to matter on a real crawl even though fixtures start at
     10 tokens."""
     docs = load_table(spark, sf_dir, "documents")
-    g5 = docs.selectExpr(
+    # r15: hoist the token array into its own projection — the inlined
+    # form re-evaluated array_remove(split(text)) for every one of the
+    # five subscripts of every gram of every row (the lambda body is
+    # interpreted, no common-subexpression elimination), turning a
+    # per-row tokenize into per-row-times-5-grams work.
+    toks = docs.selectExpr(
+        "doc_id", "array_remove(split(text, ' '), '') AS a"
+    )
+    g5 = toks.selectExpr(
         "doc_id",
-        "explode(CASE WHEN size(array_remove(split(text, ' '), '')) >= 5"
-        " THEN array_distinct(transform("
-        " sequence(0, size(array_remove(split(text, ' '), '')) - 5),"
-        " i -> concat_ws(' ',"
-        "   array_remove(split(text, ' '), '')[i],"
-        "   array_remove(split(text, ' '), '')[i+1],"
-        "   array_remove(split(text, ' '), '')[i+2],"
-        "   array_remove(split(text, ' '), '')[i+3],"
-        "   array_remove(split(text, ' '), '')[i+4])))"
+        "explode(CASE WHEN size(a) >= 5"
+        " THEN array_distinct(transform(sequence(0, size(a) - 5),"
+        " i -> concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3], a[i+4])))"
         " ELSE array() END) AS g",
     )
     bench = (
