@@ -336,17 +336,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(first_lower, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         )
     )
-    e1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
-    e2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
-    wedges = (
-        e1.join(e2, "src")
-        .where(F.col("x") < F.col("y"))
-        .select(
-            F.least("x", "y").alias("p1"), F.greatest("x", "y").alias("p2")
-        )
+    # r15: wedges via per-apex sorted out-neighbor baskets through the
+    # vectorized combo counter instead of the oriented self-join — the
+    # self-join materialized 41M raw wedge ROWS in the JVM and shuffled
+    # all of them into the closing join (measured 4.6 s to build + 9 s
+    # to close at sf0.1). Per-batch (tk, cnt) partials shuffle the
+    # distinct-wedge domain instead, and the closing join matches on
+    # one packed long. Exactness: out-neighbors are distinct (pairs are
+    # distinct), the sorted-basket enumeration emits exactly the x < y
+    # wedge set (= least/greatest over the self-join), and the count is
+    # an int64 sum — bit-identical to COUNT(*) over the joined wedges.
+    ob = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.col("dst").cast("long"))).alias("items")
     )
-    tri = wedges.join(pairs, ["p1", "p2"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    wc = packed_combo_counts(ob, r=2, pack=_PAIR_PACK)
+    ptk = pairs.select(
+        (F.col("p1").cast("long") * _PAIR_PACK + F.col("p2")).alias("tk")
+    )
+    tri = wc.join(ptk.hint("shuffle_hash"), "tk").agg(
+        F.sum("cnt").alias("n_triangles")
     )
     stats = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
