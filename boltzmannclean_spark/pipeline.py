@@ -639,7 +639,15 @@ def language_id(
         f" THEN array_distinct(transform(sequence(1, length(text) - {ngram - 1}),"
         f" i -> substring(text, i, {ngram})))"
         " ELSE array() END) AS g",
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r15: the trigram frame feeds BOTH the profile aggregation and
+    # the overlap probe side; un-pinned, the interpreted HOF char
+    # enumeration (the query's cost center: 2.2 s warm per pass at
+    # sf0.1) ran twice. Pinned, the whole query measured 5.4 -> 3.6 s.
+    # Storage is (id, lang, 3-char gram) rows — the same
+    # corpus-derived-frame checkpoint posture as semantic_dedup's cell
+    # table; blocks are reaped by the ContextCleaner when the returned
+    # plan is garbage-collected.
     wp = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
     profile = (
         tri.groupBy("lang", "g")
