@@ -64,24 +64,61 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column scans is the semantic twin but 6 scans; at 100 TB the
     one-pass shape is the only affordable one."""
     orders = load_table(spark, sf_dir, "orders")
+    # r15: the distinct counts no longer ride the same aggregation as
+    # min/max. Six COUNT(DISTINCT c) in one agg forced the Expand path
+    # (7x the scan) and the string-buffered MIN/MAX pushed the whole
+    # aggregation onto SortAggregate — a full SORT of the expanded scan
+    # (measured 3.3 s warm at sf0.1; plan: Expand -> Sort ->
+    # SortAggregate x3). Split: (a) counts/nulls/min/max in one
+    # no-grouping pass (SortAggregate without grouping keys needs no
+    # sort); (b) distinct counts over an unpivoted (column, rendered
+    # value) frame through two hash aggregations — the shuffle carries
+    # each column's distinct DOMAIN, exactly what the Expand path
+    # shuffled, without the 7x sort. Rendering is injective per column
+    # (BIGINT/DECIMAL(14,2)/DATE/string — no double columns, so no
+    # -0.0/NaN collapse), so COUNT(DISTINCT rendered) ==
+    # COUNT(DISTINCT native); all-NULL columns come back via the left
+    # join as an exact 0. Measured 0.58 s warm; rows bit-identical.
     aggs = []
     for c, t in _PROFILE_COLS:
         aggs += [
             F.expr(f"COUNT(*)").alias(f"{c}__rows"),
             F.expr(f"COUNT(*) - COUNT({c})").alias(f"{c}__nulls"),
-            F.expr(f"COUNT(DISTINCT {c})").alias(f"{c}__distinct"),
             F.expr(_render(f"MIN({c})", t)).alias(f"{c}__min"),
             F.expr(_render(f"MAX({c})", t)).alias(f"{c}__max"),
         ]
     one = orders.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        f"'{c}', {c}__rows, {c}__nulls, {c}__min, {c}__max"
         for c, _ in _PROFILE_COLS
     )
-    return one.selectExpr(
+    base = one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
-    ).orderBy("column_name")
+        "(column_name, n_rows, n_nulls, min_value, max_value)"
+    )
+    vals = ", ".join(f"'{c}', {_render(c, t)}" for c, t in _PROFILE_COLS)
+    dv = orders.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {vals}) AS (column_name, v)"
+    )
+    dcnt = (
+        dv.where(F.col("v").isNotNull())
+        .groupBy("column_name", "v")
+        .agg(F.lit(1))
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        base.join(F.broadcast(dcnt), "column_name", "left")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )
 
 
 @register(
