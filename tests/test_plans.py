@@ -140,11 +140,15 @@ def test_levenshtein_pairs_from_equi_join(spark, sf_dir):
 
 
 def test_profile_columns_single_scan(spark, sf_dir):
-    # The profiler's whole point: 6 columns × 4 stats from ONE scan of
-    # orders (the oracle's UNION ALL twin needs 6).
+    # r15 shape: counts/nulls/min/max from ONE no-grouping pass plus
+    # the distinct counts from ONE unpivoted pass — exactly two scans
+    # of orders (the oracle's UNION ALL twin needs 6), and the Expand
+    # fan-out (6 COUNT(DISTINCT) in one agg = 7x the scan, sorted on
+    # the SortAggregate path) must stay gone.
     df = QUERIES["agg_profile_columns"].spark_fn(spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Expand" not in plan, plan
 
 
 def test_pagerank_no_cartesian_blowup(spark, sf_dir):
