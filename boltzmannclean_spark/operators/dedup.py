@@ -926,7 +926,16 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 3× wall-clock cut at the 10× replica (135 s → ~45 s) with
     bit-identical output (kept pairs' distances are ≤ threshold, so
     the banded DP returns their exact value; -1 rows are exactly the
-    pairs the 30% filter drops)."""
+    pairs the 30% filter drops).
+
+    r15: the DP is fenced behind a nondeterminism barrier
+    (``+ CAST(rand(0)*0 AS INT)`` — exactly 0, result unchanged).
+    Without it the optimizer pushed the threshold filter into the
+    join CONDITION, evaluating levenshtein twice per conjunct for
+    every (lang, n_chars)-matched pair — including the doc_a ≥ doc_b
+    half a cheap conjunct kills — plus a third time in the projection
+    (measured 15.2 s vs 3.7 s at sf0.1; plan went from 3 levenshtein
+    nodes to 1, join condition now only the doc_id inequality)."""
     docs = load_table(spark, sf_dir, "documents")
     a = docs.alias("a")
     b = docs.alias("b")
@@ -939,9 +948,12 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.n_chars").alias("n_chars"),
-        F.expr(
-            f"levenshtein(a.text, b.text,"
-            f" CAST(a.n_chars * {LEV_MAX_PCT10} / 10 AS INT))"
+        (
+            F.expr(
+                f"levenshtein(a.text, b.text,"
+                f" CAST(a.n_chars * {LEV_MAX_PCT10} / 10 AS INT))"
+            )
+            + (F.rand(seed=0) * 0).cast("int")
         ).alias("lev_dist"),
     )
     return (

@@ -139,6 +139,21 @@ def test_levenshtein_pairs_from_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_levenshtein_dp_evaluated_once(spark, sf_dir):
+    # The banded DP must appear exactly once, in a projection above
+    # the block join — never in the join condition, where the pushed
+    # threshold filter evaluated it twice per conjunct for every
+    # (lang, n_chars)-matched pair including the doc_a >= doc_b half
+    # (measured 15.2 s vs 3.7 s at sf0.1). The nondeterminism barrier
+    # (+ CAST(rand(0)*0 AS INT)) keeps the filter above the project.
+    df = QUERIES["dedup_levenshtein_verify"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("levenshtein") == 1, plan
+    for line in plan.splitlines():
+        if "Join condition" in line:
+            assert "levenshtein" not in line, line
+
+
 def test_profile_columns_single_scan(spark, sf_dir):
     # r15 shape: counts/nulls/min/max from ONE no-grouping pass plus
     # the distinct counts from ONE unpivoted pass — exactly two scans
