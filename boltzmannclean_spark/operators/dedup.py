@@ -2860,13 +2860,20 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col("rn") + j for j in range(1, 5)])
         ).alias("p_rn"),
     )
+    # r15: the prefix DP rides the same nondeterminism barrier as
+    # dedup_levenshtein_verify — without it the head_dist <= 12 filter
+    # is pushed into the join condition and the DP runs there AND in
+    # the projection (2x per candidate pair).
     cand = probes.join(
         ranked,
         (F.col("p_lang") == F.col("lang")) & (F.col("p_rn") == F.col("rn")),
     ).select(
         "doc_a",
         F.col("doc_id").alias("doc_b"),
-        F.levenshtein(F.col("head_a"), F.col("head40"))
+        (
+            F.levenshtein(F.col("head_a"), F.col("head40"))
+            + (F.rand(seed=0) * 0).cast("int")
+        )
         .cast("long")
         .alias("head_dist"),
     )

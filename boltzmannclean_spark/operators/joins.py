@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from boltzmannclean_spark.functions.combos import packed_combo_counts
 from boltzmannclean_spark.functions.exact import dec
 from boltzmannclean_spark.plans.registry import register
 from boltzmannclean_spark.sources.catalog import load_table
@@ -598,6 +599,7 @@ def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASKET_TOP_N = 25
+_BASKET_PACK = 1 << 31  # partkey < 2^31: (a·P + b) packs a pair losslessly
 
 
 @register(
@@ -628,29 +630,48 @@ ORDER BY together DESC, part_a, part_b
 )
 def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-occurring in the same
-    order, with lift = P(a,b)/(P(a)·P(b)) from exact counts. Pairs
-    materialize ONLY through the order-key self-join (cost Σ items²
-    per order — bounded by basket size, never corpus²; at 100 TB cap
-    basket size like the shingle DF cap). Deterministic top-25 by
-    co-occurrence."""
+    order, with lift = P(a,b)/(P(a)·P(b)) from exact counts. Pair
+    enumeration cost is Σ basket² per order — bounded by basket size,
+    never corpus²; at 100 TB cap basket size like the shingle DF cap.
+    Deterministic top-25 by co-occurrence.
+
+    r15 (guide §2.3/§2.4): pairs come from per-order sorted DISTINCT
+    partkey baskets through the vectorized combo counter
+    (functions/combos.py) — ONE shuffle of lineitem (the basket
+    groupBy, with collect_set deduping in the partial aggregation)
+    instead of the items-distinct exchange plus the order-key
+    self-join's two exchanges and corpus-pair aggregation. Support
+    counts and the order count are read off the pinned basket frame
+    (explode + count), not extra lineitem scans. Exactness: baskets
+    are sorted distinct sets, so the counter's strictly-increasing
+    index pairs are exactly the self-join's p1 < p2 pair set, each
+    counted once per order — together/supp/n are the same int64
+    counts, and lift is the identical double expression."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.col("l_partkey").cast("long"))
+            ).alias("items")
+        )
+        .localCheckpoint(eager=False)
     )
-    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a, b = items.alias("a"), items.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    supp = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        packed_combo_counts(baskets, r=2, pack=_BASKET_PACK)
+        .groupBy("tk")
+        .agg(F.sum("cnt").alias("together"))
+        .select(
+            F.expr(f"tk div {_BASKET_PACK}").alias("part_a"),
+            (F.col("tk") % _BASKET_PACK).alias("part_b"),
+            "together",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("together"))
     )
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("supp_a"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("supp_b"))

@@ -146,12 +146,13 @@ def test_levenshtein_dp_evaluated_once(spark, sf_dir):
     # (lang, n_chars)-matched pair including the doc_a >= doc_b half
     # (measured 15.2 s vs 3.7 s at sf0.1). The nondeterminism barrier
     # (+ CAST(rand(0)*0 AS INT)) keeps the filter above the project.
-    df = QUERIES["dedup_levenshtein_verify"].spark_fn(spark, sf_dir)
-    plan = _plan(df)
-    assert plan.count("levenshtein") == 1, plan
-    for line in plan.splitlines():
-        if "Join condition" in line:
-            assert "levenshtein" not in line, line
+    for name in ("dedup_levenshtein_verify", "dedup_sorted_neighborhood"):
+        df = QUERIES[name].spark_fn(spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("levenshtein") == 1, name + ":\n" + plan
+        for line in plan.splitlines():
+            if "Join condition" in line:
+                assert "levenshtein" not in line, name + ": " + line
 
 
 def test_profile_columns_single_scan(spark, sf_dir):
