@@ -2554,13 +2554,29 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sums run over those tiny tables (route through
     ``functions/prefix.sharded_prefix_sum`` at an unbounded domain),
     and the rank maps broadcast back onto the single row-scale scan.
-    One row-scale shuffle-free pass + two domain-sized windows."""
+
+    r15 (guide §2.3): ONE row-scale pass total. The events scan (and
+    its per-row JSON parse, the measured cost center) previously ran
+    three times — once per rank domain and once for the ranked join.
+    Now a single groupBy compresses the scan to the JOINT (x, y)
+    domain with an exact int64 weight c; both rank domains are
+    re-aggregations of the joint frame (pinned, domain-sized) and the
+    five correlation sums accumulate c·rxx·ryy etc. in the same
+    DECIMAL(38,0) arithmetic. Weighted integer sums over the joint
+    domain equal the per-row sums in any order (exact decimal adds
+    commute), so every output bit is unchanged; c·rxx·ryy ≤ 8N³ keeps
+    38-digit headroom to the same N ≈ 10⁹ bound."""
     ev = load_table(spark, sf_dir, "events")
     pool = ev.select(
         (dec("value") * 100).cast("long").alias("x"),
         F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("y"),
     )
-    rxd = pool.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    joint = (
+        pool.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rxd = joint.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
     wx = Window.orderBy("x")
     rx2 = rxd.select(
         "x",
@@ -2568,7 +2584,7 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rx2"
         ),
     )
-    ryd = pool.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ryd = joint.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
     wy = Window.orderBy("y")
     ry2 = ryd.select(
         "y",
@@ -2577,23 +2593,21 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ranked = (
-        pool.join(F.broadcast(rx2), "x")
+        joint.join(F.broadcast(rx2), "x")
         .join(F.broadcast(ry2), "y")
-        .select(F.col("rx2").alias("rxx"), F.col("ry2").alias("ryy"))
+        .select(
+            F.col("c").cast("decimal(38,0)").alias("c"),
+            F.col("rx2").cast("decimal(38,0)").alias("rxx"),
+            F.col("ry2").cast("decimal(38,0)").alias("ryy"),
+        )
     )
     sums = ranked.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(F.col("rxx").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("ryy").cast("decimal(38,0)")).alias("sy"),
-        F.sum(F.col("rxx").cast("decimal(38,0)") * F.col("ryy")).alias(
-            "sxy"
-        ),
-        F.sum(F.col("rxx").cast("decimal(38,0)") * F.col("rxx")).alias(
-            "sxx"
-        ),
-        F.sum(F.col("ryy").cast("decimal(38,0)") * F.col("ryy")).alias(
-            "syy"
-        ),
+        F.sum(F.col("c")).alias("n"),
+        F.sum(F.col("c") * F.col("rxx")).alias("sx"),
+        F.sum(F.col("c") * F.col("ryy")).alias("sy"),
+        F.sum(F.col("c") * F.col("rxx") * F.col("ryy")).alias("sxy"),
+        F.sum(F.col("c") * F.col("rxx") * F.col("rxx")).alias("sxx"),
+        F.sum(F.col("c") * F.col("ryy") * F.col("ryy")).alias("syy"),
     )
     return sums.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
