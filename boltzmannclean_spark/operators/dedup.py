@@ -428,9 +428,11 @@ def _cosine_dup_plan(
     does not. The oracle replicates the identical banding, so parity
     is over the full pipeline, not just the final answer.
 
-    Verification dot/norm are sequential left folds (functions/vectors),
-    bit-identical to DuckDB's list_reduce."""
-    from boltzmannclean_spark.functions.vectors import as_double, dot, norm, dot_unrolled
+    Verification norm is the sequential left fold (functions/vectors)
+    and the verification dot is its vectorized NumPy twin (same fold
+    order; see _verify below) — both bit-identical to DuckDB's
+    list_reduce."""
+    from boltzmannclean_spark.functions.vectors import as_double, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", as_double("embedding").alias("e")).withColumn(
@@ -459,18 +461,59 @@ def _cosine_dup_plan(
     )
     # Candidate side is usually small; no forced broadcast (AQE decides —
     # a high-duplication corpus can make cand ~ corpus-sized).
-    return (
+    # r15 (guide §4.2): the verification cosine is one NumPy mapInArrow
+    # pass instead of the 64-term element_at expression chain — the
+    # codegen'd chain measured ~8 µs per pair (83M element_at calls =
+    # 10.7 s of the demo parameterization's 13.3 s at sf0.1, and the
+    # threshold filter pushed a SECOND copy of it into the verify
+    # join's condition). Exactness: the fold accumulates dimension-by-
+    # dimension across the whole batch (s = (s + ea_j*eb_j) for j in
+    # order), which is per-row exactly the 0.0-seeded sequential left
+    # fold dot_unrolled emits — identical IEEE operation order, no
+    # pairwise/FMA reassociation — and the division by na*nb is the
+    # same single double op. The opaque mapInArrow boundary also makes
+    # filter pushdown (and its expression duplication) impossible.
+    import numpy as np
+    import pyarrow as pa
+
+    def _mat(col):
+        # (n, dim) view over the Arrow list<double> buffers — offsets-
+        # gathered (slice-safe), zero Python objects on the row path.
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        gather = offs[:-1, None] + np.arange(dim)[None, :]
+        return flat[gather]
+
+    def _verify(batches):
+        for b in batches:
+            n_rows = b.num_rows
+            if n_rows == 0:
+                continue
+            ea = _mat(b.column("ea"))
+            eb = _mat(b.column("eb"))
+            s = np.zeros(n_rows, dtype=np.float64)
+            for j in range(ea.shape[1]):
+                s = s + ea[:, j] * eb[:, j]
+            cos = s / (
+                b.column("na").to_numpy(zero_copy_only=False)
+                * b.column("nb").to_numpy(zero_copy_only=False)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_a"), b.column("vec_b"), pa.array(cos)],
+                ["vec_a", "vec_b", "cosine"],
+            )
+
+    scored = (
         cand.join(na, "vec_a")
         .join(nb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (dot_unrolled(F.col("ea"), F.col("eb"), 64)
-             / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
-        )
-        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
+        .mapInArrow(_verify, "vec_a long, vec_b long, cosine double")
+    )
+    return (
+        scored.where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 

@@ -255,6 +255,54 @@ def test_embedding_dedup_demo_finds_pairs(spark, oracle_sf_dir):
     assert all(r.cosine >= 0.35 for r in rows)
 
 
+def test_embedding_dedup_numpy_cosine_bit_equals_fold(spark, oracle_sf_dir):
+    # The r15 verify stage computes the cosine in NumPy (mapInArrow,
+    # dimension-ordered fold). It must be BIT-identical to the JVM
+    # sequential left-fold expression it replaced: re-derive each
+    # returned pair's cosine via dot_unrolled and compare float.hex.
+    from boltzmannclean_spark.functions.vectors import (
+        as_double,
+        dot_unrolled,
+        norm,
+    )
+    from boltzmannclean_spark.sources.catalog import load_table
+
+    out = QUERIES["dedup_embedding_cosine_recall_demo"].spark_fn(
+        spark, oracle_sf_dir
+    )
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    na = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    ref = (
+        out.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            (
+                dot_unrolled(F.col("ea"), F.col("eb"), 64)
+                / (F.col("na") * F.col("nb"))
+            ).alias("ref_cosine"),
+        )
+        .collect()
+    )
+    assert len(ref) > 0
+    for r in ref:
+        assert float(r.cosine).hex() == float(r.ref_cosine).hex(), r
+
+
 def test_pq_adc_recall_vs_exact_l2(spark, oracle_sf_dir):
     # PQ approximates squared-L2; its top-10 must overlap the exact
     # integer-L2 top-10 far above chance (10/499 ~ 2%).
