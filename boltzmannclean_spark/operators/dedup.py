@@ -1515,13 +1515,14 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(*[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
         for b in range(N_SEEDS // BAND_ROWS)
     ]
-    # Lazy checkpoint (r15): bands feeds BOTH the probe-band projection
-    # and the candidate join — un-pinned, the whole token-explode +
-    # 8-minhash aggregation re-ran per consumer (and again per count
-    # leg below). docs × n_bands rows, quotient-corpus sized.
+    # r15 round-close: the band/pair-set lazy checkpoints added mid-
+    # round were REVERTED — the bench caught a x1.5 regression and an
+    # in-process A/B (checkpoint-bypass monkeypatch) confirmed the
+    # pinned form 15-20% slower warm (6.7-7.0 s vs 5.4-5.9 s); runtime
+    # exchange reuse already covers the shared subtrees here.
     bands = minh.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
-    ).localCheckpoint(eager=False)
+    )
     pbands = bands.join(
         F.broadcast(probes.select("doc_id")), "doc_id"
     ).select(
@@ -1538,9 +1539,6 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_id", "p_id").alias("d2"),
         )
         .distinct()
-        # Pair-set sized; consumed by the intersect AND its own count
-        # leg — pin so the band join runs once (r15).
-        .localCheckpoint(eager=False)
     )
     # Ground truth via TOKEN equi-join, not per-pair array_intersect:
     # a pair can reach Jaccard ≥ 0.9 only by sharing a token (empty
@@ -1579,8 +1577,6 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_id", "p_id").alias("d2"),
         )
         .distinct()
-        # Same reasoning as cand: intersect + count leg (r15).
-        .localCheckpoint(eager=False)
     )
     tp = cand.intersect(truth)
     counts = (

@@ -106,8 +106,15 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boltzmannclean_spark.pipeline import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r15: dims=None — the HOF fold, NOT dot_unrolled. At this call
+    # site the scored volume is only |corpus| × N_QUERY rows, and the
+    # unrolled 128-node expression tree costs more in analysis/codegen
+    # than it saves per row (bench regression x1.95 caught at round
+    # close; same-session A/B: unrolled 1.39-1.80 s vs fold
+    # 0.71-0.91 s, rows identical). The unrolled form stays where the
+    # pair fan-out is large (kNN, SemDeDup, ANN serve legs).
     return cosine_topk(
-        emb, emb.where(F.col("vec_id") < N_QUERY), k=TOP_K, dims=_EMB_DIMS
+        emb, emb.where(F.col("vec_id") < N_QUERY), k=TOP_K, dims=None
     )
 
 
