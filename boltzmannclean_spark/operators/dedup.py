@@ -414,6 +414,7 @@ def _cosine_dup_plan(
     rows: int,
     threshold: float,
     sample_cap: int | None = None,
+    vectorized_verify: bool = False,
 ) -> DataFrame:
     """Shared banded-LSH near-dup kernel; see the registered wrappers
     for the parameterization rationale.
@@ -461,18 +462,44 @@ def _cosine_dup_plan(
     )
     # Candidate side is usually small; no forced broadcast (AQE decides —
     # a high-duplication corpus can make cand ~ corpus-sized).
-    # r15 (guide §4.2): the verification cosine is one NumPy mapInArrow
-    # pass instead of the 64-term element_at expression chain — the
-    # codegen'd chain measured ~8 µs per pair (83M element_at calls =
-    # 10.7 s of the demo parameterization's 13.3 s at sf0.1, and the
-    # threshold filter pushed a SECOND copy of it into the verify
-    # join's condition). Exactness: the fold accumulates dimension-by-
-    # dimension across the whole batch (s = (s + ea_j*eb_j) for j in
-    # order), which is per-row exactly the 0.0-seeded sequential left
-    # fold dot_unrolled emits — identical IEEE operation order, no
-    # pairwise/FMA reassociation — and the division by na*nb is the
-    # same single double op. The opaque mapInArrow boundary also makes
-    # filter pushdown (and its expression duplication) impossible.
+    #
+    # r15: TWO verify paths, routed by the registered wrapper's known
+    # candidate geometry (guide §1.2 — the algorithm choice follows
+    # the measured volume):
+    # - vectorized_verify=True (demo, 3-bit bands, ~35% of pairs
+    #   admitted — 1.3M candidates at sf0.1): one NumPy mapInArrow
+    #   pass. The 64-term element_at chain measured ~8 µs per pair
+    #   (83M accesses = 10.7 s of 13.3), and the threshold filter
+    #   pushed a SECOND copy into the verify join's condition.
+    #   Exactness: the fold accumulates dimension-by-dimension across
+    #   the batch (s = (s + ea_j*eb_j) in order) — per row exactly the
+    #   0.0-seeded sequential left fold of dot_unrolled, identical
+    #   IEEE order, no pairwise/FMA reassociation; pinned by a
+    #   float.hex parity test. The opaque boundary also makes filter
+    #   pushdown impossible.
+    # - vectorized_verify=False (production 16-bit bands, ~1.6k
+    #   candidates at sf0.1): the JVM expression with the rand()*0
+    #   barrier — at that volume the Python-worker roundtrip's fixed
+    #   cost exceeds the whole expression evaluation (bench x1.57
+    #   regression caught at round close). The barrier still
+    #   guarantees ONE dot evaluation (+0.0 is bit-exact: the
+    #   0.0-seeded fold can never produce -0.0).
+    if not vectorized_verify:
+        from boltzmannclean_spark.functions.vectors import dot_unrolled
+
+        cosine = (
+            dot_unrolled(F.col("ea"), F.col("eb"), 64)
+            / (F.col("na") * F.col("nb"))
+            + F.rand(seed=0) * 0
+        )
+        return (
+            cand.join(na, "vec_a")
+            .join(nb, "vec_b")
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("vec_a", "vec_b")
+        )
+
     import numpy as np
     import pyarrow as pa
 
@@ -650,6 +677,7 @@ def dedup_embedding_cosine_recall_demo(
         DEMO_ROWS,
         DEMO_COSINE_THRESHOLD,
         sample_cap=DEMO_SAMPLE_CAP,
+        vectorized_verify=True,
     )
 
 
