@@ -452,10 +452,15 @@ def ann_search(
         # and shuffling anyway, so the extra cost is the LUT's own
         # exchange, not a new corpus pass. Counting q/ivf_cent here is
         # two jobs over probe-/domain-sized frames, serve-path cheap.
-        # cache() first (r14 ADVICE): if ``queries`` is an expensive
+        # Pin first (r14 ADVICE): if ``queries`` is an expensive
         # derived frame, its upstream work would otherwise run once for
-        # this count and again inside the serve job.
-        q = q.cache()
+        # this count and again inside the serve job. localCheckpoint
+        # (not cache) so the blocks' lifetime is the returned
+        # DataFrame's — the ContextCleaner reaps them once the caller
+        # drops it, whereas cache() pinned the plan in the CacheManager
+        # until an unpersist that no serve-path caller ever issued
+        # (r15 ADVICE: repeated serve calls accumulated storage).
+        q = q.localCheckpoint(eager=False)
         n_q = q.count()
         n_cells_probed = (
             nprobe if nprobe is not None else ivf_cent.count()

@@ -38,6 +38,12 @@ __all__ = ["packed_combo_counts"]
 #:  first-index loop (k vectorized slices) with the same output.
 _TEMPLATE_CAP = 5_000_000
 
+#: At most this many packed keys are materialized at once inside the
+#: counting pass (128 MB of int64): same-length basket groups are
+#: processed in row chunks and folded into the batch counters, so a
+#: skewed group can never demand an m × C(k, r)-sized allocation.
+_KEYS_BUDGET = 16_000_000
+
 
 def _comb_template(k: int, r: int) -> np.ndarray:
     """(C(k, r), r) int array of strictly increasing index tuples, in
@@ -48,30 +54,40 @@ def _comb_template(k: int, r: int) -> np.ndarray:
     return np.array(list(combinations(range(k), r)), dtype=np.int64)
 
 
+def _n_comb(k: int, r: int) -> int:
+    n = 1
+    for i in range(r):
+        n = n * (k - i) // (i + 1)
+    return n
+
+
 def _keys_for_group(A: np.ndarray, r: int, pack: int) -> np.ndarray:
     """Packed combination keys for a stack of same-length baskets
-    A (m, k): one flat int64 array of m × C(k, r) keys."""
+    A (m, k): one flat ROW-MAJOR int64 array of m × C(k, r) keys (row
+    0's combinations first, then row 1's, ...)."""
     k = A.shape[1]
-    n_comb = 1
-    for i in range(r):
-        n_comb = n_comb * (k - i) // (i + 1)
-    if n_comb <= _TEMPLATE_CAP:
+    m = A.shape[0]
+    if m == 0 or k < r:
+        return np.empty(0, dtype=np.int64)
+    if _n_comb(k, r) <= _TEMPLATE_CAP:
         idx = _comb_template(k, r)
         key = A[:, idx[:, 0]]
         for j in range(1, r):
             key = key * pack + A[:, idx[:, j]]
         return key.reshape(-1)
+    if r == 1:
+        return A.reshape(-1)
     # Giant basket fallback: loop the first index, template the rest.
+    # Each recursive tail is itself row-major, so reshaping it to
+    # (m, -1) re-aligns every row's head with ITS OWN tail combos (the
+    # former flat np.repeat pairing mixed rows whenever the recursion
+    # hit this fallback a second time), and concatenating the per-i
+    # blocks along axis=1 keeps the overall output row-major.
     parts = []
     for i in range(k - r + 1):
-        tail = _keys_for_group(A[:, i + 1 :], r - 1, pack)
-        m = A.shape[0]
-        per = tail.size // m if m else 0
-        head = np.repeat(A[:, i], per)
-        parts.append(head * (pack ** (r - 1)) + tail)
-    return (
-        np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
-    )
+        tail = _keys_for_group(A[:, i + 1 :], r - 1, pack).reshape(m, -1)
+        parts.append(A[:, i][:, None] * (pack ** (r - 1)) + tail)
+    return np.concatenate(parts, axis=1).reshape(-1)
 
 
 def packed_combo_counts(
@@ -95,46 +111,7 @@ def packed_combo_counts(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            col = batch.column(0)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = col.values.to_numpy(zero_copy_only=False).astype(
-                np.int64, copy=False
-            )
-            lengths = np.diff(offs)
-            keys_parts = []
-            for k in np.unique(lengths):
-                if k < r:
-                    continue
-                rows = np.nonzero(lengths == k)[0]
-                starts = offs[rows]
-                gather = starts[:, None] + np.arange(k)[None, :]
-                A = flat[gather]
-                keys_parts.append(_keys_for_group(A, r, pack))
-            if not keys_parts:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                    ["tk", "cnt"],
-                )
-                continue
-            keys = np.concatenate(keys_parts)
-            if cand is not None and cand.size == 0:
-                keys = keys[:0]
-            if cand is not None and cand.size:
-                # Candidate-indexed counting: searchsorted against the
-                # sorted candidate array + bincount — O(n log m), no
-                # sort of the n generated keys (np.unique/np.isin both
-                # sort; at the dense sf0.1 worst case that was a 20M-
-                # element sort inside one Python worker).
-                idx = np.searchsorted(cand, keys)
-                idx[idx == cand.size] = 0
-                valid = cand[idx] == keys
-                cnt = np.bincount(idx[valid], minlength=cand.size)
-                hit = np.nonzero(cnt)[0]
-                uniq, cnt = cand[hit], cnt[hit]
-            else:
-                uniq, cnt = np.unique(keys, return_counts=True)
+            uniq, cnt = _count_batch(batch.column(0), r, pack, cand)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(uniq, pa.int64()), pa.array(cnt.astype(np.int64), pa.int64())],
                 ["tk", "cnt"],
@@ -143,3 +120,67 @@ def packed_combo_counts(
     return items.select(F.col(items_col)).mapInArrow(
         fn, "tk long, cnt long"
     )
+
+
+def _count_batch(col, r: int, pack: int, cand: np.ndarray | None):
+    """(uniq, cnt) int64 partial counts for one Arrow list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    lengths = np.diff(offs)
+    # Skewed-basket guardrail: the materialized keys array for one
+    # same-length group is m × C(k, r) int64 — a hub apex (giant
+    # basket) at scale would build it in one task-sized allocation.
+    # Chunk the group's ROWS so at most _KEYS_BUDGET keys exist at once
+    # and fold each chunk straight into the counters; a single basket's
+    # own C(k, r) keys remain the floor (that volume IS the
+    # enumeration's output and is bounded by the callers' basket
+    # semantics: per-order baskets, oriented out-degree).
+    if cand is not None:
+        cnt_total = np.zeros(cand.size, dtype=np.int64)
+        uniq_parts = cnt_parts = None
+    else:
+        cnt_total = None
+        uniq_parts, cnt_parts = [], []
+    for k in np.unique(lengths):
+        if k < r:
+            continue
+        rows = np.nonzero(lengths == k)[0]
+        step = max(1, _KEYS_BUDGET // max(1, _n_comb(int(k), r)))
+        for lo in range(0, rows.size, step):
+            sub = rows[lo : lo + step]
+            starts = offs[sub]
+            gather = starts[:, None] + np.arange(k)[None, :]
+            keys = _keys_for_group(flat[gather], r, pack)
+            if keys.size == 0:
+                continue
+            if cand is not None:
+                if cand.size == 0:
+                    continue
+                # Candidate-indexed counting: searchsorted against the
+                # sorted candidate array + bincount — O(n log m), no
+                # sort of the n generated keys (np.unique/np.isin both
+                # sort; at the dense sf0.1 worst case that was a 20M-
+                # element sort inside one Python worker).
+                idx = np.searchsorted(cand, keys)
+                idx[idx == cand.size] = 0
+                valid = cand[idx] == keys
+                cnt_total += np.bincount(idx[valid], minlength=cand.size)
+            else:
+                u, c = np.unique(keys, return_counts=True)
+                uniq_parts.append(u)
+                cnt_parts.append(c)
+    if cand is not None:
+        hit = np.nonzero(cnt_total)[0]
+        return cand[hit], cnt_total[hit]
+    if uniq_parts:
+        u = np.concatenate(uniq_parts)
+        c = np.concatenate(cnt_parts)
+        uniq, inv = np.unique(u, return_inverse=True)
+        cnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(cnt, inv, c)
+        return uniq, cnt
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)

@@ -94,15 +94,37 @@ class _Codebook:
         self.mats[b] = mat[order].astype(np.int64, copy=False)
 
 
+#: Upper bound on the (rows × centroids) distance temp inside one
+#: assignment chunk (int64 cells; 16M ≈ 128 MB). The centroid count is
+#: corpus-dependent for IVF (CENT_MOD), so without a cap the per-batch
+#: temp would grow with corpus size (r15 ADVICE).
+_DIST_CELLS_BUDGET = 16_000_000
+
+
 def _assign_block(X: np.ndarray, cb: _Codebook, b: int) -> np.ndarray:
     """Row indices into cb.cids[b] of each row's nearest centroid
-    (exact int64 squared-L2; ties to the first = smallest cid)."""
+    (exact int64 squared-L2; ties to the first = smallest cid).
+
+    Distances use the |x|² + |c|² − 2·x·c expansion — exact in int64,
+    so the argmin (and its first-minimum = smallest-cid tie-break) is
+    bit-identical to the direct (x−c)² sum — and rows are chunked so
+    the largest temp is the (chunk, k) distance matrix, never an
+    (n, k, dsub) cube (the r15 shape OOMed once centroid count scaled
+    with the corpus)."""
     C = cb.mats[b]
-    # (n, k) int64 distances; per-block temp is n x k x dsub — bounded
-    # by the Arrow batch size, never the corpus.
-    D = X[:, None, :] - C[None, :, :]
-    np.multiply(D, D, out=D)
-    return D.sum(axis=2).argmin(axis=1)
+    k = C.shape[0]
+    csq = np.einsum("ij,ij->i", C, C)  # (k,) int64, exact
+    out = np.empty(X.shape[0], dtype=np.int64)
+    step = max(1, _DIST_CELLS_BUDGET // max(1, k))
+    for lo in range(0, X.shape[0], step):
+        Xc = X[lo : lo + step]
+        xsq = np.einsum("ij,ij->i", Xc, Xc)
+        D = Xc @ C.T
+        np.multiply(D, -2, out=D)
+        D += xsq[:, None]
+        D += csq[None, :]
+        out[lo : lo + step] = D.argmin(axis=1)
+    return out
 
 
 def _seed_codebook(

@@ -415,6 +415,7 @@ def _cosine_dup_plan(
     threshold: float,
     sample_cap: int | None = None,
     vectorized_verify: bool = False,
+    dims: int = 64,
 ) -> DataFrame:
     """Shared banded-LSH near-dup kernel; see the registered wrappers
     for the parameterization rationale.
@@ -488,7 +489,7 @@ def _cosine_dup_plan(
         from boltzmannclean_spark.functions.vectors import dot_unrolled
 
         cosine = (
-            dot_unrolled(F.col("ea"), F.col("eb"), 64)
+            dot_unrolled(F.col("ea"), F.col("eb"), dims)
             / (F.col("na") * F.col("nb"))
             + F.rand(seed=0) * 0
         )
@@ -504,14 +505,19 @@ def _cosine_dup_plan(
     import pyarrow as pa
 
     def _mat(col):
-        # (n, dim) view over the Arrow list<double> buffers — offsets-
+        # (n, dims) view over the Arrow list<double> buffers — offsets-
         # gathered (slice-safe), zero Python objects on the row path.
+        # Ragged or differently-sized embeddings fail loudly instead of
+        # silently gathering the wrong values (r15 ADVICE).
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = col.values.to_numpy(zero_copy_only=False)
-        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        gather = offs[:-1, None] + np.arange(dim)[None, :]
+        if not np.all(np.diff(offs) == dims):
+            raise ValueError(
+                f"cosine verify: expected fixed {dims}-dim embeddings"
+            )
+        gather = offs[:-1, None] + np.arange(dims)[None, :]
         return flat[gather]
 
     def _verify(batches):

@@ -353,8 +353,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ptk = pairs.select(
         (F.col("p1").cast("long") * _PAIR_PACK + F.col("p2")).alias("tk")
     )
+    # coalesce (r15 ADVICE): SUM over an empty closing join is NULL,
+    # but the pre-r15 COUNT(*) formulation returned 0 on a
+    # triangle-free graph — keep that contract.
     tri = wc.join(ptk.hint("shuffle_hash"), "tk").agg(
-        F.sum("cnt").alias("n_triangles")
+        F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n_triangles")
     )
     stats = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
