@@ -285,6 +285,16 @@ def build_reports(
             if core9_complete and cpu_ref and cpu_ref[0] > 0
             else None
         ),
+        # r16 (r15 verdict #9): the full-headline total normalized the
+        # same way, so a weather-distorted round self-identifies on the
+        # headline too, not only on core9. ADDITIVE field only — every
+        # pre-existing field, query entry, and the measurement protocol
+        # are byte-for-byte unchanged.
+        "headline_weather_norm": (
+            round(total / cpu_ref[0], 4)
+            if cpu_ref and cpu_ref[0] > 0
+            else None
+        ),
         "n_queries": len(query_names),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,

@@ -478,13 +478,14 @@ def _cosine_dup_plan(
     #   IEEE order, no pairwise/FMA reassociation; pinned by a
     #   float.hex parity test. The opaque boundary also makes filter
     #   pushdown impossible.
-    # - vectorized_verify=False (production 16-bit bands, ~1.6k
-    #   candidates at sf0.1): the JVM expression with the rand()*0
-    #   barrier — at that volume the Python-worker roundtrip's fixed
-    #   cost exceeds the whole expression evaluation (bench x1.57
-    #   regression caught at round close). The barrier still
-    #   guarantees ONE dot evaluation (+0.0 is bit-exact: the
-    #   0.0-seeded fold can never produce -0.0).
+    # - vectorized_verify=False: the JVM expression with the rand()*0
+    #   barrier (guarantees ONE dot evaluation; +0.0 is bit-exact: the
+    #   0.0-seeded fold can never produce -0.0). r15 routed the
+    #   production wrapper here off a ×1.57 regression measured on the
+    #   contaminated round-close window; the r16 quiet re-measure put
+    #   the NumPy pass equal-or-faster at sf0.1 AND ×3.9 at the ×10
+    #   replica, so BOTH registered wrappers now pass True and this
+    #   path remains for callers with genuinely tiny candidate sets.
     if not vectorized_verify:
         from boltzmannclean_spark.functions.vectors import dot_unrolled
 
@@ -651,8 +652,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     still fully exercised; a clean corpus with no near-dups is the
     common production case, and an engine must prove pairs ABSENT as
     cheaply as it finds them present."""
+    # r16: production now ALSO takes the vectorized verify. The r15
+    # volume routing (JVM expression for the ~1.6k-candidate production
+    # parameterization) was justified by a ×1.57 regression measured on
+    # the contaminated round-close window; re-measured quiet this round
+    # the NumPy pass is equal-or-faster even at sf0.1 (1.75 vs
+    # 1.91–2.48 s) and ×3.9 at the 6M-row ×10 replica (2.5 vs 9.4 s),
+    # where verbatim copy-groups make the candidate/output volume real
+    # (90k verified pairs). Exactness unchanged — both paths are pinned
+    # bit-identical by the float.hex parity test.
     return _cosine_dup_plan(
-        spark, sf_dir, DUP_BANDS, DUP_ROWS, COSINE_DUP_THRESHOLD
+        spark,
+        sf_dir,
+        DUP_BANDS,
+        DUP_ROWS,
+        COSINE_DUP_THRESHOLD,
+        vectorized_verify=True,
     )
 
 
@@ -1612,12 +1627,29 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    tp = cand.intersect(truth)
-    counts = (
-        probes.agg(F.count(F.lit(1)).alias("n_probe_docs"))
-        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs")))
-        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_true_positive")))
+    # r16 (guide §2.3/§2.4; r15 verdict #5): cand and truth each fed an
+    # INTERSECT leg plus their own count leg, so the whole band/minhash
+    # machinery above was evaluated ~4x (the committed r15 plan carried
+    # 12 Generates / 8 SortAggregates). Both sets are already distinct,
+    # so INTERSECT == inner join on all columns — one FULL OUTER join
+    # computes |cand|, |truth| and |cand ∩ truth| in a SINGLE
+    # evaluation of each side (coalesce: an empty side must count 0,
+    # not NULL). Same six integer outputs, bit-identical.
+    j = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["d1", "d2"], "full_outer"
+    )
+    counts = probes.agg(F.count(F.lit(1)).alias("n_probe_docs")).crossJoin(
+        j.agg(
+            F.coalesce(F.sum("t"), F.lit(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+            F.coalesce(F.sum(F.col("c") * F.col("t")), F.lit(0))
+            .cast("long")
+            .alias("n_true_positive"),
+        )
     )
     return counts.select(
         "n_probe_docs",

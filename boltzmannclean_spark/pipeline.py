@@ -225,6 +225,19 @@ def substring_dedup(
             ).alias("g"),
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
+        # ONE exchange under every consumer (r16, guide §2.4 "two
+        # operations keyed the same way can share one exchange"): the
+        # df-cap aggregation and BOTH self-join sides need sh keyed by
+        # s, but without a common exchange Catalyst duplicated the
+        # whole subtree — the committed r15 plan scanned documents 8×
+        # and ran the tokenize+explode Generate 4× (df_ok broadcasts,
+        # so no exchange existed to reuse). Repartitioning by s makes
+        # the shuffle files the shared, disk-backed materialization
+        # point: one scan, one Generate, one shuffle of the shingle
+        # table, ReusedExchange everywhere else — the scale-safe
+        # alternative to pinning the corpus-sized frame in memory
+        # (this operator's documented memory-vs-rescan position).
+        .repartition(F.col("s"))
     )
     df_ok = (
         sh.groupBy("s")

@@ -65,3 +65,38 @@ def test_fs_block_cap_routes_out_oversized_blocks(spark, tmp_path):
     assert hd.n_blocks_dropped == 0
     assert hd.max_width == 2
     assert hd.kept_pairs_upper_bound == n // 2
+
+
+def test_full_outer_count_identity_matches_intersect(spark):
+    # r16 recall_eval restructure: |cand|, |truth|, |cand ∩ truth| via
+    # one full-outer join with 1-flags must equal the intersect-based
+    # counts for DISTINCT pair sets — including both empty-side edges
+    # (coalesce must yield 0, never NULL).
+    from pyspark.sql import functions as F
+
+    cases = [
+        ([(1, 2), (1, 3), (2, 4)], [(1, 3), (2, 4), (5, 6)]),
+        ([(1, 2)], []),
+        ([], [(3, 4)]),
+        ([], []),
+        ([(7, 8), (9, 10)], [(7, 8), (9, 10)]),
+    ]
+    for c_rows, t_rows in cases:
+        cand = spark.createDataFrame(c_rows or [], "d1 long, d2 long")
+        truth = spark.createDataFrame(t_rows or [], "d1 long, d2 long")
+        j = cand.withColumn("c", F.lit(1)).join(
+            truth.withColumn("t", F.lit(1)), ["d1", "d2"], "full_outer"
+        )
+        row = j.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("nt"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nc"),
+            F.coalesce(F.sum(F.col("c") * F.col("t")), F.lit(0))
+            .cast("long")
+            .alias("ntp"),
+        ).collect()[0]
+        inter = cand.intersect(truth).count()
+        assert (row.nc, row.nt, row.ntp) == (
+            len(c_rows),
+            len(t_rows),
+            inter,
+        ), (c_rows, t_rows, row)

@@ -579,3 +579,37 @@ def test_exact_moments_domain_guard_raises_loudly(spark, tmp_path):
     ).write.parquet(f"{sf2}/events.parquet")
     with _pytest.raises(Exception, match="exact-power domain bound"):
         stats_skewness_kurtosis_exact(spark, sf2).collect()
+
+
+def test_substring_shingle_table_shares_one_exchange(spark, sf_dir):
+    # r16 shape: the shingle table is repartitioned by s so the df-cap
+    # aggregation and BOTH self-join sides share one exchange. The r15
+    # plan duplicated the whole kept subtree per join side (8 scans,
+    # 4 Generates); with AQE reuse happens at runtime, so pin the
+    # static shape with AQE off: at most 2 scans / 2 Generates (the
+    # column-pruned agg leg plus the full join leg) and ReusedExchange
+    # present for the join sides.
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = QUERIES["dedup_substring_run"].spark_fn(spark, sf_dir)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert plan.count("FileScan parquet") <= 2, plan
+    assert plan.count(") Generate") <= 2 or plan.count("Generate") <= 2, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_recall_eval_single_evaluation_of_cand_and_truth(spark, sf_dir):
+    # r16 shape: |cand|, |truth| and |cand ∩ truth| come from ONE full
+    # outer join — cand/truth (and the band/minhash machinery above
+    # them) must not be duplicated into separate intersect + count
+    # legs. The r15 plan carried 12 Generates / 8 SortAggregates; the
+    # restructured plan halves both. Pin the generate count (explode
+    # sites: 2x toks into minh via the two bands consumers, 1x pinter
+    # toks, 2x band posexplode, 1x probe toks).
+    df = QUERIES["dedup_minhash_recall_eval"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Generate") <= 6, plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
