@@ -279,61 +279,92 @@ def build_ann_index(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), micro).alias("qvec")
     ).localCheckpoint()
     ivf_cent = cells = None
-    if has_ivf:
+
+    def _ivf_part():
         cell_seeds = (
             df.where(cell_seed_pred).select(F.col(id_col).alias("id"))
             if cell_seed_pred is not None
             else _smallest_ids(q, n_cells)
         )
-        ivf_cent, cells = _ivf_train(
+        cent_l, cells_l = _ivf_train(
             q, dims=dims, kmeans_iters=kmeans_iters, seeds=cell_seeds
         )
-        ivf_cent = ivf_cent.localCheckpoint()
-        cells = cells.localCheckpoint()
-        cells.coalesce(4).write.mode("overwrite").parquet(
+        cent_l = cent_l.localCheckpoint()
+        cells_l = cells_l.localCheckpoint()
+        cells_l.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(out_dir, "cells")
         )
-        ivf_cent.repartition(1).write.mode("overwrite").parquet(
+        cent_l.repartition(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "ivf_centroids")
         )
-    if residual:
-        # IVF-centered PQ: the encoded signal is x - centroid(cell(x)).
-        # One broadcast join against the tiny centroid table + a
-        # row-local zip_with difference — exact integers throughout.
-        # Checkpointed: the residual frame feeds pq_iters training
-        # passes plus the encode pass.
-        pq_src = (
-            q.join(cells, "id")
-            .join(F.broadcast(ivf_cent), "cell")
-            .select(
-                "id",
-                F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
-            )
-        ).localCheckpoint()
+        return cent_l, cells_l
+
+    def _pq_part(pq_src):
+        # Seed predicates evaluate against the CALLER'S frame (their
+        # own column names); the default is the pq_k smallest ids.
+        pq_seeds = (
+            df.where(pq_seed_pred).select(F.col(id_col).alias("id"))
+            if pq_seed_pred is not None
+            else _smallest_ids(q, pq_k)
+        )
+        # Codebook comes back driver-materialized (codebook-sized)
+        # from the vectorized trainer, so the persist and encode
+        # consumers share it with no checkpoint and no re-run.
+        cent = _pq_train(
+            pq_src, pq_m=pq_m, pq_iters=pq_iters, pq_dsub=pq_dsub,
+            seeds=pq_seeds,
+        )
+        codes = _pq_assign(pq_src, cent, pq_m=pq_m, pq_dsub=pq_dsub)
+        cent.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "codebook")
+        )
+        # At cluster scale: .write.partitionBy(cell) / bucketBy so the
+        # probed ADC scan prunes files; at test SF a handful is right.
+        codes.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "codes")
+        )
+
+    if has_ivf and not residual:
+        # r16 (guide §2.6 — overlap independent jobs): with raw (non-
+        # residual) codebooks the IVF and PQ trainings read the same
+        # checkpointed q and share NO state, so they run from two
+        # driver threads and each training's jobs back-fill the
+        # executor idle left by the other's driver-side centroid
+        # updates and collects. Each thread's own dataflow is the
+        # unchanged sequential one, so results are bit-identical (the
+        # scheduler overlap cannot reorder any thread-local
+        # arithmetic). Residual builds stay sequential below: PQ
+        # trains on x − centroid(cell(x)), a real dependency.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_ivf = pool.submit(_ivf_part)
+            fut_pq = pool.submit(_pq_part, q)
+            ivf_cent, cells = fut_ivf.result()
+            fut_pq.result()
     else:
-        pq_src = q
-    # Seed predicates evaluate against the CALLER'S frame (their own
-    # column names); the default is the pq_k / n_cells smallest ids.
-    pq_seeds = (
-        df.where(pq_seed_pred).select(F.col(id_col).alias("id"))
-        if pq_seed_pred is not None
-        else _smallest_ids(q, pq_k)
-    )
-    # Codebook comes back driver-materialized (codebook-sized) from the
-    # vectorized trainer, so the persist and encode consumers share it
-    # with no checkpoint and no re-run.
-    cent = _pq_train(
-        pq_src, pq_m=pq_m, pq_iters=pq_iters, pq_dsub=pq_dsub, seeds=pq_seeds
-    )
-    codes = _pq_assign(pq_src, cent, pq_m=pq_m, pq_dsub=pq_dsub)
-    cent.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "codebook")
-    )
-    # At cluster scale: .write.partitionBy(cell) / bucketBy so the
-    # probed ADC scan prunes files; at test SF a handful is right.
-    codes.coalesce(4).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "codes")
-    )
+        if has_ivf:
+            ivf_cent, cells = _ivf_part()
+        if residual:
+            # IVF-centered PQ: the encoded signal is
+            # x - centroid(cell(x)). One broadcast join against the
+            # tiny centroid table + a row-local zip_with difference —
+            # exact integers throughout. Checkpointed: the residual
+            # frame feeds pq_iters training passes plus the encode
+            # pass.
+            pq_src = (
+                q.join(cells, "id")
+                .join(F.broadcast(ivf_cent), "cell")
+                .select(
+                    "id",
+                    F.zip_with(
+                        "qvec", "cvec", lambda x, c: x - c
+                    ).alias("qvec"),
+                )
+            ).localCheckpoint()
+        else:
+            pq_src = q
+        _pq_part(pq_src)
     n_corpus = df.count()
     conf = {
         "dims": dims,

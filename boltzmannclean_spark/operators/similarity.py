@@ -1450,20 +1450,34 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call dragged label/e/nrm arrays through the assignment
     # aggregation just to drop them. Cache: the cell table feeds TWO
     # join branches below (corpus cells + query cells).
-    ivf_cent = train_blocks(
-        n,
-        n.where(F.col("vec_id") % CENT_MOD == 0).select("vec_id"),
-        id_col="vec_id",
-        vec_col="qvec",
-        dims=PQ_M * PQ_DSUB,
-        n_blocks=1,
-        iters=KMEANS_ITERS,
-    )
+    # r16 (guide §2.6 — overlap independent jobs, same move as
+    # ann.build_ann_index): the IVF and PQ trainings both stream the
+    # checkpointed n and share no state (raw codebooks here — the
+    # fixture oracle re-derives raw), and each training is a sequence
+    # of eager per-round jobs with driver-side updates between them,
+    # so running them from two driver threads lets each one's jobs
+    # back-fill the other's collect gaps. Per-thread dataflows are
+    # unchanged — results bit-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_ivf = pool.submit(
+            train_blocks,
+            n,
+            n.where(F.col("vec_id") % CENT_MOD == 0).select("vec_id"),
+            id_col="vec_id",
+            vec_col="qvec",
+            dims=PQ_M * PQ_DSUB,
+            n_blocks=1,
+            iters=KMEANS_ITERS,
+        )
+        fut_pq = pool.submit(_pq_train, n)
+        ivf_cent = fut_ivf.result()
+        cent = fut_pq.result()
     cells = assign_blocks(
         n, ivf_cent, id_col="vec_id", vec_col="qvec",
         dims=PQ_M * PQ_DSUB, n_blocks=1,
     ).select("vec_id", F.col("cid").alias("cell")).cache()
-    cent = _pq_train(n)
     codes = assign_blocks(
         n, cent, id_col="vec_id", vec_col="qvec",
         dims=PQ_M * PQ_DSUB, n_blocks=PQ_M,
