@@ -39,19 +39,39 @@ __all__ = ["packed_combo_counts"]
 _TEMPLATE_CAP = 5_000_000
 
 #: At most this many packed keys are materialized at once inside the
-#: counting pass (128 MB of int64): same-length basket groups are
-#: processed in row chunks and folded into the batch counters, so a
-#: skewed group can never demand an m × C(k, r)-sized allocation.
+#: counting pass (128 MB of int64): _iter_key_blocks slices the
+#: combination template so no block exceeds the budget and each block
+#: folds straight into the batch counters — a skewed group can never
+#: demand an m × C(k, r)-sized allocation (r16: block slicing replaced
+#: row chunking, which re-ran the giant-basket first-index loop per
+#: chunk and cost graph_triangle_count +60%).
 _KEYS_BUDGET = 16_000_000
 
 
 def _comb_template(k: int, r: int) -> np.ndarray:
     """(C(k, r), r) int array of strictly increasing index tuples, in
     lexicographic order (the HOF slice enumeration's order — order is
-    irrelevant to counting, but keep it anyway)."""
-    from itertools import combinations
-
-    return np.array(list(combinations(range(k), r)), dtype=np.int64)
+    irrelevant to counting, but keep it anyway). r16: built vectorized
+    (triu_indices for pairs, per-first-index recursion above that)
+    instead of ``itertools.combinations`` — a C(k, r) near the 5M cap
+    took seconds of Python tuple construction PER GROUP, which the r16
+    chunking interaction turned into the dominant cost of
+    graph_triangle_count."""
+    if r == 1:
+        return np.arange(k, dtype=np.int64)[:, None]
+    if r == 2:
+        a, b = np.triu_indices(k, 1)
+        return np.stack([a, b], axis=1).astype(np.int64, copy=False)
+    parts = []
+    for i in range(k - r + 1):
+        tail = _comb_template(k - 1 - i, r - 1) + np.int64(i + 1)
+        parts.append(
+            np.concatenate(
+                [np.full((tail.shape[0], 1), i, dtype=np.int64), tail],
+                axis=1,
+            )
+        )
+    return np.concatenate(parts, axis=0)
 
 
 def _n_comb(k: int, r: int) -> int:
@@ -61,33 +81,60 @@ def _n_comb(k: int, r: int) -> int:
     return n
 
 
+def _iter_key_blocks(A: np.ndarray, r: int, pack: int, max_cells: int):
+    """Yield row-aligned 2-D int64 key blocks over the same-length
+    basket stack A (m, k). The horizontal concatenation of every
+    yielded block is exactly the (m, C(k, r)) row-major combination-key
+    matrix — each block holds, for EVERY row, a contiguous slice of
+    that row's combinations — but no block exceeds ``max_cells`` int64
+    cells, so neither the m × C(k, r) matrix nor (for giant baskets)
+    the C(k, r) template is ever materialized whole. r16: this
+    replaces row-chunking inside the counting pass — chunking rows
+    made the giant-basket first-index loop re-run PER CHUNK (a
+    Python-level k-iteration loop times chunk count, the measured
+    +60% on graph_triangle_count); blocks bound memory the same way
+    while the fallback loop runs once per group."""
+    k = A.shape[1]
+    m = A.shape[0]
+    if m == 0 or k < r:
+        return
+    if r == 1:
+        yield A
+        return
+    if _n_comb(k, r) <= _TEMPLATE_CAP:
+        idx = _comb_template(k, r)
+        tstep = max(1, max_cells // max(1, m))
+        for t0 in range(0, idx.shape[0], tstep):
+            sl = idx[t0 : t0 + tstep]
+            key = A[:, sl[:, 0]]
+            for j in range(1, r):
+                key = key * pack + A[:, sl[:, j]]
+            yield key
+        return
+    # Giant basket: loop the first index, recurse on the suffix. Each
+    # per-i block pairs every row's head with ITS OWN tail combos
+    # (row-aligned by construction — the r15 flat np.repeat pairing
+    # mixed rows whenever the recursion nested twice).
+    for i in range(k - r + 1):
+        head = A[:, i][:, None] * (pack ** (r - 1))
+        for tail in _iter_key_blocks(A[:, i + 1 :], r - 1, pack, max_cells):
+            yield head + tail
+
+
 def _keys_for_group(A: np.ndarray, r: int, pack: int) -> np.ndarray:
     """Packed combination keys for a stack of same-length baskets
     A (m, k): one flat ROW-MAJOR int64 array of m × C(k, r) keys (row
-    0's combinations first, then row 1's, ...)."""
+    0's combinations first, then row 1's, ...). Materializes the full
+    matrix — tests and small groups only; the counting pass streams
+    ``_iter_key_blocks`` instead."""
     k = A.shape[1]
     m = A.shape[0]
     if m == 0 or k < r:
         return np.empty(0, dtype=np.int64)
-    if _n_comb(k, r) <= _TEMPLATE_CAP:
-        idx = _comb_template(k, r)
-        key = A[:, idx[:, 0]]
-        for j in range(1, r):
-            key = key * pack + A[:, idx[:, j]]
-        return key.reshape(-1)
-    if r == 1:
-        return A.reshape(-1)
-    # Giant basket fallback: loop the first index, template the rest.
-    # Each recursive tail is itself row-major, so reshaping it to
-    # (m, -1) re-aligns every row's head with ITS OWN tail combos (the
-    # former flat np.repeat pairing mixed rows whenever the recursion
-    # hit this fallback a second time), and concatenating the per-i
-    # blocks along axis=1 keeps the overall output row-major.
-    parts = []
-    for i in range(k - r + 1):
-        tail = _keys_for_group(A[:, i + 1 :], r - 1, pack).reshape(m, -1)
-        parts.append(A[:, i][:, None] * (pack ** (r - 1)) + tail)
-    return np.concatenate(parts, axis=1).reshape(-1)
+    blocks = list(_iter_key_blocks(A, r, pack, max_cells=1 << 62))
+    if len(blocks) == 1:
+        return blocks[0].reshape(-1)
+    return np.concatenate(blocks, axis=1).reshape(-1)
 
 
 def packed_combo_counts(
@@ -134,8 +181,8 @@ def _count_batch(col, r: int, pack: int, cand: np.ndarray | None):
     # Skewed-basket guardrail: the materialized keys array for one
     # same-length group is m × C(k, r) int64 — a hub apex (giant
     # basket) at scale would build it in one task-sized allocation.
-    # Chunk the group's ROWS so at most _KEYS_BUDGET keys exist at once
-    # and fold each chunk straight into the counters; a single basket's
+    # Stream _iter_key_blocks (each block ≤ _KEYS_BUDGET cells) and
+    # fold every block straight into the counters; a single basket's
     # own C(k, r) keys remain the floor (that volume IS the
     # enumeration's output and is bounded by the callers' basket
     # semantics: per-order baskets, oriented out-degree).
@@ -149,12 +196,10 @@ def _count_batch(col, r: int, pack: int, cand: np.ndarray | None):
         if k < r:
             continue
         rows = np.nonzero(lengths == k)[0]
-        step = max(1, _KEYS_BUDGET // max(1, _n_comb(int(k), r)))
-        for lo in range(0, rows.size, step):
-            sub = rows[lo : lo + step]
-            starts = offs[sub]
-            gather = starts[:, None] + np.arange(k)[None, :]
-            keys = _keys_for_group(flat[gather], r, pack)
+        starts = offs[rows]
+        gather = starts[:, None] + np.arange(k)[None, :]
+        for block in _iter_key_blocks(flat[gather], r, pack, _KEYS_BUDGET):
+            keys = block.reshape(-1)
             if keys.size == 0:
                 continue
             if cand is not None:
